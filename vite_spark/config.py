@@ -1,0 +1,77 @@
+"""Engine configuration.
+
+Mirrors the reference CLI surface (/root/reference/main.cpp:609-769) as a
+dataclass: convergence threshold (-h), threshold cycling (-i), early
+termination (-t 1..4), coloring (-c/-o), one-phase (-p), plus Spark-native
+knobs (broadcast threshold, shuffle partitions, skew salting) that replace
+Vite's -b edge-balanced partitioning and MPI tuning flags.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Reference constants (/root/reference/utils.hpp:67-73, louvain.hpp:68-74)
+TERMINATION_PHASE_COUNT = 200
+MAX_TOTAL_ITERATIONS = 10_000
+CONVERGENCE_THRESHOLD = 1.0e-6
+ET_CUTOFF = 2          # freeze after community unchanged for this many extra iters (t1/t3)
+P_CUTOFF = 0.02        # probability floor for probabilistic ET (t2/t4)
+ET_ALPHA = 0.5         # probability decay for t2/t4 (louvain.cpp:384)
+ET_PHASE_ABORT_FRACTION = 0.9  # documented intent of t3/t4 (README:358-369)
+
+
+def threshold_for_phase(phase: int) -> float:
+    """Threshold-cycling schedule (-i), /root/reference/main.cpp:249-263.
+
+    1e-3 for phases 0-2, 1e-4 for 3-6, 1e-5 for 7-9, 1e-6 for 10-12,
+    then the 13-phase pattern repeats.
+    """
+    p = phase % 13
+    if p <= 2:
+        return 1.0e-3
+    if p <= 6:
+        return 1.0e-4
+    if p <= 9:
+        return 1.0e-5
+    return 1.0e-6
+
+
+@dataclass
+class EngineConfig:
+    # Convergence (reference -h / utils.hpp:71-73)
+    threshold: float = CONVERGENCE_THRESHOLD
+    # Threshold cycling (reference -i / main.cpp:249-263)
+    threshold_cycling: bool = False
+    # Stop after a single phase (reference -p)
+    one_phase: bool = False
+    # Early termination mode: 0=off, 1..4 = reference -t 1..4
+    early_term: int = 0
+    # Use distance-1 coloring (reference -c) / vertex ordering (-o)
+    coloring: bool = False
+    vertex_ordering: bool = False
+    max_phases: int = TERMINATION_PHASE_COUNT
+    max_total_iterations: int = MAX_TOTAL_ITERATIONS
+
+    # --- Spark-native execution knobs ---
+    # Broadcast per-vertex/per-community state when the row count is below
+    # this (replaces Vite's ghost-exchange: small state ships to every
+    # executor instead of shuffling the big edge table).
+    broadcast_max_rows: int = 5_000_000
+    # Degree above which a vertex's adjacency is salted into this many
+    # sub-groups for two-stage aggregation (replaces reference -b edge
+    # balancing, distgraph.cpp:72-116).
+    skew_degree_threshold: int = 1_000_000
+    skew_salt_parts: int = 32
+    # Shuffle partitions for superstep joins; None = session default.
+    shuffle_partitions: int | None = None
+    # Checkpoint directory for per-superstep resumable state (None =
+    # localCheckpoint only, not resumable across processes).
+    checkpoint_dir: str | None = None
+    # Checkpoint every k supersteps (1 = every superstep, per north_star).
+    checkpoint_every: int = 1
+    # Use the CSR Arrow-UDF fast path for the local sweep when possible.
+    use_csr_kernel: bool = False
+
+    extra: dict = field(default_factory=dict)

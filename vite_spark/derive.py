@@ -1,0 +1,123 @@
+"""Link-graph derivation from relational tables.
+
+Per BASELINE.json input_hint, the engine's primary source is a table of
+source-code repositories ``repos(repo, path, commit, lang, content)``; the
+link graph is built from path/commit co-occurrence after verifying
+``sha256(content)`` per row. This layer has no Vite counterpart (Vite's
+analog is its file-format converters) and is pure DataFrame work — every
+filter and projection is pushed into the scan by Catalyst.
+
+Scale notes (100 TB design):
+- the sha256 gate and column pruning drop ``content`` immediately after the
+  scan — the join graph never carries document bodies.
+- the co-occurrence self-join is an equi-join on the co-occurrence key;
+  keys shared by k rows emit k² pairs, so ultra-common keys are capped with
+  a configurable frequency cutoff (standard practice for co-occurrence
+  graphs; prevents quadratic blowup on degenerate keys) — the cutoff is an
+  explicit, documented knob, and the cap is applied with one aggregation.
+- output is immediately grouped to (src, dst) with summed weight, so the
+  shuffle volume is bounded by distinct pairs, not raw pair multiplicity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from vite_spark.graph import symmetrize
+
+
+def sha256_gate(repos: DataFrame, expected_col: str = "content_sha256") -> DataFrame:
+    """Per-row invariant: recompute sha256(content) and keep matching rows.
+
+    If the table carries no expected-hash column, the computed hash is
+    attached instead (so downstream lineage records it). north_star: "edges
+    built from repo/path/commit co-occurrence after verifying content
+    sha256 per row".
+    """
+    h = F.sha2(F.col("content"), 256)
+    if expected_col in repos.columns:
+        return repos.filter(h == F.col(expected_col))
+    return repos.withColumn("content_sha256", h)
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    entity_col: str,
+    key_col: str,
+    max_key_freq: int | None = None,
+) -> DataFrame:
+    """Generic co-occurrence: entities sharing a key get an edge weighted by
+    the number of shared keys. Returns the canonical symmetrized edge table
+    over dense entity ids is NOT applied here — entity ids must already be
+    numeric; use graph.renumber_contiguous otherwise.
+
+    Plan shape: dedup (entity, key) → optional key-frequency cap →
+    self-join on key with src<dst → groupBy pair → symmetrize.
+    """
+    pairs = df.select(
+        F.col(entity_col).cast("long").alias("entity"), F.col(key_col).alias("key")
+    ).distinct()
+    if max_key_freq is not None:
+        freq = pairs.groupBy("key").agg(F.count(F.lit(1)).alias("kf"))
+        pairs = pairs.join(freq.filter(F.col("kf") <= max_key_freq), "key").select(
+            "entity", "key"
+        )
+    a = pairs.select(F.col("entity").alias("src"), "key")
+    b = pairs.select(F.col("entity").alias("dst"), "key")
+    half = (
+        a.join(b, "key")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    return symmetrize(half)
+
+
+def repos_to_edges(
+    repos: DataFrame,
+    key: str = "path",
+    max_key_freq: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """repos(repo, path, commit, lang, content) → (edges, repo_ids).
+
+    sha256 gate → dense repo ids (deterministic: sorted by repo name) →
+    path (or commit) co-occurrence. Returns the symmetrized edge table and
+    the repo↔id mapping.
+    """
+    from pyspark.sql import Window
+
+    gated = sha256_gate(repos).select("repo", key)
+    repo_ids = (
+        gated.select("repo")
+        .distinct()
+        .withColumn("id", F.row_number().over(Window.orderBy("repo")).cast("long") - 1)
+    )
+    keyed = gated.join(repo_ids, "repo").select(F.col("id").alias("entity"), F.col(key))
+    edges = cooccurrence_edges(keyed, "entity", key, max_key_freq=max_key_freq)
+    return edges, repo_ids
+
+
+def lineitem_part_edges(spark, sf_dir: str) -> DataFrame:
+    """Benchmark/correctness graph from driver testdata: parts co-occurring
+    in the same order. Vertices are l_partkey (already dense-ish ints);
+    weight = number of shared orders. Symmetric by construction.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("key"), F.col("l_partkey").cast("long").alias("entity")
+    )
+    return cooccurrence_edges(li, "entity", "key")
+
+
+def documents_as_repos(spark, sf_dir: str) -> DataFrame:
+    """Shape the driver ``documents`` table like the F1 repos table so the
+    repos→edges derivation path is exercised on provided data: repo=source,
+    path=first two words of text, commit=sha of doc_id, content=text.
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.col("source").alias("repo"),
+        F.concat_ws("/", F.slice(F.split(F.col("text"), " "), 1, 2)).alias("path"),
+        F.sha2(F.col("doc_id").cast("string"), 256).substr(1, 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )

@@ -1,0 +1,169 @@
+"""Canonical edge table: the engine's native graph representation.
+
+Schema: ``edges(src: long, dst: long, weight: double)`` — symmetrized
+undirected (every undirected edge {u,v} appears as both u→v and v→u;
+self-loops appear once), matching the reference CSR convention
+(/root/reference/converters/simple.cpp:152-155, README:177-191).
+Consequently ``sum(weighted degree) == 2m`` and the modularity constant is
+``1/(2m)`` (/root/reference/louvain.cpp:2188-2218).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+EDGE_SCHEMA = StructType(
+    [
+        StructField("src", LongType(), False),
+        StructField("dst", LongType(), False),
+        StructField("weight", DoubleType(), False),
+    ]
+)
+
+
+def canonical_edges(df: DataFrame) -> DataFrame:
+    """Cast/select an arbitrary (src, dst, weight?) DataFrame to EDGE_SCHEMA."""
+    cols = [
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ]
+    if "weight" in df.columns:
+        cols.append(F.col("weight").cast("double").alias("weight"))
+    else:
+        cols.append(F.lit(1.0).alias("weight"))
+    return df.select(*cols)
+
+
+def symmetrize(directed: DataFrame, combine_duplicates: bool = True) -> DataFrame:
+    """Directed edge list → canonical symmetrized table.
+
+    Emits both directions for every u≠v edge (reference
+    converters/simple.cpp:152-155); self-loops are kept single. Duplicate
+    (src, dst) pairs have their weights summed so the canonical table has
+    at most one row per ordered pair (F2 invariant).
+    """
+    e = canonical_edges(directed)
+    both = e.unionByName(
+        e.filter(F.col("src") != F.col("dst")).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    if combine_duplicates:
+        both = both.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    return both
+
+
+def weighted_degrees(edges: DataFrame) -> DataFrame:
+    """Per-vertex weighted degree: ``vDegree[i] = Σ w(e), e ∈ adj(i)``.
+
+    Self-loop weight counted once, exactly as the reference sums the CSR
+    row (/root/reference/louvain.cpp:2161-2186). Returns (id, vdeg).
+    """
+    return edges.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("vdeg"))
+
+
+def self_loop_weights(edges: DataFrame) -> DataFrame:
+    """Per-vertex self-loop weight (louvain.cpp:2438-2439). (id, self_w)."""
+    return (
+        edges.filter(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("weight").alias("self_w"))
+    )
+
+
+def graph_stats(edges: DataFrame) -> dict:
+    """nv (vertices appearing in edges), ne (directed rows), total weight 2m."""
+    row = edges.agg(
+        F.countDistinct("src").alias("nv"),
+        F.count(F.lit(1)).alias("ne"),
+        F.sum("weight").alias("two_m"),
+        F.max("src").alias("max_id"),
+    ).collect()[0]
+    return {
+        "nv": row["nv"],
+        "ne": row["ne"],
+        "two_m": float(row["two_m"]) if row["two_m"] is not None else 0.0,
+        "max_id": row["max_id"],
+    }
+
+
+def check_symmetry(edges: DataFrame) -> int:
+    """Count of (src,dst,weight) rows without a matching mirror. 0 == valid."""
+    e = edges.select("src", "dst", "weight")
+    m = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("weight").alias("w2")
+    )
+    return (
+        e.join(m, ["src", "dst"], "left")
+        .filter(F.col("w2").isNull() | (F.abs(F.col("weight") - F.col("w2")) > 1e-12))
+        .count()
+    )
+
+
+def renumber_contiguous(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Map arbitrary vertex ids to dense 0-based ids (SNAP-converter
+    semantics, /root/reference/converters/snap.cpp:66-197, but with a
+    deterministic order: ids sorted ascending).
+
+    Returns (edges', mapping(orig_id, id)).
+    """
+    ids = (
+        edges.select(F.col("src").alias("orig_id"))
+        .union(edges.select(F.col("dst").alias("orig_id")))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    mapping = ids.withColumn(
+        "id", F.row_number().over(Window.orderBy("orig_id")).cast("long") - 1
+    )
+    e = (
+        edges.join(mapping.withColumnRenamed("orig_id", "src"), "src")
+        .drop("src")
+        .withColumnRenamed("id", "src")
+        .join(
+            mapping.select(F.col("orig_id").alias("dst"), F.col("id").alias("new_dst")),
+            "dst",
+        )
+        .drop("dst")
+        .withColumnRenamed("new_dst", "dst")
+        .select("src", "dst", "weight")
+    )
+    return e, mapping
+
+
+@dataclass
+class GraphFrame:
+    """A loaded graph: persisted canonical edges + cached scalars."""
+
+    edges: DataFrame
+    nv: int            # total vertices (>= max id + 1; includes isolated)
+    two_m: float       # total weighted degree = 2m
+    ne: int            # directed edge rows
+
+    @classmethod
+    def from_edges(cls, edges: DataFrame, nv: int | None = None) -> "GraphFrame":
+        e = canonical_edges(edges)
+        s = graph_stats(e)
+        n = nv if nv is not None else (int(s["max_id"]) + 1 if s["max_id"] is not None else 0)
+        return cls(edges=e, nv=n, two_m=s["two_m"], ne=s["ne"])
+
+    @property
+    def constant(self) -> float:
+        """1/(2m) — reference distCalcConstantForSecondTerm (louvain.cpp:2188)."""
+        return 1.0 / self.two_m
+
+
+def edges_from_pairs(
+    spark: SparkSession, pairs: list[tuple], symmetrized: bool = False
+) -> DataFrame:
+    """Build a canonical edge table from python tuples (u, v[, w]).
+
+    ``symmetrized=False`` means pairs list each undirected edge once.
+    """
+    rows = [(int(p[0]), int(p[1]), float(p[2]) if len(p) > 2 else 1.0) for p in pairs]
+    df = spark.createDataFrame(rows, schema=EDGE_SCHEMA)
+    return df if symmetrized else symmetrize(df)

