@@ -1,0 +1,93 @@
+"""Spark engine ↔ NumPy oracle parity (the BASELINE.json correctness gate):
+per-vertex labels exactly equal and Q within 1e-6 at convergence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vite_spark import fixtures as fx
+from vite_spark.algos.louvain import louvain, louvain_phase
+from vite_spark.config import EngineConfig
+from vite_spark.oracle import louvain_oracle_full, louvain_oracle_phase
+
+
+def _labels_from_df(df, nv):
+    rows = df.collect()
+    out = np.arange(nv, dtype=np.int64)  # isolated vertices = identity
+    for r in rows:
+        out[r["id"]] = r[df.columns[1]]
+    return out
+
+
+FIXTURES = {
+    "karate": lambda: fx.karate(),
+    "two_cliques": lambda: fx.two_cliques(),
+    "ring_8": lambda: fx.ring(),
+    "singleton_pairs": lambda: fx.singleton_pairs(),
+    "self_loops": lambda: fx.self_loops_triangle(),
+    "weighted_star": lambda: fx.weighted_star(),
+    "sbm": lambda: fx.planted_partition()[:4],
+}
+
+
+@pytest.mark.parametrize("name", list(FIXTURES))
+def test_phase_parity(spark, name):
+    s, d, w, nv = FIXTURES[name]()
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+
+    o_labels, o_q, o_iters = louvain_oracle_phase(s, d, w, nv)
+    pres = louvain_phase(spark, edges, threshold=1e-6)
+
+    assert pres.iters == o_iters
+    assert pres.q == pytest.approx(o_q, abs=1e-6)
+    got = _labels_from_df(pres.assignment, nv)
+    assert np.array_equal(got, o_labels), f"{name}: {got} != {o_labels}"
+
+
+@pytest.mark.parametrize("name", ["karate", "sbm", "two_cliques"])
+def test_full_parity(spark, name):
+    s, d, w, nv = FIXTURES[name]()
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+
+    oracle = louvain_oracle_full(s, d, w, nv)
+    res = louvain(spark, edges)
+
+    assert res.iters_per_phase == oracle.iters_per_phase
+    assert len(res.q_per_phase) == len(oracle.q_per_phase)
+    for a, b in zip(res.q_per_phase, oracle.q_per_phase):
+        assert a == pytest.approx(b, abs=1e-6)
+    got = _labels_from_df(res.labels, nv)
+    assert np.array_equal(got, oracle.labels), f"{name}: {got} != {oracle.labels}"
+
+
+def test_threshold_cycling_parity(spark):
+    s, d, w, nv = fx.planted_partition()[:4]
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+    oracle = louvain_oracle_full(s, d, w, nv, threshold_cycling=True)
+    res = louvain(spark, edges, EngineConfig(threshold_cycling=True))
+    assert res.iters_per_phase == oracle.iters_per_phase
+    for a, b in zip(res.q_per_phase, oracle.q_per_phase):
+        assert a == pytest.approx(b, abs=1e-6)
+    got = _labels_from_df(res.labels, nv)
+    assert np.array_equal(got, oracle.labels)
+
+
+def test_one_phase_flag(spark):
+    s, d, w, nv = fx.karate()
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+    oracle_labels, oracle_q, oracle_iters = louvain_oracle_phase(s, d, w, nv)
+    res = louvain(spark, edges, EngineConfig(one_phase=True))
+    assert res.levels == 1
+    assert res.q_per_phase[0] == pytest.approx(oracle_q, abs=1e-6)
+
+
+def test_partition_count_independence(spark):
+    """Same labels regardless of input partitioning (shuffle determinism)."""
+    s, d, w, nv = fx.karate()
+    e1 = fx.to_spark_edges(spark, (s, d, w, nv)).repartition(3)
+    e2 = fx.to_spark_edges(spark, (s, d, w, nv)).repartition(11)
+    r1 = louvain(spark, e1)
+    r2 = louvain(spark, e2)
+    assert np.array_equal(_labels_from_df(r1.labels, nv), _labels_from_df(r2.labels, nv))
+    assert r1.q_per_phase == pytest.approx(r2.q_per_phase, abs=1e-12)

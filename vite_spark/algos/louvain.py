@@ -392,7 +392,6 @@ def louvain(
             res.iters_per_phase.append(pres.iters)
             metrics.record(kind="phase", level=phase, q=pres.q, iters=pres.iters)
             if cfg.one_phase:
-                phase += 1
                 break
             cur_edges = coarse.localCheckpoint(eager=True)
             if cfg.checkpoint_dir:

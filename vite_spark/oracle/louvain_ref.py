@@ -261,7 +261,6 @@ def louvain_oracle_full(
             res.q_per_phase.append(q)
             res.iters_per_phase.append(iters)
             if one_phase:
-                phase += 1
                 break
             s2, d2, w2, nv2, o2n = coarsen_oracle(cur[0], cur[1], cur[2], labels, cur[3])
             cur = (s2, d2, w2, nv2)
