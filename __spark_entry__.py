@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query — multi-level Louvain community
+  detection over the co-occurrence link graph derived from sf0.001
+  testdata (the Vite headline capability re-expressed Spark-first).
+- ``queries()``: every implemented operator from SURVEY.md §2 +
+  training-data-pipeline ops, as (spark, sf_dir) → DataFrame callables.
+- ``oracle_sql()``: DuckDB-equivalent ANSI SQL for each SQL-expressible
+  query (generated from the same constants as the Spark side; see
+  vite_spark/queries.py). Iterative driver-loop algorithms
+  (Louvain, LPA, LSH-ANN, Arrow-UDF multimodal) are intentionally omitted
+  → rows-only driver check; their exact-parity gate is
+  tests/test_louvain_spark.py and tests/test_algos.py against NumPy
+  oracles that mirror /root/reference semantics line-by-line.
 """
 
 from __future__ import annotations
@@ -13,26 +20,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from vite_spark.queries import registry
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Louvain community assignment on the sf0.001 link graph."""
+    from vite_spark.queries import q_louvain_assignment
+
+    return q_louvain_assignment(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql for name, (_fn, sql) in registry().items() if sql is not None
+    }

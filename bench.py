@@ -1,0 +1,234 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "louvain_edges_per_sec": ...}
+
+--scaling: the BASELINE.json two-cluster-size evidence — the same Louvain
+superstep job on the same (larger, deterministic) input at local[N] and
+local[4N]; reports throughput at both + scaling efficiency, and appends the
+table to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _sf_value(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def make_spark(cores: int | str, shuffle_parts: int | None = None):
+    from vite_spark.session import get_spark
+
+    return get_spark(app_name="vite_spark_bench", cores=cores,
+                     shuffle_partitions=shuffle_parts)
+
+
+def run_headline(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from vite_spark.algos.louvain import louvain
+    from vite_spark.config import EngineConfig
+    from vite_spark.derive import lineitem_part_edges
+    from vite_spark.queries import (
+        q_ann_topk,
+        q_cc_sizes,
+        q_minhash_pairs,
+        q_pagerank,
+        q_quality,
+        q_simhash,
+        q_triangles_total,
+    )
+    from vite_spark.runtime.metrics import MetricsCollector
+
+    timings: dict[str, float] = {}
+    extra: dict = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # graph build once (also timed — it is a real operator)
+    t0 = time.time()
+    edges = lineitem_part_edges(spark, sf_dir).persist()
+    ne = edges.count()
+    timings["graph_build"] = round(time.time() - t0, 3)
+    extra["edges"] = ne
+
+    metrics = MetricsCollector()
+    t0 = time.time()
+    res = louvain(spark, edges, EngineConfig(), metrics=metrics)
+    res.labels.count()
+    timings["louvain"] = round(time.time() - t0, 3)
+    tot = metrics.totals()
+    extra["louvain_q"] = round(res.final_q, 6)
+    extra["louvain_supersteps"] = tot["supersteps"]
+    extra["louvain_edges_per_sec"] = round(tot["edges_per_sec"], 1)
+
+    timed("pagerank10", lambda: q_pagerank(spark, sf_dir).count())
+    timed("connected_components", lambda: q_cc_sizes(spark, sf_dir).count())
+    timed("triangles", lambda: q_triangles_total(spark, sf_dir).collect())
+    timed("minhash_lsh_dedup", lambda: q_minhash_pairs(spark, sf_dir).count())
+    timed("ann_cosine_topk", lambda: q_ann_topk(spark, sf_dir).count())
+    timed("simhash", lambda: q_simhash(spark, sf_dir).count())
+    timed("quality_scores", lambda: q_quality(spark, sf_dir).count())
+
+    return {"timings": timings, "extra": extra}
+
+
+def superstep_throughput(spark, edges, iters: int = 3) -> float:
+    """edges/sec over `iters` fixed Louvain supersteps (the per-superstep
+    throughput metric of BASELINE.md)."""
+    from vite_spark.algos.louvain import louvain_phase
+    from vite_spark.config import EngineConfig
+    from vite_spark.runtime.metrics import MetricsCollector
+
+    m = MetricsCollector()
+    cfg = EngineConfig(max_total_iterations=iters)
+    louvain_phase(spark, edges, threshold=-1e9, cfg=cfg, metrics=m)
+    # threshold=-1e9 forces `iters` full supersteps (never converges early)
+    t = m.totals()
+    return t["edges_per_sec"]
+
+
+def synth_edges(spark, n_vertices: int = 200_000, avg_deg: int = 16,
+                seed: int = 42, parts: int = 64):
+    """Deterministic synthetic edge table for the scaling run (seeded LCG
+    ring-lattice + random rewires, generated in parallel via mapInPandas —
+    reproduces the spirit of the reference RGG generator G2 at any size)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType([
+        StructField("src", LongType(), False),
+        StructField("dst", LongType(), False),
+        StructField("weight", DoubleType(), False),
+    ])
+    part_df = spark.range(parts).select(F.col("id").alias("pid"))
+
+    half = avg_deg // 2
+
+    def gen(pdf_iter):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            for pid in pdf["pid"]:
+                lo = n_vertices * pid // parts
+                hi = n_vertices * (pid + 1) // parts
+                ids = np.arange(lo, hi, dtype=np.int64)
+                rng = np.random.default_rng(seed + pid)
+                srcs, dsts = [], []
+                for k in range(1, half + 1):
+                    srcs.append(ids)
+                    dsts.append((ids + k) % n_vertices)
+                # 10% random long-range edges for community structure noise
+                nrand = max(1, len(ids) // 10)
+                srcs.append(rng.choice(ids, nrand))
+                dsts.append(rng.integers(0, n_vertices, nrand, dtype=np.int64))
+                s = np.concatenate(srcs)
+                d = np.concatenate(dsts)
+                m = s != d
+                s, d = s[m], d[m]
+                yield pd.DataFrame({
+                    "src": np.r_[s, d], "dst": np.r_[d, s],
+                    "weight": np.ones(2 * len(s)),
+                })
+
+    e = part_df.repartition(parts, "pid").mapInPandas(gen, schema=schema)
+    return e.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+
+
+def run_scaling(n_low: int, sf_dir: str) -> dict:
+    n_high = 4 * n_low
+    results = {}
+    for cores in (n_low, n_high):
+        spark = make_spark(cores, shuffle_parts=max(cores * 2, 8))
+        try:
+            edges = synth_edges(spark, n_vertices=300_000, avg_deg=16).persist()
+            ne = edges.count()
+            # warmup superstep then measured run
+            eps = superstep_throughput(spark, edges, iters=3)
+            results[cores] = {"edges": ne, "edges_per_sec": round(eps, 1)}
+        finally:
+            spark.stop()
+    t_low = results[n_low]["edges_per_sec"]
+    t_high = results[n_high]["edges_per_sec"]
+    eff = (t_high / t_low) / 4.0
+    out = {
+        "n_cores_low": n_low,
+        "n_cores_high": n_high,
+        "throughput_low_eps": t_low,
+        "throughput_high_eps": t_high,
+        "speedup": round(t_high / t_low, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cores-low", type=int, default=8)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    if args.scaling:
+        res = run_scaling(args.cores_low, sf_dir)
+        print(json.dumps(res))
+        lines = [
+            "",
+            "## Measured scaling (bench.py --scaling)",
+            "",
+            "| cores | superstep throughput (edges/sec) |",
+            "|---|---|",
+            f"| {res['n_cores_low']} | {res['throughput_low_eps']:,} |",
+            f"| {res['n_cores_high']} | {res['throughput_high_eps']:,} |",
+            "",
+            f"speedup {res['n_cores_low']}→{res['n_cores_high']} cores: "
+            f"{res['speedup']}×; per-core scaling efficiency: "
+            f"**{res['scaling_efficiency']}** (target ≥ 0.8)",
+        ]
+        with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH.md"), "a") as f:
+            f.write("\n".join(lines) + "\n")
+        return
+
+    spark = make_spark(cpus)
+    try:
+        out = run_headline(spark, sf_dir)
+    finally:
+        spark.stop()
+    timings = out["timings"]
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (louvain/pagerank/cc/"
+                "triangles/dedup/ann on the co-occurrence link graph)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_value(sf_dir),
+                **out["extra"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,631 @@
+"""Query registry: every implemented operator exposed as
+(spark_callable, duckdb_oracle_sql) pairs over the driver testdata tables.
+
+The Spark side and the SQL side are generated from the same constants
+(vite_spark/text/common.py) so they cannot drift. Iterative graph
+algorithms that SQL can express get recursive-CTE oracles (CC, PageRank);
+Louvain/LPA are oracle-checked in pytest against the NumPy reference
+instead (driver records rows-only for them).
+
+The co-occurrence graph under test: parts co-occurring in the same order
+(lineitem), symmetrized with count weights — the same derivation shape as
+the repos→edges path (BASELINE.json input_hint) on provided data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from vite_spark.config import EngineConfig
+from vite_spark.derive import documents_as_repos, lineitem_part_edges, repos_to_edges
+from vite_spark.graph import weighted_degrees
+from vite_spark.text import analysis as ta
+from vite_spark.text import ann as ann
+from vite_spark.text import dedup as dd
+from vite_spark.text.common import (
+    LANG_LEXICONS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_PRIME,
+    NUM_PERM,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+    SIMHASH_C,
+    SIMHASH_D,
+    STOPWORDS,
+    FP_BASE,
+    FP_MOD,
+)
+
+JACCARD_T = 0.2
+MINHASH_T = 0.2
+COS_NEAR_T = 0.4
+TOPK = 5
+
+
+# ---------------------------------------------------------------- helpers
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# shared SQL fragment: the symmetrized co-occurrence edge table
+EDGES_CTE = """
+pairs AS (
+  SELECT DISTINCT l_orderkey AS key, CAST(l_partkey AS BIGINT) AS entity
+  FROM lineitem
+),
+half AS (
+  SELECT a.entity AS src, b.entity AS dst, CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM pairs a JOIN pairs b ON a.key = b.key AND a.entity < b.entity
+  GROUP BY a.entity, b.entity
+),
+edges AS (
+  SELECT src, dst, weight FROM half
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM half
+)
+"""
+
+# shared SQL fragment: distinct doc shingles (3-gram) + sizes
+SHINGLES_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS p FROM toks),
+grams AS (
+  SELECT doc_id,
+         tok || '_' || lead(tok, 1) OVER w || '_' || lead(tok, 2) OVER w AS shingle
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM grams WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+"""
+
+TOKID_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS p FROM toks),
+vocab AS (
+  SELECT tok, dense_rank() OVER (ORDER BY tok) - 1 AS tid
+  FROM (SELECT DISTINCT tok FROM pos)
+),
+tidt AS (SELECT doc_id, p, tid FROM pos JOIN vocab USING (tok))
+"""
+
+
+def _values(name: str, cols: str, rows) -> str:
+    body = ", ".join("(" + ", ".join(str(x) for x in r) + ")" for r in rows)
+    return f"{name}({cols}) AS (SELECT * FROM (VALUES {body}) t({cols}))"
+
+
+def _sql_list(xs) -> str:
+    return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
+
+
+# ---------------------------------------------------------------- graph
+
+def q_cooccur_edges(spark, sf_dir):
+    return lineitem_part_edges(spark, sf_dir)
+
+
+SQL_COOCCUR_EDGES = f"WITH {EDGES_CTE} SELECT src, dst, weight FROM edges"
+
+
+def q_degrees(spark, sf_dir):
+    e = lineitem_part_edges(spark, sf_dir)
+    return e.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").alias("vdeg"), F.count(F.lit(1)).cast("long").alias("nbrs")
+    )
+
+
+SQL_DEGREES = f"""WITH {EDGES_CTE}
+SELECT src AS id, SUM(weight) AS vdeg, COUNT(*) AS nbrs FROM edges GROUP BY src"""
+
+
+def q_graph_stats(spark, sf_dir):
+    e = lineitem_part_edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.sum("weight").alias("vdeg"))
+    return (
+        e.agg(
+            F.countDistinct("src").cast("long").alias("nv"),
+            F.count(F.lit(1)).cast("long").alias("ne"),
+            F.sum("weight").alias("two_m"),
+        )
+        .crossJoin(deg.agg(F.max("vdeg").alias("max_vdeg")))
+        .select("nv", "ne", "two_m", "max_vdeg")
+    )
+
+
+SQL_GRAPH_STATS = f"""WITH {EDGES_CTE},
+deg AS (SELECT src, SUM(weight) AS vdeg FROM edges GROUP BY src)
+SELECT (SELECT COUNT(DISTINCT src) FROM edges) AS nv,
+       (SELECT COUNT(*) FROM edges) AS ne,
+       (SELECT SUM(weight) FROM edges) AS two_m,
+       (SELECT MAX(vdeg) FROM deg) AS max_vdeg"""
+
+
+def q_modularity_singleton(spark, sf_dir):
+    """Q of the identity partition: e-term = self-loop weight (0 here),
+    a-term = Σ vdeg² · (1/2m)² — the Louvain L11 formula on init state."""
+    e = lineitem_part_edges(spark, sf_dir)
+    deg = weighted_degrees(e)
+    return deg.agg(
+        F.round(
+            F.sum(F.when(F.lit(False), 0.0).otherwise(0.0))  # e-term: no self loops
+            - F.sum(F.col("vdeg") * F.col("vdeg")) / (F.sum("vdeg") * F.sum("vdeg")),
+            6,
+        ).alias("q_singleton")
+    )
+
+
+SQL_MODULARITY_SINGLETON = f"""WITH {EDGES_CTE},
+deg AS (SELECT src AS id, SUM(weight) AS vdeg FROM edges GROUP BY src)
+SELECT ROUND(0.0 - SUM(vdeg*vdeg) / (SUM(vdeg)*SUM(vdeg)), 6) AS q_singleton FROM deg"""
+
+
+def q_triangles_total(spark, sf_dir):
+    from vite_spark.algos.triangles import triangle_count
+
+    e = lineitem_part_edges(spark, sf_dir)
+    n = triangle_count(spark, e)
+    return spark.createDataFrame([(n,)], "triangles long")
+
+
+SQL_TRIANGLES_TOTAL = f"""WITH {EDGES_CTE},
+und AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+o AS (
+  SELECT u.src, u.dst FROM und u
+  JOIN deg a ON a.id = u.src JOIN deg b ON b.id = u.dst
+  WHERE a.d < b.d OR (a.d = b.d AND u.src < u.dst)
+)
+SELECT COUNT(*) AS triangles
+FROM o e1 JOIN o e2 ON e1.dst = e2.src JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+
+
+def q_triangles_by_vertex(spark, sf_dir):
+    from vite_spark.algos.triangles import triangles_per_vertex
+
+    e = lineitem_part_edges(spark, sf_dir)
+    return triangles_per_vertex(spark, e)
+
+
+SQL_TRIANGLES_BY_VERTEX = f"""WITH {EDGES_CTE},
+und AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+o AS (
+  SELECT u.src, u.dst FROM und u
+  JOIN deg a ON a.id = u.src JOIN deg b ON b.id = u.dst
+  WHERE a.d < b.d OR (a.d = b.d AND u.src < u.dst)
+),
+tri AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM o e1 JOIN o e2 ON e1.dst = e2.src JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+cnt AS (
+  SELECT id, COUNT(*) AS triangles FROM (
+    SELECT u AS id FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri
+  ) GROUP BY id
+)
+SELECT v.id, COALESCE(c.triangles, 0) AS triangles
+FROM (SELECT DISTINCT src AS id FROM edges) v LEFT JOIN cnt c USING (id)"""
+
+
+CC_ITERS = 12
+
+
+def q_connected_components(spark, sf_dir):
+    from vite_spark.algos.components import connected_components
+
+    e = lineitem_part_edges(spark, sf_dir)
+    return connected_components(spark, e, max_iter=CC_ITERS).select(
+        "id", "component"
+    )
+
+
+SQL_CONNECTED_COMPONENTS = f"""WITH RECURSIVE {EDGES_CTE},
+eplus AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT DISTINCT src, src AS dst FROM edges
+),
+cc AS (
+  SELECT 0 AS it, src AS id, src AS component FROM (SELECT DISTINCT src FROM edges)
+  UNION ALL
+  SELECT c.it + 1 AS it, e.src AS id, MIN(c.component) AS component
+  FROM cc c JOIN eplus e ON e.dst = c.id
+  WHERE c.it < {CC_ITERS}
+  GROUP BY c.it + 1, e.src
+)
+SELECT id, component FROM cc WHERE it = {CC_ITERS}"""
+
+
+def q_cc_sizes(spark, sf_dir):
+    from vite_spark.algos.components import connected_components
+
+    e = lineitem_part_edges(spark, sf_dir)
+    return (
+        connected_components(spark, e, max_iter=CC_ITERS)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+SQL_CC_SIZES = (
+    SQL_CONNECTED_COMPONENTS.replace(
+        "SELECT id, component FROM cc WHERE it = %d" % CC_ITERS,
+        "SELECT component, COUNT(*) AS n FROM cc WHERE it = %d GROUP BY component"
+        % CC_ITERS,
+    )
+)
+
+PR_ITERS = 10
+
+
+def q_pagerank(spark, sf_dir):
+    from vite_spark.algos.pagerank import pagerank
+
+    e = lineitem_part_edges(spark, sf_dir)
+    r = pagerank(spark, e, damping=0.85, tol=0.0, max_iter=PR_ITERS)
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
+SQL_PAGERANK = f"""WITH RECURSIVE {EDGES_CTE},
+outw AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+trans AS (SELECT e.src, e.dst, 1.0 / o.od AS p FROM edges e JOIN outw o USING (src)),
+nv AS (SELECT COUNT(DISTINCT src) AS n FROM edges),
+pr AS (
+  SELECT 0 AS it, src AS id, 1.0 / (SELECT n FROM nv) AS rank
+  FROM (SELECT DISTINCT src FROM edges)
+  UNION ALL
+  SELECT p.it + 1 AS it, t.dst AS id,
+         0.15 / (SELECT n FROM nv) + 0.85 * SUM(p.rank * t.p) AS rank
+  FROM pr p JOIN trans t ON t.src = p.id
+  WHERE p.it < {PR_ITERS}
+  GROUP BY p.it + 1, t.dst
+)
+SELECT id, ROUND(rank, 6) AS rank FROM pr WHERE it = {PR_ITERS}"""
+
+
+# Louvain / LPA: iterative with driver-side convergence — not expressible in
+# one SQL statement; rows-only driver check + exact pytest parity vs the
+# NumPy oracle (tests/test_louvain_spark.py, tests/test_queries.py).
+
+def q_louvain_assignment(spark, sf_dir):
+    from vite_spark.algos.louvain import louvain
+
+    e = lineitem_part_edges(spark, sf_dir)
+    res = louvain(spark, e, EngineConfig())
+    return res.labels.select("id", "comm")
+
+
+def q_louvain_summary(spark, sf_dir):
+    from vite_spark.algos.louvain import louvain
+
+    e = lineitem_part_edges(spark, sf_dir)
+    res = louvain(spark, e, EngineConfig())
+    ncomm = res.labels.select("comm").distinct().count()
+    return spark.createDataFrame(
+        [(round(res.final_q, 6), res.levels, int(sum(res.iters_per_phase)), ncomm)],
+        "q double, levels long, total_iters long, n_communities long",
+    )
+
+
+def q_lpa_labels(spark, sf_dir):
+    from vite_spark.algos.lpa import label_propagation
+
+    e = lineitem_part_edges(spark, sf_dir)
+    return label_propagation(spark, e, max_iter=10)
+
+
+# ------------------------------------------------------------- repos→edges
+
+def q_repos_edges(spark, sf_dir):
+    repos = documents_as_repos(spark, sf_dir)
+    edges, _ = repos_to_edges(repos, key="path")
+    return edges
+
+
+SQL_REPOS_EDGES = """
+WITH repos AS (
+  SELECT source AS repo,
+         string_split(text, ' ')[1] || '/' || string_split(text, ' ')[2] AS path
+  FROM documents
+),
+ids AS (
+  SELECT repo, ROW_NUMBER() OVER (ORDER BY repo) - 1 AS id
+  FROM (SELECT DISTINCT repo FROM repos)
+),
+pairs AS (SELECT DISTINCT i.id AS entity, r.path AS key
+          FROM repos r JOIN ids i USING (repo) WHERE r.path IS NOT NULL),
+half AS (
+  SELECT a.entity AS src, b.entity AS dst, CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM pairs a JOIN pairs b ON a.key = b.key AND a.entity < b.entity
+  GROUP BY a.entity, b.entity
+)
+SELECT src, dst, weight FROM half
+UNION ALL
+SELECT dst AS src, src AS dst, weight FROM half"""
+
+
+def q_sha256_gate(spark, sf_dir):
+    """Per-row content hash (BASELINE.json invariant) — cross-engine SHA-256
+    equality is exactly what the value-hash comparison verifies."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha256")
+    )
+
+
+SQL_SHA256_GATE = "SELECT doc_id, sha256(text) AS content_sha256 FROM documents"
+
+
+# ---------------------------------------------------------------- text
+
+def q_token_counts(spark, sf_dir):
+    return ta.token_counts(_docs(spark, sf_dir))
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       list_sum(list_transform(string_split(text, ' '),
+                x -> (length(x) + 3) // 4)) AS n_bpe
+FROM documents"""
+
+
+def q_quality(spark, sf_dir):
+    return ta.quality_scores(_docs(spark, sf_dir))
+
+
+SQL_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, text, len(toks) AS n,
+         len(list_filter(toks, x -> list_contains({_sql_list(STOPWORDS)}, x))) AS n_stop
+  FROM t
+)
+SELECT doc_id,
+       n AS n_tokens,
+       ROUND(n_stop / n, 6) AS stopword_ratio,
+       ROUND((LENGTH(text) - (n - 1)) / n, 6) AS mean_word_len,
+       ROUND(LEAST(n, 100) / 100.0 *
+             (0.25 + 0.75 * LEAST(n_stop / n * 4.0, 1.0)), 6) AS quality
+FROM s"""
+
+
+def q_langid(spark, sf_dir):
+    return ta.language_id(_docs(spark, sf_dir))
+
+
+def _langid_sql():
+    langs = sorted(LANG_LEXICONS)
+    hits = ",\n         ".join(
+        f"len(list_filter(toks, x -> list_contains({_sql_list(LANG_LEXICONS[l])}, x))) AS h_{l}"
+        for l in langs
+    )
+    best = "GREATEST(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{l} = {best} THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+         {hits}
+      FROM t)
+SELECT doc_id, {case} AS lang_pred, {best} AS lang_hits FROM s"""
+
+
+SQL_LANGID = _langid_sql()
+
+
+def q_fingerprints(spark, sf_dir):
+    return ta.fingerprints(_docs(spark, sf_dir))
+
+
+SQL_FINGERPRINTS = f"""
+WITH {TOKID_CTE},
+grams AS (
+  SELECT doc_id, tid,
+         lead(tid, 1) OVER w AS t1, lead(tid, 2) OVER w AS t2
+  FROM tidt WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+h AS (
+  SELECT doc_id,
+         CASE WHEN t2 IS NOT NULL
+              THEN ((tid * {FP_BASE} + t1) * {FP_BASE} + t2) % {FP_MOD}
+              ELSE tid END AS h
+  FROM grams
+)
+SELECT doc_id, MIN(h) AS fingerprint FROM h GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------- dedup
+
+def q_exact_dups(spark, sf_dir):
+    return dd.exact_duplicates(_docs(spark, sf_dir))
+
+
+SQL_EXACT_DUPS = """
+SELECT sha256(text) AS content_sha256, COUNT(*) AS dup_count, MIN(doc_id) AS min_doc_id
+FROM documents GROUP BY sha256(text) HAVING COUNT(*) > 1"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_T)
+
+
+SQL_JACCARD_PAIRS = f"""
+WITH {SHINGLES_CTE},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i / (sa.sz + sb.sz - i) >= {JACCARD_T} - 1e-12
+   AND ROUND(i / (sa.sz + sb.sz - i), 6) >= {JACCARD_T}"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=MINHASH_T)
+
+
+def _minhash_sql():
+    params = ", ".join(
+        f"({i}, {MINHASH_A[i]}, {MINHASH_B[i]})" for i in range(NUM_PERM)
+    )
+    return f"""
+WITH {SHINGLES_CTE},
+ids AS (
+  SELECT shingle, dense_rank() OVER (ORDER BY shingle) - 1 AS sid
+  FROM (SELECT DISTINCT shingle FROM sh)
+),
+sidt AS (SELECT doc_id, sid FROM sh JOIN ids USING (shingle)),
+params(i, a, b) AS (SELECT * FROM (VALUES {params})),
+mh AS (
+  SELECT doc_id, i, MIN((a * sid + b) % {MINHASH_PRIME}) AS mh
+  FROM sidt, params GROUP BY doc_id, i
+),
+banded AS (
+  SELECT doc_id, i // {ROWS_PER_BAND} AS band,
+         string_agg(mh::VARCHAR, '-' ORDER BY i) AS sig
+  FROM mh GROUP BY doc_id, i // {ROWS_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y USING (band, sig) WHERE x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= {MINHASH_T}"""
+
+
+SQL_MINHASH_PAIRS = _minhash_sql()
+
+
+def q_simhash(spark, sf_dir):
+    return dd.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+def _simhash_sql():
+    params = ", ".join(
+        f"({b}, {SIMHASH_C[b]}, {SIMHASH_D[b]})" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {TOKID_CTE},
+params(b, c, d) AS (SELECT * FROM (VALUES {params})),
+bits AS (
+  SELECT doc_id, b,
+         SUM(2 * (((c * tid + d) % {MINHASH_PRIME}) % 2) - 1) AS s
+  FROM tidt, params GROUP BY doc_id, b
+)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+FROM bits GROUP BY doc_id"""
+
+
+SQL_SIMHASH = _simhash_sql()
+
+
+# ---------------------------------------------------------------- ANN
+
+def q_ann_topk(spark, sf_dir):
+    return ann.cosine_topk(_emb(spark, sf_dir), k=TOPK)
+
+
+SQL_ANN_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(a.v, b.v) /
+               (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))),
+               6) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM r WHERE rank <= {TOPK}"""
+
+
+def q_cosine_near_pairs(spark, sf_dir):
+    return ann.cosine_near_pairs(_emb(spark, sf_dir), threshold=COS_NEAR_T)
+
+
+SQL_COSINE_NEAR_PAIRS = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.v, b.v) /
+             (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))),
+             6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) /
+            (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))),
+            6) >= {COS_NEAR_T}"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    return ann.lsh_topk(_emb(spark, sf_dir), k=TOPK)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from vite_spark.text.multimodal import docs_as_media, extract_features
+
+    media = docs_as_media(_docs(spark, sf_dir))
+    return extract_features(media, fake=True).select(
+        "media_id", "kind", "n_bytes", "width", "height"
+    )
+
+
+# ---------------------------------------------------------------- registry
+
+def registry() -> dict[str, tuple]:
+    """name → (spark_fn, oracle_sql_or_None)."""
+    return {
+        # graph core
+        "cooccur_edges": (q_cooccur_edges, SQL_COOCCUR_EDGES),
+        "degrees": (q_degrees, SQL_DEGREES),
+        "graph_stats": (q_graph_stats, SQL_GRAPH_STATS),
+        "modularity_singleton": (q_modularity_singleton, SQL_MODULARITY_SINGLETON),
+        "triangles_total": (q_triangles_total, SQL_TRIANGLES_TOTAL),
+        "triangles_by_vertex": (q_triangles_by_vertex, SQL_TRIANGLES_BY_VERTEX),
+        "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
+        "cc_sizes": (q_cc_sizes, SQL_CC_SIZES),
+        "pagerank": (q_pagerank, SQL_PAGERANK),
+        "louvain_assignment": (q_louvain_assignment, None),
+        "louvain_summary": (q_louvain_summary, None),
+        "lpa_labels": (q_lpa_labels, None),
+        # ingestion / derivation
+        "repos_edges": (q_repos_edges, SQL_REPOS_EDGES),
+        "sha256_gate": (q_sha256_gate, SQL_SHA256_GATE),
+        # text analysis
+        "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+        "quality_scores": (q_quality, SQL_QUALITY),
+        "language_id": (q_langid, SQL_LANGID),
+        "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+        # dedup
+        "exact_duplicates": (q_exact_dups, SQL_EXACT_DUPS),
+        "ngram_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+        "minhash_lsh_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
+        "simhash": (q_simhash, SQL_SIMHASH),
+        # similarity search
+        "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
+        "cosine_near_pairs": (q_cosine_near_pairs, SQL_COSINE_NEAR_PAIRS),
+        "ann_lsh_topk": (q_ann_lsh_topk, None),
+        # multimodal plumbing (stubbed decode)
+        "multimodal_features": (q_multimodal_features, None),
+    }

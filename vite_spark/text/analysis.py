@@ -1,0 +1,130 @@
+"""Text analysis operators for the training-data pipeline.
+
+All pure `pyspark.sql.functions` (JVM-side, whole-stage codegen — no Python
+in the hot path): language-ID (lexicon voting), quality scoring, token
+counting (whitespace + BPE-ish sub-word estimate), rolling-hash document
+fingerprinting. Each has an exact DuckDB-SQL twin in
+vite_spark/queries.py generated from the same constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from vite_spark.text.common import (
+    FP_BASE,
+    FP_MOD,
+    LANG_LEXICONS,
+    STOPWORDS,
+)
+
+
+def tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, tok) — whitespace tokenization with positions."""
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_bpe) — whitespace count + BPE-ish sub-word
+    estimate: each word contributes ceil(len/4) pieces (standard ~4
+    chars/token heuristic, computed exactly the same in the SQL oracle)."""
+    toks = F.split(F.col(text_col), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.floor((F.length(t) + 3) / 4).cast("long"),
+        ).alias("n_bpe"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, stopword_ratio, mean_word_len, quality) — a
+    deterministic arithmetic quality score:
+
+        quality = min(n_tokens, 100)/100 * (0.25 + 0.75*stopword_ratio_clamped)
+
+    where stopword_ratio_clamped = min(4*stopword_ratio, 1). All values
+    rounded to 6dp for engine-portable comparison."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    sw = F.array([F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    ratio = n_stop / n
+    mean_len = (F.length(F.col(text_col)) - (n - 1)) / n
+    quality = (
+        F.least(n, F.lit(100)) / 100.0
+        * (0.25 + 0.75 * F.least(ratio * 4.0, F.lit(1.0)))
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(ratio, 6).alias("stopword_ratio"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred, lang_hits) — lexicon-vote language ID.
+
+    Score per language = number of tokens (with multiplicity) found in that
+    language's lexicon; argmax with ties → alphabetically first language;
+    all-zero → 'und'. Pure built-in functions.
+    """
+    toks = F.split(F.col(text_col), " ")
+
+    def _hits(lex):
+        arr = F.array([F.lit(x) for x in lex])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scored = docs.select("doc_id", *[
+        _hits(lex).alias(f"hits_{lang}")
+        for lang, lex in sorted(LANG_LEXICONS.items())
+    ])
+    langs = sorted(LANG_LEXICONS)
+    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when(F.col(f"hits_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return scored.select(
+        "doc_id", pred.alias("lang_pred"), best.cast("long").alias("lang_hits")
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint) — min over 3-gram polynomial rolling hashes of
+    token ids (winnowing-style document fingerprint).
+
+    Token ids are the dense rank of the token string over the corpus
+    vocabulary (deterministic in any engine). Hash of gram (t0,t1,t2) =
+    ((t0*B + t1)*B + t2) mod M with B=31, M=1000003. Docs shorter than 3
+    tokens fall back to min token id.
+    """
+    from vite_spark.kernels.ids import dense_ids
+
+    tk = tokens(docs, text_col)
+    # dense vocabulary ids ordered by token string — scalable dense-rank
+    # (no single-partition window; same values as SQL dense_rank - 1)
+    vocab = dense_ids(tk.select("tok"), "tok", out_col="tid")
+    tid = tk.join(vocab, "tok").select("doc_id", "pos", "tid")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = tid.select(
+        "doc_id",
+        "tid",
+        F.lead("tid", 1).over(w).alias("t1"),
+        F.lead("tid", 2).over(w).alias("t2"),
+    )
+    gram_hash = (
+        (F.col("tid") * FP_BASE + F.col("t1")) * FP_BASE + F.col("t2")
+    ) % FP_MOD
+    h = grams.select(
+        "doc_id",
+        F.when(F.col("t2").isNotNull(), gram_hash).otherwise(F.col("tid")).alias("h"),
+    )
+    return h.groupBy("doc_id").agg(F.min("h").alias("fingerprint"))
