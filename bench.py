@@ -97,7 +97,8 @@ def superstep_throughput(spark, edges, iters: int = 3) -> float:
     from vite_spark.runtime.metrics import MetricsCollector
 
     m = MetricsCollector()
-    cfg = EngineConfig(max_total_iterations=iters)
+    # force the distributed superstep path — this measures cluster scaling
+    cfg = EngineConfig(max_total_iterations=iters, local_phase_max_edges=0)
     louvain_phase(spark, edges, threshold=-1e9, cfg=cfg, metrics=m)
     # threshold=-1e9 forces `iters` full supersteps (never converges early)
     t = m.totals()

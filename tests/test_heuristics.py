@@ -1,0 +1,95 @@
+"""Coloring (C1/C5), early termination (L14/L15), colored Louvain (L16):
+engine ↔ oracle parity and reference invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vite_spark import fixtures as fx
+from vite_spark.algos.coloring import (
+    check_coloring,
+    hash32_np,
+    multi_hash_coloring,
+)
+from vite_spark.algos.louvain import louvain_phase
+from vite_spark.config import EngineConfig
+from vite_spark.oracle.louvain_ref import louvain_oracle_phase
+
+
+def _labels(df, nv, col="comm"):
+    out = np.arange(nv, dtype=np.int64)
+    for r in df.collect():
+        out[r["id"]] = r[col]
+    return out
+
+
+def test_hash32_reference_values():
+    """Jenkins-style mix (coloring.cpp:120-131) sanity: deterministic,
+    uint32, distinct across seeds."""
+    a = hash32_np(np.arange(10), 1012)
+    b = hash32_np(np.arange(10), 1013)
+    assert a.dtype == np.uint32
+    assert not np.array_equal(a, b)
+    assert np.array_equal(a, hash32_np(np.arange(10), 1012))
+
+
+def test_coloring_valid_and_covering(spark):
+    s, d, w, nv, _ = fx.planted_partition()
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+    colors, n_colors = multi_hash_coloring(spark, edges)
+    # validator C5: no adjacent same-colored pair (coloring.cpp:493-639)
+    assert check_coloring(edges, colors) == 0
+    rows = {r["id"]: r["color"] for r in colors.collect()}
+    colored = sum(1 for v in rows.values() if v >= 0)
+    assert colored >= 0.7 * nv  # MAX_COVG target (coloring.hpp:69-71)
+    assert n_colors > 0
+
+
+def test_coloring_deterministic(spark):
+    s, d, w, nv = fx.karate()
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+    c1, _ = multi_hash_coloring(spark, edges)
+    c2, _ = multi_hash_coloring(spark, edges)
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+
+
+@pytest.mark.parametrize("et", [1, 2, 3, 4])
+def test_early_term_engine_matches_oracle(spark, et):
+    s, d, w, nv, _ = fx.planted_partition()
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+    o_labels, o_q, o_iters = louvain_oracle_phase(s, d, w, nv, early_term=et)
+    pres = louvain_phase(
+        spark, edges, threshold=1e-6,
+        cfg=EngineConfig(local_phase_max_edges=0, early_term=et),
+    )
+    assert pres.iters == o_iters
+    assert pres.q == pytest.approx(o_q, abs=1e-6)
+    assert np.array_equal(_labels(pres.assignment, nv), o_labels)
+
+
+def test_colored_engine_matches_oracle(spark):
+    s, d, w, nv, _ = fx.planted_partition()
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+    colors_df, _ = multi_hash_coloring(spark, edges)
+    cp = colors_df.toPandas().sort_values("id")
+    col_arr = np.full(nv, -1, dtype=np.int64)
+    col_arr[cp["id"].to_numpy()] = cp["color"].to_numpy()
+
+    o_labels, o_q, o_iters = louvain_oracle_phase(s, d, w, nv, colors=col_arr)
+    pres = louvain_phase(
+        spark, edges, threshold=1e-6,
+        cfg=EngineConfig(local_phase_max_edges=0), colors=colors_df,
+    )
+    assert pres.iters == o_iters
+    assert pres.q == pytest.approx(o_q, abs=1e-6)
+    assert np.array_equal(_labels(pres.assignment, nv), o_labels)
+
+
+def test_et_preserves_quality_ballpark():
+    """ET is a heuristic: Q must stay in the ballpark of the exact phase."""
+    s, d, w, nv, _ = fx.planted_partition()
+    _, q0, _ = louvain_oracle_phase(s, d, w, nv)
+    for et in (1, 2, 3, 4):
+        _, q, _ = louvain_oracle_phase(s, d, w, nv, early_term=et)
+        assert q >= 0.5 * q0

@@ -37,7 +37,10 @@ def test_phase_parity(spark, name):
     edges = fx.to_spark_edges(spark, (s, d, w, nv))
 
     o_labels, o_q, o_iters = louvain_oracle_phase(s, d, w, nv)
-    pres = louvain_phase(spark, edges, threshold=1e-6)
+    # force the distributed superstep path (the adaptive engine would take
+    # the driver-local CSR kernel at fixture scale, which IS the oracle)
+    pres = louvain_phase(spark, edges, threshold=1e-6,
+                         cfg=EngineConfig(local_phase_max_edges=0))
 
     assert pres.iters == o_iters
     assert pres.q == pytest.approx(o_q, abs=1e-6)
@@ -51,7 +54,7 @@ def test_full_parity(spark, name):
     edges = fx.to_spark_edges(spark, (s, d, w, nv))
 
     oracle = louvain_oracle_full(s, d, w, nv)
-    res = louvain(spark, edges)
+    res = louvain(spark, edges, EngineConfig(local_phase_max_edges=0))
 
     assert res.iters_per_phase == oracle.iters_per_phase
     assert len(res.q_per_phase) == len(oracle.q_per_phase)
@@ -65,7 +68,8 @@ def test_threshold_cycling_parity(spark):
     s, d, w, nv = fx.planted_partition()[:4]
     edges = fx.to_spark_edges(spark, (s, d, w, nv))
     oracle = louvain_oracle_full(s, d, w, nv, threshold_cycling=True)
-    res = louvain(spark, edges, EngineConfig(threshold_cycling=True))
+    res = louvain(spark, edges, EngineConfig(threshold_cycling=True,
+                                             local_phase_max_edges=0))
     assert res.iters_per_phase == oracle.iters_per_phase
     for a, b in zip(res.q_per_phase, oracle.q_per_phase):
         assert a == pytest.approx(b, abs=1e-6)
@@ -77,7 +81,8 @@ def test_one_phase_flag(spark):
     s, d, w, nv = fx.karate()
     edges = fx.to_spark_edges(spark, (s, d, w, nv))
     oracle_labels, oracle_q, oracle_iters = louvain_oracle_phase(s, d, w, nv)
-    res = louvain(spark, edges, EngineConfig(one_phase=True))
+    res = louvain(spark, edges, EngineConfig(one_phase=True,
+                                             local_phase_max_edges=0))
     assert res.levels == 1
     assert res.q_per_phase[0] == pytest.approx(oracle_q, abs=1e-6)
 
@@ -87,7 +92,19 @@ def test_partition_count_independence(spark):
     s, d, w, nv = fx.karate()
     e1 = fx.to_spark_edges(spark, (s, d, w, nv)).repartition(3)
     e2 = fx.to_spark_edges(spark, (s, d, w, nv)).repartition(11)
-    r1 = louvain(spark, e1)
-    r2 = louvain(spark, e2)
+    r1 = louvain(spark, e1, EngineConfig(local_phase_max_edges=0))
+    r2 = louvain(spark, e2, EngineConfig(local_phase_max_edges=0))
     assert np.array_equal(_labels_from_df(r1.labels, nv), _labels_from_df(r2.labels, nv))
     assert r1.q_per_phase == pytest.approx(r2.q_per_phase, abs=1e-12)
+
+
+def test_local_path_equals_distributed(spark):
+    """The adaptive driver-local CSR path and the distributed superstep
+    path produce identical labels and Q."""
+    s, d, w, nv = FIXTURES["sbm"]()
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+    r_local = louvain(spark, edges)  # default: local path at this scale
+    r_dist = louvain(spark, edges, EngineConfig(local_phase_max_edges=0))
+    assert r_local.q_per_phase == pytest.approx(r_dist.q_per_phase, abs=1e-9)
+    assert np.array_equal(_labels_from_df(r_local.labels, nv),
+                          _labels_from_df(r_dist.labels, nv))

@@ -73,54 +73,55 @@ class LouvainResult:
         return self.q_per_phase[-1] if self.q_per_phase else -1.0
 
 
-def _superstep(
+def _counter_tables(
     edges: DataFrame,
     curr: DataFrame,          # (id, comm)
-    comm_info: DataFrame,     # (comm, degree, size)
     vstate: DataFrame,        # (id, vdeg, self_w)
-    const: float,
     nv: int,
     cfg: EngineConfig,
-) -> DataFrame:
-    """One Jacobi sweep. Returns decisions(id, cc, new_comm, e_cc, vdeg)."""
+) -> tuple[DataFrame, DataFrame]:
+    """L4 (louvain.cpp:2419-2466): returns
+    st(src, dcomm, evc, cc, vdeg, self_w) — the per-(vertex, neighbor-comm)
+    counter joined with vertex state — and
+    e_cc(src, cc, vdeg, self_w, e_cc) — counter[0] per vertex (self-loops
+    land in the own-community bucket like any neighbor)."""
     curr_b = _maybe_broadcast(curr, nv, cfg)
-    cinfo_b = _maybe_broadcast(comm_info, nv, cfg)
-
-    # L4: neighbor-community counter. Self-loops contribute to the own-
-    # community bucket exactly like any neighbor (louvain.cpp:2438-2463).
     counter = (
         edges.join(curr_b.select(F.col("id").alias("dst"), F.col("comm").alias("dcomm")), "dst")
         .groupBy("src", "dcomm")
         .agg(F.sum("weight").alias("evc"))
     )
-
-    st = (
-        counter.join(
-            _maybe_broadcast(
-                curr.join(vstate, "id").select(
-                    F.col("id").alias("src"),
-                    F.col("comm").alias("cc"),
-                    "vdeg",
-                    "self_w",
-                ),
-                nv,
-                cfg,
+    st = counter.join(
+        _maybe_broadcast(
+            curr.join(vstate, "id").select(
+                F.col("id").alias("src"), F.col("comm").alias("cc"), "vdeg", "self_w"
             ),
-            "src",
-        )
+            nv,
+            cfg,
+        ),
+        "src",
     )
-
     own = F.col("dcomm") == F.col("cc")
-    # e_cc per vertex == counter[0] (slot always exists, default 0.0)
-    e_cc = (
-        st.groupBy("src", "cc", "vdeg", "self_w")
-        .agg(F.sum(F.when(own, F.col("evc")).otherwise(F.lit(0.0))).alias("e_cc"))
+    e_cc = st.groupBy("src", "cc", "vdeg", "self_w").agg(
+        F.sum(F.when(own, F.col("evc")).otherwise(F.lit(0.0))).alias("e_cc")
     )
+    return st, e_cc
 
-    # L5 candidates: dcomm != cc, join target + current community info
+
+def _argmax_moves(
+    cand_st: DataFrame,       # st rows filtered to dcomm != cc (and any mask)
+    e_cc: DataFrame,
+    comm_info: DataFrame,     # (comm, degree, size)
+    const: float,
+    nv: int,
+    cfg: EngineConfig,
+) -> DataFrame:
+    """L5 (louvain.cpp:2220-2279): gain + lexicographic argmax
+    (max gain, min community id) over gain > 0, then the singleton-swap
+    guard. Returns (src, move_comm)."""
+    cinfo_b = _maybe_broadcast(comm_info, nv, cfg)
     cand = (
-        st.filter(~own)
-        .join(
+        cand_st.join(
             cinfo_b.select(
                 F.col("comm").alias("dcomm"),
                 F.col("degree").alias("ay"),
@@ -136,12 +137,8 @@ def _superstep(
             ),
             "cc",
         )
-        .join(
-            e_cc.select("src", F.col("e_cc").alias("ecc0")),
-            "src",
-        )
+        .join(e_cc.select("src", F.col("e_cc").alias("ecc0")), "src")
     )
-
     gain = (
         2.0 * (F.col("evc") - (F.col("ecc0") - F.col("self_w")))
         - 2.0
@@ -149,10 +146,7 @@ def _superstep(
         * (F.col("ay") - (F.col("cc_deg") - F.col("vdeg")))
         * F.lit(const)
     )
-
-    # lexicographic argmax (max gain, min dcomm) among gain > 0, then the
-    # singleton-swap guard — exactly louvain.cpp:2263-2276
-    best = (
+    return (
         cand.withColumn("gain", gain)
         .filter(F.col("gain") > 0.0)
         .groupBy("src")
@@ -181,17 +175,84 @@ def _superstep(
         )
     )
 
-    decisions = (
-        e_cc.join(best, "src", "left")
-        .select(
-            F.col("src").alias("id"),
-            F.col("cc"),
-            F.coalesce(F.col("move_comm"), F.col("cc")).alias("new_comm"),
-            "e_cc",
-            "vdeg",
-        )
+
+def _superstep(
+    edges: DataFrame,
+    curr: DataFrame,
+    comm_info: DataFrame,
+    vstate: DataFrame,
+    const: float,
+    nv: int,
+    cfg: EngineConfig,
+) -> DataFrame:
+    """One plain Jacobi sweep. Returns decisions(id, cc, new_comm, e_cc, vdeg)."""
+    st, e_cc = _counter_tables(edges, curr, vstate, nv, cfg)
+    best = _argmax_moves(
+        st.filter(F.col("dcomm") != F.col("cc")), e_cc, comm_info, const, nv, cfg
     )
-    return decisions
+    return e_cc.join(best, "src", "left").select(
+        F.col("src").alias("id"),
+        F.col("cc"),
+        F.coalesce(F.col("move_comm"), F.col("cc")).alias("new_comm"),
+        "e_cc",
+        "vdeg",
+    )
+
+
+def _local_phase(
+    spark: SparkSession,
+    edges: DataFrame,
+    threshold: float,
+    lower: float,
+    metrics: MetricsCollector,
+    level: int,
+    early_term: int = 0,
+    colors: DataFrame | None = None,
+) -> PhaseResult:
+    """Driver-local phase on CSR NumPy kernels (the oracle-validated sweep,
+    vite_spark/oracle/louvain_ref.py) for levels whose edge table fits on
+    one node. Identical labels/Q to the distributed path (pytest-proven);
+    arbitrary vertex ids handled by a monotone densify/undensify, which
+    preserves every id-order tie-break."""
+    import time as _t
+
+    import numpy as np
+    import pandas as pd
+
+    from vite_spark.oracle.louvain_ref import louvain_oracle_phase
+
+    t0 = _t.time()
+    pdf = edges.select("src", "dst", "weight").toPandas()
+    s = pdf["src"].to_numpy(dtype=np.int64)
+    d = pdf["dst"].to_numpy(dtype=np.int64)
+    w = pdf["weight"].to_numpy(dtype=np.float64)
+    uniq = np.unique(np.r_[s, d])
+    sd = np.searchsorted(uniq, s)
+    dd = np.searchsorted(uniq, d)
+    nv = len(uniq)
+    col_arr = None
+    if colors is not None:
+        cp = colors.toPandas()
+        col_arr = np.full(nv, -1, dtype=np.int64)
+        pos = np.searchsorted(uniq, cp["id"].to_numpy(dtype=np.int64))
+        col_arr[pos] = cp["color"].to_numpy(dtype=np.int64)
+    trace: list = []
+    labels, q, iters = louvain_oracle_phase(
+        sd, dd, w, nv, threshold=threshold, lower=lower, trace=trace,
+        phase_no=level, early_term=early_term, colors=col_arr,
+    )
+    wall = _t.time() - t0
+    ne = len(s)
+    for (_, it, qq) in trace:
+        metrics.record(
+            kind="superstep", level=level, iter=it, q=qq, moved=-1, active=nv,
+            edges_processed=ne, wall_s=wall / max(len(trace), 1),
+            edges_per_sec=ne * len(trace) / wall if wall > 0 else 0.0,
+            mode="local_csr",
+        )
+    out = pd.DataFrame({"id": uniq, "comm": uniq[labels]})
+    adf = spark.createDataFrame(out, schema="id long, comm long")
+    return PhaseResult(assignment=adf, q=float(q), iters=iters, nv=nv)
 
 
 def louvain_phase(
@@ -203,15 +264,36 @@ def louvain_phase(
     metrics: MetricsCollector | None = None,
     level: int = 0,
     resume_from: tuple | None = None,
+    colors: DataFrame | None = None,
 ) -> PhaseResult:
     """One Louvain phase (reference distLouvainMethod, louvain.cpp:427-592).
 
     ``edges`` must be the canonical symmetrized table for this level.
     Vertices = distinct src of edges (isolated vertices never move; callers
     compose them as identity). Returns pastComm per the reference protocol.
+
+    cfg.early_term 1-4 enables the reference ET heuristics (documented
+    intent, louvain.cpp:7-425); ``colors`` (id, color; -1 allowed) enables
+    the colored Gauss-Seidel-by-color variant (louvain.cpp:593-786).
+
+    Adaptive execution: levels at most cfg.local_phase_max_edges rows run
+    driver-local on the CSR NumPy kernel (identical semantics) unless a
+    checkpoint dir demands the distributed resumable path.
     """
     cfg = cfg or EngineConfig()
     metrics = metrics or MetricsCollector()
+
+    if (
+        cfg.local_phase_max_edges > 0
+        and cfg.checkpoint_dir is None
+        and resume_from is None
+    ):
+        ne_probe = edges.count()
+        if ne_probe <= cfg.local_phase_max_edges:
+            return _local_phase(
+                spark, edges, threshold, lower, metrics, level,
+                early_term=cfg.early_term, colors=colors,
+            )
 
     edges = edges.repartition(
         cfg.shuffle_partitions
@@ -253,13 +335,102 @@ def louvain_phase(
 
     comm_info = comm_aggregates(curr).persist()
 
+    et = cfg.early_term
+    act: DataFrame | None = None  # (id, active, frozen_cw, p)
+    if et:
+        act = vstate.select(
+            "id",
+            F.lit(True).alias("active"),
+            F.lit(0.0).alias("frozen_cw"),
+            F.lit(1.0).alias("p"),
+        ).persist()
+
+    buckets: list | None = None
+    colors_df = None
+    if colors is not None:
+        colors_df = colors.persist()
+        vals = sorted(r["color"] for r in colors_df.select("color").distinct().collect())
+        # uncolored (-1) form the LAST bucket (louvain.cpp:657-658)
+        buckets = [c for c in vals if c >= 0] + ([-1] if -1 in vals else [])
+
     iters = start_iter
     while True:
         t0 = time.time()
         iters += 1
 
-        decisions = _superstep(edges, curr, comm_info, vstate, const, nv, cfg)
-        decisions = decisions.localCheckpoint(eager=True)
+        sweep_edges = edges
+        if et:
+            sweep_edges = edges.join(
+                _maybe_broadcast(
+                    act.filter(F.col("active")).select(F.col("id").alias("src")),
+                    nv, cfg,
+                ),
+                "src",
+                "left_semi",
+            )
+
+        if buckets is None:
+            decisions = _superstep(sweep_edges, curr, comm_info, vstate, const, nv, cfg)
+        else:
+            # colored variant: community aggregates updated between color
+            # buckets; neighbor assignments stay Jacobi (louvain.cpp:684-737)
+            st, e_cc = _counter_tables(sweep_edges, curr, vstate, nv, cfg)
+            st = st.persist()
+            e_cc = e_cc.persist()
+            cand_all = st.filter(F.col("dcomm") != F.col("cc")).join(
+                _maybe_broadcast(
+                    colors_df.select(F.col("id").alias("src"), "color"), nv, cfg
+                ),
+                "src",
+            )
+            assign_next = curr
+            cinfo = comm_info
+            for b in buckets:
+                best_b = _argmax_moves(
+                    cand_all.filter(F.col("color") == b).drop("color"),
+                    e_cc, cinfo, const, nv, cfg,
+                )
+                assign_next = (
+                    assign_next.join(
+                        best_b.select(F.col("src").alias("id"), "move_comm"),
+                        "id", "left",
+                    )
+                    .select(
+                        "id",
+                        F.coalesce("move_comm", F.col("comm")).alias("comm"),
+                    )
+                )
+                cinfo = comm_aggregates(assign_next)
+            decisions = e_cc.join(
+                assign_next.select(F.col("id").alias("src"), F.col("comm").alias("nc")),
+                "src",
+            ).select(
+                F.col("src").alias("id"), F.col("cc"),
+                F.col("nc").alias("new_comm"), "e_cc", "vdeg",
+            )
+
+        if et:
+            # frozen vertices keep their community and contribute their
+            # frozen clusterWeight (louvain.cpp:100-113)
+            decisions = (
+                act.join(decisions, "id", "left")
+                .join(_maybe_broadcast(curr.select("id", F.col("comm").alias("cc0")), nv, cfg), "id")
+                .select(
+                    "id",
+                    F.coalesce("cc", F.col("cc0")).alias("cc"),
+                    F.when(F.col("active"), F.coalesce("new_comm", F.col("cc0")))
+                    .otherwise(F.col("cc0")).alias("new_comm"),
+                    F.when(F.col("active"), F.coalesce("e_cc", F.lit(0.0)))
+                    .otherwise(F.col("frozen_cw")).alias("e_cc"),
+                    "active",
+                )
+            )
+
+        # persist (lazy — the stats agg below materializes it in one job);
+        # eager lineage cuts only every cfg.lineage_cut_every supersteps
+        if iters % cfg.lineage_cut_every == 0:
+            decisions = decisions.localCheckpoint(eager=False)
+        decisions = decisions.persist()
 
         srow = decisions.agg(
             F.sum("e_cc").alias("e_term"),
@@ -274,6 +445,10 @@ def louvain_phase(
         )
         curr_mod = abs(e_term * const - a_term * const * const)
 
+        n_frozen = 0
+        if et:
+            n_frozen = decisions.filter(~F.col("active")).count()
+
         wall = time.time() - t0
         metrics.record(
             kind="superstep",
@@ -282,25 +457,75 @@ def louvain_phase(
             q=curr_mod,
             delta_q=curr_mod - prev_mod,
             moved=moved,
-            active=nv,
+            active=nv - n_frozen,
             edges_processed=ne,
             wall_s=wall,
             edges_per_sec=ne / wall if wall > 0 else 0.0,
         )
 
+        if et in (3, 4) and n_frozen >= 0.9 * nv:
+            comm_info_next.unpersist()
+            break
         if (curr_mod - prev_mod) < threshold:
             comm_info_next.unpersist()
             break
 
         prev_mod = curr_mod if curr_mod > lower else lower
 
-        # rotation past←curr←target (louvain.cpp:565-570)
+        if et:
+            # freeze/decay rules (documented intent; louvain.cpp:173-183,
+            # 380-400) evaluated against (target, curr, past)
+            tri = (
+                act.join(decisions.select("id", F.col("e_cc").alias("cw_now"),
+                                          F.col("new_comm").alias("t")), "id")
+                .join(curr.select("id", F.col("comm").alias("c")), "id")
+                .join(past.select("id", F.col("comm").alias("pa")), "id")
+            )
+            if et in (1, 3) and iters > 2:
+                new_act = tri.select(
+                    "id",
+                    (F.col("active") & ~((F.col("t") == F.col("c")) & (F.col("c") == F.col("pa")))).alias("active"),
+                    F.when(F.col("active"), F.col("cw_now")).otherwise(F.col("frozen_cw")).alias("frozen_cw"),
+                    F.col("p"),
+                )
+            elif et in (2, 4) and iters > 2:
+                from vite_spark.config import ET_ALPHA, P_CUTOFF
+
+                dec = F.col("active") & (F.col("c") == F.col("pa"))
+                newp = F.when(dec, F.col("p") * (1.0 - ET_ALPHA)).otherwise(F.col("p"))
+                new_act = tri.select(
+                    "id",
+                    (F.col("active") & ~(newp <= P_CUTOFF)).alias("active"),
+                    F.when(F.col("active"), F.col("cw_now")).otherwise(F.col("frozen_cw")).alias("frozen_cw"),
+                    newp.alias("p"),
+                )
+            else:
+                new_act = tri.select(
+                    "id", "active",
+                    F.when(F.col("active"), F.col("cw_now")).otherwise(F.col("frozen_cw")).alias("frozen_cw"),
+                    "p",
+                )
+            new_act = new_act.persist()
+            act.unpersist()
+            act = new_act
+
+        # rotation past←curr←target (louvain.cpp:565-570); with ET, frozen
+        # vertices skip rotation (their past stays pinned, louvain.cpp:173-183)
         old_past = past
-        past = curr
-        curr = target.localCheckpoint(eager=True)
+        if et:
+            past = (
+                act.select("id", "active")
+                .join(curr.select("id", F.col("comm").alias("c")), "id")
+                .join(old_past.select("id", F.col("comm").alias("pa")), "id")
+                .select("id", F.when(F.col("active"), F.col("c")).otherwise(F.col("pa")).alias("comm"))
+                .persist()
+            )
+        else:
+            past = curr
+        curr = target.persist()
         comm_info.unpersist()
         comm_info = comm_info_next
-        if old_past is not past:
+        if old_past is not past and old_past is not curr:
             old_past.unpersist()
 
         if cfg.checkpoint_dir and iters % cfg.checkpoint_every == 0:
@@ -319,6 +544,10 @@ def louvain_phase(
     edges.unpersist()
     vstate.unpersist()
     comm_info.unpersist()
+    if act is not None:
+        act.unpersist()
+    if colors_df is not None:
+        colors_df.unpersist()
     return PhaseResult(assignment=past, q=float(prev_mod), iters=iters, nv=nv)
 
 
@@ -342,13 +571,42 @@ def coarsen(edges: DataFrame, assignment: DataFrame, cfg: EngineConfig, nv: int)
     return coarse, ren
 
 
+def resume_phase(
+    spark: SparkSession,
+    edges: DataFrame,
+    threshold: float,
+    cfg: EngineConfig,
+    level: int = 0,
+    metrics: MetricsCollector | None = None,
+) -> PhaseResult:
+    """Continue a phase from its latest complete superstep checkpoint
+    (north_star: 'runs resume mid-level'). Falls back to a fresh phase when
+    no checkpoint exists for this level."""
+    resume_from = None
+    latest = ckpt.latest_complete(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+    if latest is not None and latest[0] == level:
+        assignment, past, state = ckpt.read_superstep(
+            spark, cfg.checkpoint_dir, level, latest[1]
+        )
+        resume_from = (assignment, past, state)
+    return louvain_phase(
+        spark, edges, threshold=threshold, cfg=cfg, metrics=metrics,
+        level=level, resume_from=resume_from,
+    )
+
+
 def louvain(
     spark: SparkSession,
     edges: DataFrame,
     cfg: EngineConfig | None = None,
     metrics: MetricsCollector | None = None,
+    resume: bool = False,
 ) -> LouvainResult:
-    """Full multi-level Louvain (reference main.cpp:242-513 protocol)."""
+    """Full multi-level Louvain (reference main.cpp:242-513 protocol).
+
+    With ``resume=True`` and a checkpoint dir, the run continues from the
+    latest completed level's coarse edges + composed labels, and from the
+    latest superstep within the in-flight level."""
     from vite_spark.config import threshold_for_phase
 
     cfg = cfg or EngineConfig()
@@ -361,12 +619,44 @@ def louvain(
     phase = 0
     short_phase = 0
     tot_iters = 0
+    mid_level_resume = False
+
+    if resume and cfg.checkpoint_dir:
+        st = ckpt.read_phase_state(spark, cfg.checkpoint_dir)
+        if st is not None:
+            comm_all, meta = st
+            res.q_per_phase = meta["q_per_phase"]
+            res.iters_per_phase = meta["iters_per_phase"]
+            prev_phase_mod = meta["prev_phase_mod"]
+            phase = meta["next_phase"]
+            short_phase = meta["short_phase"]
+            tot_iters = meta["tot_iters"]
+            lvl_edges, _ = ckpt.read_level_edges(spark, cfg.checkpoint_dir, phase)
+            if lvl_edges is not None:
+                cur_edges = lvl_edges
+        mid_level_resume = True
 
     while True:
         th = threshold_for_phase(short_phase) if cfg.threshold_cycling else cfg.threshold
-        pres = louvain_phase(
-            spark, cur_edges, threshold=th, lower=-1.0, cfg=cfg, metrics=metrics, level=phase
-        )
+        # coloring only on phase 0, where the graph is largest
+        # (main.cpp:267-269); cfg.vertex_ordering (L17) orders the sweep
+        # without inter-color updates, which in a Jacobi superstep is
+        # semantically the plain path (SURVEY.md L17 note) — treated as such
+        phase_colors = None
+        if cfg.coloring and phase == 0 and not cfg.vertex_ordering:
+            from vite_spark.algos.coloring import multi_hash_coloring
+
+            phase_colors, _ = multi_hash_coloring(spark, cur_edges)
+        if mid_level_resume:
+            pres = resume_phase(
+                spark, cur_edges, threshold=th, cfg=cfg, level=phase, metrics=metrics
+            )
+            mid_level_resume = False
+        else:
+            pres = louvain_phase(
+                spark, cur_edges, threshold=th, lower=-1.0, cfg=cfg, metrics=metrics,
+                level=phase, colors=phase_colors,
+            )
         tot_iters += pres.iters
 
         if (pres.q - prev_phase_mod) > th:
@@ -397,6 +687,18 @@ def louvain(
             if cfg.checkpoint_dir:
                 ckpt.write_level_edges(
                     cfg.checkpoint_dir, phase + 1, cur_edges, {"phase": phase + 1}
+                )
+                ckpt.write_phase_state(
+                    cfg.checkpoint_dir,
+                    comm_all,
+                    {
+                        "q_per_phase": res.q_per_phase,
+                        "iters_per_phase": res.iters_per_phase,
+                        "prev_phase_mod": pres.q,
+                        "next_phase": phase + 1,
+                        "short_phase": short_phase + 1 if short_phase < 12 else 0,
+                        "tot_iters": tot_iters,
+                    },
                 )
         else:
             if cfg.threshold_cycling and not cfg.one_phase and phase < 10:

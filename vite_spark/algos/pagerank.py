@@ -64,6 +64,12 @@ def pagerank(
     ranks = verts.select("id", F.lit(1.0 / n).alias("rank")).persist()
     base = (1.0 - damping) / n
 
+    # vertices without out-edges (never any on a symmetrized table) —
+    # checked once so symmetric graphs skip the per-iteration dangling scan
+    n_dangling = verts.join(
+        out.select(F.col("src").alias("id")), "id", "left_anti"
+    ).count()
+
     def _mb(df, rows):
         return F.broadcast(df) if rows <= cfg.broadcast_max_rows else df
 
@@ -74,13 +80,16 @@ def pagerank(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
         )
-        # dangling mass = 1 - Σ rank(u) over u with out-edges
-        dang_row = (
-            ranks.join(out.select(F.col("src").alias("id")), "id", "left_semi")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-        )
-        dangling = 1.0 - float(dang_row or 0.0)
+        if n_dangling > 0:
+            # dangling mass = 1 - Σ rank(u) over u with out-edges
+            dang_row = (
+                ranks.join(out.select(F.col("src").alias("id")), "id", "left_semi")
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+            )
+            dangling = 1.0 - float(dang_row or 0.0)
+        else:
+            dangling = 0.0
         new_ranks = (
             verts.join(contrib, "id", "left")
             .select(

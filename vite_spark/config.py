@@ -73,5 +73,15 @@ class EngineConfig:
     checkpoint_every: int = 1
     # Use the CSR Arrow-UDF fast path for the local sweep when possible.
     use_csr_kernel: bool = False
+    # Adaptive execution: when a level's edge table has at most this many
+    # rows, run the whole phase driver-local on CSR NumPy kernels (the
+    # oracle-validated sweep) instead of distributed supersteps. Coarse
+    # levels always shrink below this, so deep levels never pay cluster
+    # latency — mirroring how Vite's coarse phases collapse onto few ranks.
+    # Set to 0 to force the distributed path (scaling benchmarks do).
+    local_phase_max_edges: int = 4_000_000
+    # Cut superstep lineage with an eager localCheckpoint every k iters
+    # (persist-only in between).
+    lineage_cut_every: int = 4
 
     extra: dict = field(default_factory=dict)

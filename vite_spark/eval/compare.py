@@ -1,0 +1,90 @@
+"""Community comparison vs ground truth — the reference's verification
+machinery (/root/reference/compare.cpp:58-336) re-expressed as DataFrame
+aggregations.
+
+Pair-counting: over all vertex pairs,
+  TP = same community in both truth and output
+  FN = same in truth, different in output
+  FP = different in truth, same in output
+precision = TP/(TP+FP), recall = TP/(TP+FN), F1 = 2PR/(P+R)
+(compare.cpp:267-272). Computed from the contingency table
+groupBy(truth, out).count() via n·(n−1)/2 sums — no all-pairs join.
+
+Gini coefficient of community sizes (compare.cpp:310-336):
+  G = 2·Σ_i (i+1)·s_i / (n·Σ s_i) − (n+1)/n   over sizes sorted ascending.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def pair_counting_scores(truth: DataFrame, output: DataFrame) -> dict:
+    """truth(id, comm), output(id, comm) → precision/recall/F1/counts."""
+    j = truth.select("id", F.col("comm").alias("t")).join(
+        output.select("id", F.col("comm").alias("o")), "id"
+    )
+    cont = j.groupBy("t", "o").agg(F.count(F.lit(1)).alias("n")).persist()
+
+    def pairs(col):
+        return F.sum(F.col(col) * (F.col(col) - 1) / 2)
+
+    both = cont.agg(pairs("n")).collect()[0][0] or 0.0          # Σ nij C2
+    t_sizes = cont.groupBy("t").agg(F.sum("n").alias("n"))
+    o_sizes = cont.groupBy("o").agg(F.sum("n").alias("n"))
+    same_t = t_sizes.agg(pairs("n")).collect()[0][0] or 0.0     # Σ ai C2
+    same_o = o_sizes.agg(pairs("n")).collect()[0][0] or 0.0     # Σ bj C2
+    cont.unpersist()
+
+    tp = float(both)
+    fn = float(same_t) - tp
+    fp = float(same_o) - tp
+    precision = tp / (tp + fp) if tp + fp > 0 else 0.0
+    recall = tp / (tp + fn) if tp + fn > 0 else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall > 0 else 0.0)
+    return {
+        "tp": tp, "fp": fp, "fn": fn,
+        "precision": precision, "recall": recall, "f1": f1,
+    }
+
+
+def gini_coefficient(assignment: DataFrame) -> float:
+    """Gini of the community-size distribution (compare.cpp:310-336)."""
+    sizes = assignment.groupBy("comm").agg(F.count(F.lit(1)).alias("s"))
+    w = Window.orderBy("s", "comm")
+    ranked = sizes.withColumn("i", F.row_number().over(w))
+    row = ranked.agg(
+        F.sum(F.col("i") * F.col("s")).alias("num"),
+        F.sum("s").alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n, tot = int(row["n"]), float(row["tot"])
+    if n == 0 or tot == 0:
+        return 0.0
+    return 2.0 * float(row["num"]) / (n * tot) - (n + 1.0) / n
+
+
+def load_ground_truth(spark, path: str, one_based: bool = False) -> DataFrame:
+    """S17: LFR `vertex community` lines (louvain.cpp:3405-3436)."""
+    df = (
+        spark.read.text(path)
+        .select(F.split(F.trim("value"), r"\s+").alias("f"))
+        .filter(F.size("f") >= 2)
+        .select(
+            F.col("f").getItem(0).cast("long").alias("id"),
+            F.col("f").getItem(1).cast("long").alias("comm"),
+        )
+    )
+    if one_based:
+        df = df.select((F.col("id") - 1).alias("id"), (F.col("comm") - 1).alias("comm"))
+    return df
+
+
+def write_communities(assignment: DataFrame, path: str) -> None:
+    """S16: one community id per line, line number = vertex id
+    (main.cpp:543-572)."""
+    rows = assignment.orderBy("id").collect()
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(f"{r['comm']}\n")

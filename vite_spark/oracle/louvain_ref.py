@@ -93,11 +93,20 @@ class LouvainOracleResult:
 def _phase_sweep_targets(
     src, dst, w, curr, vdeg, self_w, comm_deg, comm_size, const, nv
 ):
-    """One Jacobi sweep: returns (target, cluster_weight_sum).
+    """One Jacobi sweep: returns (target, cluster_weight_sum)."""
+    t, cw = _phase_sweep_targets_cw(
+        src, dst, w, curr, vdeg, self_w, comm_deg, comm_size, const, nv
+    )
+    return t, float(cw.sum())
+
+
+def _phase_sweep_targets_cw(
+    src, dst, w, curr, vdeg, self_w, comm_deg, comm_size, const, nv
+):
+    """One Jacobi sweep: returns (target, per-vertex clusterWeight e_cc).
 
     Vectorized over the edge table; semantics per the module docstring.
     """
-    cc_src = curr[src]
     c_dst = curr[dst]
 
     # group (src, neighbor community) → e_vc
@@ -114,8 +123,7 @@ def _phase_sweep_targets(
     e_cc = np.zeros(nv)
     own = g_comm == curr[g_src]
     e_cc[g_src[own]] = e_vc[own]
-
-    cluster_weight_sum = e_cc.sum()  # e-term, pre-move (louvain.cpp:2329)
+    # e_cc is the per-vertex clusterWeight (e-term, pre-move, louvain.cpp:2329)
 
     eix = e_cc - self_w                       # louvain.cpp:2234
     ax = comm_deg[curr] - vdeg                # louvain.cpp:2236
@@ -141,7 +149,7 @@ def _phase_sweep_targets(
             & (c_best > curr[v_best])
         )
         target[v_best[keep]] = c_best[keep]
-    return target, cluster_weight_sum
+    return target, e_cc
 
 
 def louvain_oracle_phase(
@@ -153,10 +161,29 @@ def louvain_oracle_phase(
     lower: float = -1.0,
     trace: list | None = None,
     phase_no: int = 0,
+    early_term: int = 0,
+    et_delta: float = 0.5,
+    colors: np.ndarray | None = None,
 ):
     """One Louvain phase (reference distLouvainMethod, louvain.cpp:427-592).
 
     Returns (labels=pastComm, q=prevMod, iters).
+
+    early_term: 0=off; 1/3 = freeze-after-stable (louvain.cpp:7-205
+    documented intent: vertex frozen when target==curr==past after
+    iteration 2; the reference's chained-comparison quirk at :174-175 is
+    intentionally NOT reproduced — SURVEY.md §7.4); 2/4 = probabilistic
+    (louvain.cpp:207-425: p *= 1-δ while curr==past after iteration 2,
+    frozen at p ≤ 0.02). Modes 3/4 additionally abort the phase when ≥90%
+    of vertices are frozen (documented intent of ET_CUTOFF, README:358-364).
+    Frozen vertices keep their community and contribute their last
+    clusterWeight (frozenClusterWeight, louvain.cpp:100-113).
+
+    colors: per-vertex color (−1 allowed) → the colored variant
+    (louvain.cpp:593-786): one outer iteration sweeps color buckets
+    0..maxColor in order with community aggregates updated between buckets
+    (uncolored vertices form the last bucket, louvain.cpp:657-658);
+    assignments stay Jacobi within the outer iteration.
     """
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
@@ -172,25 +199,98 @@ def louvain_oracle_phase(
     comm_deg = vdeg.copy()
     comm_size = np.ones(nv, dtype=np.int64)
 
+    active = np.ones(nv, dtype=bool)
+    frozen_cw = np.zeros(nv)
+    p_active = np.ones(nv)
+
+    if colors is not None:
+        colors = np.asarray(colors, dtype=np.int64)
+        n_buckets = int(colors.max()) + 2  # bucket maxColor+1 = uncolored
+        bucket = np.where(colors < 0, n_buckets - 1, colors)
+        bucket_ids = [np.flatnonzero(bucket == b) for b in range(n_buckets)]
+        bucket_ids = [b for b in bucket_ids if b.size]
+
     prev_mod = lower
     iters = 0
     while True:
         iters += 1
-        target, e_term = _phase_sweep_targets(
-            src, dst, w, curr, vdeg, self_w, comm_deg, comm_size, const, nv
-        )
-        # post-move community aggregates (Jacobi: applied after the sweep)
-        comm_deg = np.bincount(target, weights=vdeg, minlength=nv)
-        comm_size = np.bincount(target, minlength=nv)
+        if colors is None:
+            target, cw = _phase_sweep_targets_masked(
+                src, dst, w, curr, vdeg, self_w, comm_deg, comm_size, const,
+                nv, active,
+            )
+            e_term = float(cw[active].sum() + frozen_cw[~active].sum())
+            frozen_cw[active] = cw[active]
+            comm_deg = np.bincount(target, weights=vdeg, minlength=nv)
+            comm_size = np.bincount(target, minlength=nv)
+        else:
+            target = curr.copy()
+            cd, cs = comm_deg.copy(), comm_size.copy()
+            cw_all = np.zeros(nv)
+            for ids in bucket_ids:
+                mask = np.zeros(nv, dtype=bool)
+                mask[ids] = active[ids]
+                t_b, cw_b = _phase_sweep_targets_masked(
+                    src, dst, w, curr, vdeg, self_w, cd, cs, const, nv, mask
+                )
+                moved = np.flatnonzero(mask & (t_b != curr))
+                target[mask] = t_b[mask]
+                cw_all[mask] = cw_b[mask]
+                if moved.size:
+                    np.add.at(cd, t_b[moved], vdeg[moved])
+                    np.add.at(cs, t_b[moved], 1)
+                    np.subtract.at(cd, curr[moved], vdeg[moved])
+                    np.subtract.at(cs, curr[moved], 1)
+            e_term = float(cw_all[active].sum() + frozen_cw[~active].sum())
+            frozen_cw[active] = cw_all[active]
+            comm_deg, comm_size = cd, cs
+
         curr_mod = abs(e_term * const - (comm_deg**2).sum() * const * const)
         if trace is not None:
             trace.append((phase_no, iters, float(curr_mod)))
+
+        if early_term in (3, 4):
+            if (~active).sum() >= 0.9 * nv:
+                break
         if (curr_mod - prev_mod) < threshold:
             break
         prev_mod = curr_mod if curr_mod > lower else lower
-        past, curr = curr, target
+
+        if early_term in (1, 3) and iters > 2:
+            freeze = active & (target == curr) & (curr == past)
+            active[freeze] = False
+        elif early_term in (2, 4) and iters > 2:
+            dec = active & (curr == past)
+            p_active[dec] *= 1.0 - et_delta
+            active[dec & (p_active <= 0.02)] = False
+
+        rot = active if early_term else slice(None)
+        new_past = curr.copy() if early_term else curr
+        if early_term:
+            new_past = past.copy()
+            new_past[rot] = curr[rot]
+            new_curr = curr.copy()
+            new_curr[rot] = target[rot]
+            past, curr = new_past, new_curr
+        else:
+            past, curr = curr, target
 
     return past.copy(), float(prev_mod), iters
+
+
+def _phase_sweep_targets_masked(
+    src, dst, w, curr, vdeg, self_w, comm_deg, comm_size, const, nv, active
+):
+    """Sweep restricted to `active` vertices (bool mask); inactive keep
+    their community and contribute 0 to the returned per-vertex cw."""
+    target, cw = _phase_sweep_targets_cw(
+        src, dst, w, curr, vdeg, self_w, comm_deg, comm_size, const, nv
+    )
+    out = curr.copy()
+    out[active] = target[active]
+    cw_out = np.zeros(nv)
+    cw_out[active] = cw[active]
+    return out, cw_out
 
 
 def coarsen_oracle(src, dst, w, labels, nv):

@@ -74,6 +74,25 @@ def read_superstep(spark, root, level, iter_):
     return assignment, past, state
 
 
+def write_phase_state(root, comm_all_df, meta: dict):
+    """Composed labels + multi-level loop state after a completed phase."""
+    d = os.path.join(root, "phase_state")
+    comm_all_df.write.mode("overwrite").parquet(os.path.join(d, "comm_all"))
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    open(os.path.join(d, "_PHASE_COMPLETE"), "w").close()
+
+
+def read_phase_state(spark, root):
+    d = os.path.join(root, "phase_state")
+    if not os.path.exists(os.path.join(d, "_PHASE_COMPLETE")):
+        return None
+    with open(os.path.join(d, "meta.json")) as f:
+        meta = json.load(f)
+    comm_all = spark.read.parquet(os.path.join(d, "comm_all"))
+    return comm_all, meta
+
+
 def read_level_edges(spark, root, level):
     d = os.path.join(root, f"level={level}")
     if not os.path.exists(os.path.join(d, "_EDGES_COMPLETE")):

@@ -44,34 +44,63 @@ def with_norms(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def _bcast_matrix(emb: DataFrame, vec_col: str):
+    """Collect+broadcast the index side (ids, matrix, norms) — the standard
+    brute-force pattern: the small index side replicates to every executor,
+    queries stream through Arrow batches (np.matmul per batch, no per-row
+    Python). At 100 TB the index side is an IVF/LSH partition, not the
+    whole corpus — see lsh_topk."""
+    import numpy as np
+
+    pdf = emb.select("vec_id", vec_col).toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    sc = emb.sparkSession.sparkContext
+    return sc.broadcast((ids, mat, nrm))
+
+
 def cosine_topk(
     emb: DataFrame, k: int = 5, vec_col: str = "embedding"
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cos_sim) — exact brute-force top-k.
 
-    Ordering is by (cos rounded 6dp desc, neighbor_id asc) so ranking is
-    engine-portable and deterministic under float noise.
+    Arrow-batched matmul against the broadcast index matrix; ordering by
+    (cos rounded 6dp desc, neighbor_id asc) is engine-portable and
+    deterministic under float noise.
     """
-    e = with_norms(emb, vec_col).persist()
-    a = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("va"),
-                 F.col("nrm").alias("na"))
-    b = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"),
-                 F.col("nrm").alias("nb"))
-    pairs = a.join(F.broadcast(b), a.query_id != b.neighbor_id).select(
-        "query_id",
-        "neighbor_id",
-        F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
-            "cos_sim"
-        ),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
-                "cos_sim")
+    import numpy as np
+
+    b = _bcast_matrix(emb, vec_col)
+
+    def topk_batches(pdf_iter):
+        import pandas as pd
+
+        ids, mat, nrm = b.value
+        order_ids = np.argsort(ids)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            q = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            qn = np.sqrt((q * q).sum(axis=1))
+            sims = np.round((q @ mat.T) / (qn[:, None] * nrm[None, :]), 6)
+            # exclude self
+            self_pos = order_ids[np.searchsorted(ids[order_ids], q_ids)]
+            sims[np.arange(len(q_ids)), self_pos] = -np.inf
+            # top-k by (sim desc, neighbor id asc)
+            ordk = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)[:, :k]
+            rows = {
+                "query_id": np.repeat(q_ids, k),
+                "neighbor_id": ids[ordk].ravel(),
+                "rank": np.tile(np.arange(1, k + 1, dtype=np.int64), len(q_ids)),
+                "cos_sim": np.take_along_axis(sims, ordk, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    return emb.select("vec_id", vec_col).mapInPandas(
+        topk_batches,
+        schema="query_id long, neighbor_id long, rank long, cos_sim double",
     )
 
 
@@ -79,20 +108,33 @@ def cosine_near_pairs(
     emb: DataFrame, threshold: float = 0.95, vec_col: str = "embedding"
 ) -> DataFrame:
     """(vec_a, vec_b, cos_sim) for pairs with cosine ≥ threshold, a < b."""
-    e = with_norms(emb, vec_col).persist()
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-                 F.col("nrm").alias("na"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-                 F.col("nrm").alias("nb"))
-    return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
-            .alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    import numpy as np
+
+    b = _bcast_matrix(emb, vec_col)
+
+    def pair_batches(pdf_iter):
+        import pandas as pd
+
+        ids, mat, nrm = b.value
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            q = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            qn = np.sqrt((q * q).sum(axis=1))
+            sims = np.round((q @ mat.T) / (qn[:, None] * nrm[None, :]), 6)
+            keep = (sims >= threshold) & (q_ids[:, None] < ids[None, :])
+            qi, ni = np.where(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_a": q_ids[qi],
+                    "vec_b": ids[ni],
+                    "cos_sim": sims[qi, ni],
+                }
+            )
+
+    return emb.select("vec_id", vec_col).mapInPandas(
+        pair_batches, schema="vec_a long, vec_b long, cos_sim double"
     )
 
 
