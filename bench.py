@@ -89,7 +89,7 @@ def run_headline(spark, sf_dir: str) -> dict:
     return {"timings": timings, "extra": extra}
 
 
-def superstep_throughput(spark, edges, iters: int = 3) -> float:
+def superstep_throughput(spark, edges, iters: int = 3, csr: bool = True) -> float:
     """edges/sec over `iters` fixed Louvain supersteps (the per-superstep
     throughput metric of BASELINE.md)."""
     from vite_spark.algos.louvain import louvain_phase
@@ -97,8 +97,12 @@ def superstep_throughput(spark, edges, iters: int = 3) -> float:
     from vite_spark.runtime.metrics import MetricsCollector
 
     m = MetricsCollector()
-    # force the distributed superstep path — this measures cluster scaling
-    cfg = EngineConfig(max_total_iterations=iters, local_phase_max_edges=0)
+    # force a distributed superstep path — this measures cluster scaling;
+    # csr=True uses the CSR-broadcast Arrow kernel (the flagship design),
+    # csr=False the shuffle-join path (the very-large-nv fallback)
+    cfg = EngineConfig(
+        max_total_iterations=iters, local_phase_max_edges=0, use_csr_kernel=csr
+    )
     louvain_phase(spark, edges, threshold=-1e9, cfg=cfg, metrics=m)
     # threshold=-1e9 forces `iters` full supersteps (never converges early)
     t = m.totals()

@@ -108,3 +108,19 @@ def test_local_path_equals_distributed(spark):
     assert r_local.q_per_phase == pytest.approx(r_dist.q_per_phase, abs=1e-9)
     assert np.array_equal(_labels_from_df(r_local.labels, nv),
                           _labels_from_df(r_dist.labels, nv))
+
+
+@pytest.mark.parametrize("name", ["karate", "sbm", "self_loops", "weighted_star"])
+def test_csr_kernel_phase_parity(spark, name):
+    """The distributed CSR-broadcast Arrow-UDF path (kernels/csr.py) matches
+    the oracle exactly — the BASELINE.json core-iteration design."""
+    s, d, w, nv = FIXTURES[name]()
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+    o_labels, o_q, o_iters = louvain_oracle_phase(s, d, w, nv)
+    pres = louvain_phase(
+        spark, edges, threshold=1e-6,
+        cfg=EngineConfig(local_phase_max_edges=0, use_csr_kernel=True),
+    )
+    assert pres.iters == o_iters
+    assert pres.q == pytest.approx(o_q, abs=1e-6)
+    assert np.array_equal(_labels_from_df(pres.assignment, nv), o_labels)

@@ -255,6 +255,111 @@ def _local_phase(
     return PhaseResult(assignment=adf, q=float(q), iters=iters, nv=nv)
 
 
+def _csr_phase(
+    spark: SparkSession,
+    edges: DataFrame,
+    threshold: float,
+    lower: float,
+    cfg: EngineConfig,
+    metrics: MetricsCollector,
+    level: int,
+) -> PhaseResult:
+    """Distributed CSR-broadcast phase (BASELINE.json core-iteration design):
+    edges stay partitioned by src and persist across supersteps; the
+    per-vertex/per-community state (nv-sized NumPy arrays) is broadcast each
+    superstep and the whole L4+L5 sweep runs as vectorized gather-scatter in
+    one Arrow pass (kernels/csr.py) — zero shuffles per superstep. The
+    driver applies the (typically sparse) move set and re-derives community
+    aggregates incrementally, mirroring Vite's localCupdate deltas
+    (louvain.cpp:2534-2547). Requires dense ids and nv ≤ broadcast budget."""
+    import numpy as np
+
+    from vite_spark.kernels.csr import csr_superstep
+
+    nparts = cfg.shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    edges = edges.repartition(nparts, "src").persist()
+    deg_rows = (
+        edges.groupBy("src")
+        .agg(
+            F.sum("weight").alias("vdeg"),
+            F.sum(F.when(F.col("src") == F.col("dst"), F.col("weight")).otherwise(0.0)).alias("sw"),
+        )
+        .collect()
+    )
+    ne = edges.count()
+    ids = np.array([r["src"] for r in deg_rows], dtype=np.int64)
+    nv_dense = int(ids.max()) + 1 if len(ids) else 0
+    vdeg = np.zeros(nv_dense)
+    self_w = np.zeros(nv_dense)
+    vdeg[ids] = [r["vdeg"] for r in deg_rows]
+    self_w[ids] = [r["sw"] for r in deg_rows]
+    nv = len(ids)
+    two_m = float(vdeg.sum())
+    const = 1.0 / two_m
+
+    past = np.arange(nv_dense, dtype=np.int64)
+    curr = past.copy()
+    cd = vdeg.copy()
+    cs = np.zeros(nv_dense, dtype=np.int64)
+    cs[ids] = 1
+
+    sc = spark.sparkContext
+    prev_mod = lower
+    iters = 0
+    while True:
+        t0 = time.time()
+        iters += 1
+        bc = sc.broadcast((curr, vdeg, self_w, cd, cs))
+        decisions = csr_superstep(edges, bc, const).persist()
+        srow = decisions.agg(
+            F.sum("e_cc").alias("e"),
+            F.sum(F.when(F.col("new_comm") != F.col("cc"), 1).otherwise(0)).alias("m"),
+        ).collect()[0]
+        e_term = float(srow["e"] or 0.0)
+        moves = decisions.filter(F.col("new_comm") != F.col("cc")).select(
+            "id", "cc", "new_comm"
+        ).collect()
+        decisions.unpersist()
+        bc.unpersist()
+
+        target = curr.copy()
+        if moves:
+            mid = np.array([r["id"] for r in moves], dtype=np.int64)
+            mnew = np.array([r["new_comm"] for r in moves], dtype=np.int64)
+            mold = curr[mid]
+            target[mid] = mnew
+            np.add.at(cd, mnew, vdeg[mid])
+            np.add.at(cs, mnew, 1)
+            np.subtract.at(cd, mold, vdeg[mid])
+            np.subtract.at(cs, mold, 1)
+        curr_mod = abs(e_term * const - (cd**2).sum() * const * const)
+
+        wall = time.time() - t0
+        metrics.record(
+            kind="superstep", level=level, iter=iters, q=curr_mod,
+            delta_q=curr_mod - prev_mod, moved=len(moves), active=nv,
+            edges_processed=ne, wall_s=wall,
+            edges_per_sec=ne / wall if wall > 0 else 0.0, mode="csr_bcast",
+        )
+
+        if (curr_mod - prev_mod) < threshold:
+            break
+        prev_mod = curr_mod if curr_mod > lower else lower
+        past, curr = curr, target
+        if iters >= cfg.max_total_iterations:
+            break
+
+    edges.unpersist()
+    import pandas as pd
+
+    adf = spark.createDataFrame(
+        pd.DataFrame({"id": ids, "comm": past[ids]}), schema="id long, comm long"
+    )
+    return PhaseResult(assignment=adf, q=float(prev_mod), iters=iters, nv=nv)
+
+
 def louvain_phase(
     spark: SparkSession,
     edges: DataFrame,
@@ -294,6 +399,15 @@ def louvain_phase(
                 spark, edges, threshold, lower, metrics, level,
                 early_term=cfg.early_term, colors=colors,
             )
+
+    if (
+        cfg.use_csr_kernel
+        and cfg.early_term == 0
+        and colors is None
+        and cfg.checkpoint_dir is None
+        and resume_from is None
+    ):
+        return _csr_phase(spark, edges, threshold, lower, cfg, metrics, level)
 
     edges = edges.repartition(
         cfg.shuffle_partitions
@@ -505,7 +619,9 @@ def louvain_phase(
                     F.when(F.col("active"), F.col("cw_now")).otherwise(F.col("frozen_cw")).alias("frozen_cw"),
                     "p",
                 )
-            new_act = new_act.persist()
+            # eager truncation: act/past derive from each other across
+            # iterations — without a cut the plan grows superlinearly
+            new_act = new_act.localCheckpoint(eager=True)
             act.unpersist()
             act = new_act
 
@@ -518,11 +634,12 @@ def louvain_phase(
                 .join(curr.select("id", F.col("comm").alias("c")), "id")
                 .join(old_past.select("id", F.col("comm").alias("pa")), "id")
                 .select("id", F.when(F.col("active"), F.col("c")).otherwise(F.col("pa")).alias("comm"))
-                .persist()
+                .localCheckpoint(eager=True)
             )
+            curr = target.localCheckpoint(eager=True)
         else:
             past = curr
-        curr = target.persist()
+            curr = target.persist()
         comm_info.unpersist()
         comm_info = comm_info_next
         if old_past is not past and old_past is not curr:
