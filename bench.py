@@ -77,6 +77,9 @@ def run_headline(spark, sf_dir: str) -> dict:
     extra["louvain_q"] = round(res.final_q, 6)
     extra["louvain_supersteps"] = tot["supersteps"]
     extra["louvain_edges_per_sec"] = round(tot["edges_per_sec"], 1)
+    # reference end-of-run metrics (main.cpp:466,528-529)
+    extra["TEPS"] = round(tot["edges_per_sec"], 1)
+    extra["MODS"] = round(res.final_q * tot["wall_s"], 4)
 
     timed("pagerank10", lambda: q_pagerank(spark, sf_dir).count())
     timed("connected_components", lambda: q_cc_sizes(spark, sf_dir).count())

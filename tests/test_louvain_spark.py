@@ -124,3 +124,21 @@ def test_csr_kernel_phase_parity(spark, name):
     assert pres.iters == o_iters
     assert pres.q == pytest.approx(o_q, abs=1e-6)
     assert np.array_equal(_labels_from_df(pres.assignment, nv), o_labels)
+
+
+def test_explicit_salting_identical_results(spark):
+    """Two-stage salted L4 aggregation (explicit skew split) produces the
+    exact same phase outcome as the direct aggregation."""
+    s, d, w, nv = fx.weighted_star(16)
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+    base = louvain_phase(spark, edges, threshold=1e-6,
+                         cfg=EngineConfig(local_phase_max_edges=0))
+    salted = louvain_phase(
+        spark, edges, threshold=1e-6,
+        cfg=EngineConfig(local_phase_max_edges=0, explicit_salting=True,
+                         skew_salt_parts=4),
+    )
+    assert salted.iters == base.iters
+    assert salted.q == pytest.approx(base.q, abs=1e-12)
+    assert np.array_equal(_labels_from_df(salted.assignment, nv),
+                          _labels_from_df(base.assignment, nv))

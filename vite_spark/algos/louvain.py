@@ -86,11 +86,21 @@ def _counter_tables(
     e_cc(src, cc, vdeg, self_w, e_cc) — counter[0] per vertex (self-loops
     land in the own-community bucket like any neighbor)."""
     curr_b = _maybe_broadcast(curr, nv, cfg)
-    counter = (
-        edges.join(curr_b.select(F.col("id").alias("dst"), F.col("comm").alias("dcomm")), "dst")
-        .groupBy("src", "dcomm")
-        .agg(F.sum("weight").alias("evc"))
+    nbr = edges.join(
+        curr_b.select(F.col("id").alias("dst"), F.col("comm").alias("dcomm")), "dst"
     )
+    if cfg.explicit_salting:
+        # two-stage salted aggregation (explicit skew split — Vite -b
+        # analog): hub vertices' counters build across salt_parts tasks
+        counter = (
+            nbr.withColumn("salt", F.pmod(F.col("dst"), F.lit(cfg.skew_salt_parts)))
+            .groupBy("src", "dcomm", "salt")
+            .agg(F.sum("weight").alias("pw"))
+            .groupBy("src", "dcomm")
+            .agg(F.sum("pw").alias("evc"))
+        )
+    else:
+        counter = nbr.groupBy("src", "dcomm").agg(F.sum("weight").alias("evc"))
     st = counter.join(
         _maybe_broadcast(
             curr.join(vstate, "id").select(
@@ -499,7 +509,7 @@ def louvain_phase(
             )
             assign_next = curr
             cinfo = comm_info
-            for b in buckets:
+            for bi, b in enumerate(buckets):
                 best_b = _argmax_moves(
                     cand_all.filter(F.col("color") == b).drop("color"),
                     e_cc, cinfo, const, nv, cfg,
@@ -514,6 +524,10 @@ def louvain_phase(
                         F.coalesce("move_comm", F.col("comm")).alias("comm"),
                     )
                 )
+                # plans chain across buckets (O(B²) nodes otherwise) —
+                # cut eagerly every few buckets
+                if (bi + 1) % 6 == 0:
+                    assign_next = assign_next.localCheckpoint(eager=True)
                 cinfo = comm_aggregates(assign_next)
             decisions = e_cc.join(
                 assign_next.select(F.col("id").alias("src"), F.col("comm").alias("nc")),

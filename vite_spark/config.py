@@ -64,6 +64,11 @@ class EngineConfig:
     # balancing, distgraph.cpp:72-116).
     skew_degree_threshold: int = 1_000_000
     skew_salt_parts: int = 32
+    # Explicit two-stage salted aggregation for the L4 counter: stage 1
+    # groups by (src, comm, salt(dst)) so a super-hub vertex's counter is
+    # built by skew_salt_parts tasks before the final merge. Identical
+    # results (integer-weight exact); AQE skew handling covers the join.
+    explicit_salting: bool = False
     # Shuffle partitions for superstep joins; None = session default.
     shuffle_partitions: int | None = None
     # Checkpoint directory for per-superstep resumable state (None =
