@@ -57,13 +57,17 @@ def test_coloring_deterministic(spark):
 @pytest.mark.parametrize("et", [1, 2])
 def test_early_term_engine_matches_oracle(spark, et):
     # t3/t4 differ from t1/t2 only by the driver-side ≥90%-frozen abort
-    # (cheap count), covered by the oracle-level test below
+    # (cheap count), covered by the oracle-level test below. Capped at 5
+    # supersteps: enough to exercise freezing (iters > 2) while keeping the
+    # distributed run fast; parity must hold at every prefix anyway.
     s, d, w, nv, _ = fx.planted_partition()
     edges = fx.to_spark_edges(spark, (s, d, w, nv))
-    o_labels, o_q, o_iters = louvain_oracle_phase(s, d, w, nv, early_term=et)
+    o_labels, o_q, o_iters = louvain_oracle_phase(s, d, w, nv, early_term=et,
+                                                  max_iters=5)
     pres = louvain_phase(
         spark, edges, threshold=1e-6,
-        cfg=EngineConfig(local_phase_max_edges=0, early_term=et),
+        cfg=EngineConfig(local_phase_max_edges=0, early_term=et,
+                         max_total_iterations=5),
     )
     assert pres.iters == o_iters
     assert pres.q == pytest.approx(o_q, abs=1e-6)
@@ -71,17 +75,21 @@ def test_early_term_engine_matches_oracle(spark, et):
 
 
 def test_colored_engine_matches_oracle(spark):
-    s, d, w, nv, _ = fx.planted_partition()
+    # karate-scale: the distributed colored path chains ~4 joins per color
+    # bucket per superstep — parity is scale-free, so test it small
+    s, d, w, nv = fx.karate()
     edges = fx.to_spark_edges(spark, (s, d, w, nv))
     colors_df, _ = multi_hash_coloring(spark, edges)
     cp = colors_df.toPandas().sort_values("id")
     col_arr = np.full(nv, -1, dtype=np.int64)
     col_arr[cp["id"].to_numpy()] = cp["color"].to_numpy()
 
-    o_labels, o_q, o_iters = louvain_oracle_phase(s, d, w, nv, colors=col_arr)
+    o_labels, o_q, o_iters = louvain_oracle_phase(s, d, w, nv, colors=col_arr,
+                                                  max_iters=4)
     pres = louvain_phase(
         spark, edges, threshold=1e-6,
-        cfg=EngineConfig(local_phase_max_edges=0), colors=colors_df,
+        cfg=EngineConfig(local_phase_max_edges=0, max_total_iterations=4),
+        colors=colors_df,
     )
     assert pres.iters == o_iters
     assert pres.q == pytest.approx(o_q, abs=1e-6)

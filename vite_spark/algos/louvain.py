@@ -130,6 +130,10 @@ def _argmax_moves(
     (max gain, min community id) over gain > 0, then the singleton-swap
     guard. Returns (src, move_comm)."""
     cinfo_b = _maybe_broadcast(comm_info, nv, cfg)
+    # LEFT join for the target community: in the colored variant a
+    # candidate community may have been emptied by an earlier color bucket
+    # — the reference keeps its (0,0) cinfo slot (louvain.cpp:2534-2547)
+    # and such targets have high gain; an inner join would drop them
     cand = (
         cand_st.join(
             cinfo_b.select(
@@ -138,7 +142,10 @@ def _argmax_moves(
                 F.col("size").alias("tsize"),
             ),
             "dcomm",
+            "left",
         )
+        .withColumn("ay", F.coalesce("ay", F.lit(0.0)))
+        .withColumn("tsize", F.coalesce("tsize", F.lit(0)))
         .join(
             cinfo_b.select(
                 F.col("comm").alias("cc"),
@@ -524,10 +531,10 @@ def louvain_phase(
                         F.coalesce("move_comm", F.col("comm")).alias("comm"),
                     )
                 )
-                # plans chain across buckets (O(B²) nodes otherwise) —
-                # cut eagerly every few buckets
-                if (bi + 1) % 6 == 0:
-                    assign_next = assign_next.localCheckpoint(eager=True)
+                # plans would chain across buckets (O(B²) optimizer work —
+                # measured pathological even at fixture scale): cut eagerly
+                # after every bucket so each bucket sees a flat plan
+                assign_next = assign_next.localCheckpoint(eager=True)
                 cinfo = comm_aggregates(assign_next)
             decisions = e_cc.join(
                 assign_next.select(F.col("id").alias("src"), F.col("comm").alias("nc")),

@@ -164,6 +164,7 @@ def louvain_oracle_phase(
     early_term: int = 0,
     et_delta: float = 0.5,
     colors: np.ndarray | None = None,
+    max_iters: int = 10_000,
 ):
     """One Louvain phase (reference distLouvainMethod, louvain.cpp:427-592).
 
@@ -274,6 +275,9 @@ def louvain_oracle_phase(
             past, curr = new_past, new_curr
         else:
             past, curr = curr, target
+
+        if iters >= max_iters:  # engine cfg.max_total_iterations analog
+            break
 
     return past.copy(), float(prev_mod), iters
 
