@@ -1,0 +1,63 @@
+"""Canonical edge-table invariants (graph.py, FIXTURES.md F2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vite_spark.graph import (
+    GraphFrame,
+    check_symmetry,
+    edges_from_pairs,
+    graph_stats,
+    renumber_contiguous,
+    self_loop_weights,
+    symmetrize,
+    weighted_degrees,
+)
+
+
+def test_symmetrize_and_invariants(spark):
+    e = edges_from_pairs(spark, [(0, 1, 2.0), (1, 2, 1.0), (2, 2, 0.5)])
+    rows = {(r["src"], r["dst"]): r["weight"] for r in e.collect()}
+    # both directions for u≠v, self-loop once
+    assert rows == {(0, 1): 2.0, (1, 0): 2.0, (1, 2): 1.0, (2, 1): 1.0, (2, 2): 0.5}
+    assert check_symmetry(e) == 0
+    s = graph_stats(e)
+    # Σ weighted degree == total weight == 2m (self-loop counted once)
+    deg = {r["id"]: r["vdeg"] for r in weighted_degrees(e).collect()}
+    assert sum(deg.values()) == pytest.approx(s["two_m"])
+    sl = {r["id"]: r["self_w"] for r in self_loop_weights(e).collect()}
+    assert sl == {2: 0.5}
+
+
+def test_duplicate_pairs_combined(spark):
+    e = edges_from_pairs(spark, [(0, 1, 1.0), (0, 1, 2.0)])
+    rows = {(r["src"], r["dst"]): r["weight"] for r in e.collect()}
+    assert rows == {(0, 1): 3.0, (1, 0): 3.0}
+
+
+def test_asymmetry_detected(spark):
+    bad = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 2.0)], "src long, dst long, weight double"
+    )
+    assert check_symmetry(bad) == 2  # weight mismatch both directions
+
+
+def test_renumber_contiguous(spark):
+    e = spark.createDataFrame(
+        [(100, 7, 1.0), (7, 900, 1.0)], "src long, dst long, weight double"
+    )
+    e2, mapping = renumber_contiguous(e)
+    m = {r["orig_id"]: r["id"] for r in mapping.collect()}
+    assert m == {7: 0, 100: 1, 900: 2}
+    rows = {(r["src"], r["dst"]) for r in e2.collect()}
+    assert rows == {(1, 0), (0, 2)}
+
+
+def test_graphframe(spark):
+    e = edges_from_pairs(spark, [(0, 1), (1, 2)])
+    gf = GraphFrame.from_edges(e)
+    assert gf.nv == 3 and gf.two_m == pytest.approx(4.0)
+    assert gf.constant == pytest.approx(0.25)

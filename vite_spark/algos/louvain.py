@@ -561,11 +561,10 @@ def louvain_phase(
                 )
             )
 
-        # persist (lazy — the stats agg below materializes it in one job);
-        # eager lineage cuts only every cfg.lineage_cut_every supersteps
-        if iters % cfg.lineage_cut_every == 0:
-            decisions = decisions.localCheckpoint(eager=False)
-        decisions = decisions.persist()
+        # EAGER lineage cut every superstep: the superstep plan references
+        # `curr` in several branches; without a hard cut the analyzed plan
+        # tree grows exponentially across iterations (measured: OOM+stall).
+        decisions = decisions.localCheckpoint(eager=True)
 
         srow = decisions.agg(
             F.sum("e_cc").alias("e_term"),

@@ -75,6 +75,10 @@ class EngineConfig:
     # localCheckpoint only, not resumable across processes).
     checkpoint_dir: str | None = None
     # Checkpoint every k supersteps (1 = every superstep, per north_star).
+    # Lineage is ALWAYS cut eagerly once per superstep regardless — the
+    # superstep plan references the assignment in several branches, and
+    # analyzed plans don't share subtrees, so uncut plans grow
+    # exponentially across iterations.
     checkpoint_every: int = 1
     # Use the CSR Arrow-UDF fast path for the local sweep when possible.
     use_csr_kernel: bool = False
@@ -85,8 +89,5 @@ class EngineConfig:
     # latency — mirroring how Vite's coarse phases collapse onto few ranks.
     # Set to 0 to force the distributed path (scaling benchmarks do).
     local_phase_max_edges: int = 4_000_000
-    # Cut superstep lineage with an eager localCheckpoint every k iters
-    # (persist-only in between).
-    lineage_cut_every: int = 4
 
     extra: dict = field(default_factory=dict)
