@@ -297,21 +297,23 @@ def _csr_phase(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     edges = edges.repartition(nparts, "src").persist()
-    deg_rows = (
+    deg_pdf = (
         edges.groupBy("src")
         .agg(
             F.sum("weight").alias("vdeg"),
             F.sum(F.when(F.col("src") == F.col("dst"), F.col("weight")).otherwise(0.0)).alias("sw"),
         )
-        .collect()
+        .toPandas()  # Arrow transfer — nv rows
     )
     ne = edges.count()
-    ids = np.array([r["src"] for r in deg_rows], dtype=np.int64)
+    ids = deg_pdf["src"].to_numpy(np.int64)
+    ids_order = np.argsort(ids)
+    ids = ids[ids_order]
     nv_dense = int(ids.max()) + 1 if len(ids) else 0
     vdeg = np.zeros(nv_dense)
     self_w = np.zeros(nv_dense)
-    vdeg[ids] = [r["vdeg"] for r in deg_rows]
-    self_w[ids] = [r["sw"] for r in deg_rows]
+    vdeg[ids] = deg_pdf["vdeg"].to_numpy(np.float64)[ids_order]
+    self_w[ids] = deg_pdf["sw"].to_numpy(np.float64)[ids_order]
     nv = len(ids)
     two_m = float(vdeg.sum())
     const = 1.0 / two_m
@@ -336,15 +338,16 @@ def _csr_phase(
         ).collect()[0]
         e_term = float(srow["e"] or 0.0)
         moves = decisions.filter(F.col("new_comm") != F.col("cc")).select(
-            "id", "cc", "new_comm"
-        ).collect()
+            "id", "new_comm"
+        ).toPandas()  # Arrow transfer — only moved vertices
+        n_moves = len(moves)
         decisions.unpersist()
         bc.unpersist()
 
         target = curr.copy()
-        if moves:
-            mid = np.array([r["id"] for r in moves], dtype=np.int64)
-            mnew = np.array([r["new_comm"] for r in moves], dtype=np.int64)
+        if n_moves:
+            mid = moves["id"].to_numpy(np.int64)
+            mnew = moves["new_comm"].to_numpy(np.int64)
             mold = curr[mid]
             target[mid] = mnew
             np.add.at(cd, mnew, vdeg[mid])
@@ -356,7 +359,7 @@ def _csr_phase(
         wall = time.time() - t0
         metrics.record(
             kind="superstep", level=level, iter=iters, q=curr_mod,
-            delta_q=curr_mod - prev_mod, moved=len(moves), active=nv,
+            delta_q=curr_mod - prev_mod, moved=n_moves, active=nv,
             edges_processed=ne, wall_s=wall,
             edges_per_sec=ne / wall if wall > 0 else 0.0, mode="csr_bcast",
         )

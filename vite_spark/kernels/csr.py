@@ -39,50 +39,62 @@ def sweep_partition_np(
     """Louvain decisions for the vertices whose FULL adjacency is in this
     partition. Returns (ids, cc, new_comm, e_cc) for distinct src."""
     c_dst = curr[dst]
-    # group (src, neighbor community): keys fit in int64 for nv < 2^31
+    # ONE grouping sort of (src, neighbor community) keys; everything after
+    # is O(n) segment arithmetic (reduceat) — no further sorts, no unique,
+    # no searchsorted (those dominated an earlier lexsort-based version)
     nvl = np.int64(len(curr))
     key = src * nvl + c_dst
     order = np.argsort(key, kind="stable")
     ks, ws = key[order], w[order]
     start = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
     e_vc = np.add.reduceat(ws, start)
-    g_src = (ks[start] // nvl).astype(np.int64)
-    g_comm = (ks[start] % nvl).astype(np.int64)
+    gk = ks[start]
+    g_src = (gk // nvl).astype(np.int64)
+    g_comm = (gk % nvl).astype(np.int64)
 
-    ids = np.unique(src)
-    idx_of_gsrc = np.searchsorted(ids, g_src)
+    # vertex segments over the grouped rows (g_src is non-decreasing)
+    new_seg = np.r_[True, g_src[1:] != g_src[:-1]]
+    seg_id = np.cumsum(new_seg) - 1          # per grouped row → vertex index
+    ids = g_src[new_seg]
+    n_seg = len(ids)
 
     cc = curr[ids]
-    e_cc = np.zeros(len(ids))
+    e_cc = np.zeros(n_seg)
     own = g_comm == curr[g_src]
-    e_cc[idx_of_gsrc[own]] = e_vc[own]
+    e_cc[seg_id[own]] = e_vc[own]
 
     eix = e_cc - self_w[ids]
     ax = comm_deg[cc] - vdeg[ids]
 
     cand = ~own
-    cs_idx = idx_of_gsrc[cand]
+    cs_seg = seg_id[cand]
     ccomm = g_comm[cand]
-    cev = e_vc[cand]
     gain = (
-        2.0 * (cev - eix[cs_idx])
-        - 2.0 * vdeg[ids][cs_idx] * (comm_deg[ccomm] - ax[cs_idx]) * const
+        2.0 * (e_vc[cand] - eix[cs_seg])
+        - 2.0 * vdeg[ids][cs_seg] * (comm_deg[ccomm] - ax[cs_seg]) * const
     )
     pos_m = gain > 0.0
-    cs_idx, ccomm, gain = cs_idx[pos_m], ccomm[pos_m], gain[pos_m]
+    cs_seg, ccomm, gain = cs_seg[pos_m], ccomm[pos_m], gain[pos_m]
 
     new_comm = cc.copy()
-    if cs_idx.size:
-        sel = np.lexsort((ccomm, -gain, cs_idx))
-        cs_s, ccomm_s = cs_idx[sel], ccomm[sel]
-        first = np.flatnonzero(np.r_[True, cs_s[1:] != cs_s[:-1]])
-        v_best, c_best = cs_s[first], ccomm_s[first]
+    if cs_seg.size:
+        # cs_seg is still sorted; per-segment lexicographic argmax
+        # (max gain, min comm) via two reduceats
+        bnew = np.r_[True, cs_seg[1:] != cs_seg[:-1]]
+        bounds = np.flatnonzero(bnew)
+        segs = cs_seg[bounds]                          # segments w/ candidates
+        max_g = np.maximum.reduceat(gain, bounds)
+        row_max = np.repeat(max_g, np.diff(np.r_[bounds, len(gain)]))
+        at_max = gain == row_max
+        comm_masked = np.where(at_max, ccomm, np.iinfo(np.int64).max)
+        c_best = np.minimum.reduceat(comm_masked, bounds)
+        # singleton-swap guard (louvain.cpp:2275-2276)
         keep = ~(
             (comm_size[c_best] == 1)
-            & (comm_size[cc[v_best]] == 1)
-            & (c_best > cc[v_best])
+            & (comm_size[cc[segs]] == 1)
+            & (c_best > cc[segs])
         )
-        new_comm[v_best[keep]] = c_best[keep]
+        new_comm[segs[keep]] = c_best[keep]
     return ids, cc, new_comm, e_cc
 
 
