@@ -289,14 +289,17 @@ def _csr_phase(
     driver applies the (typically sparse) move set and re-derives community
     aggregates incrementally, mirroring Vite's localCupdate deltas
     (louvain.cpp:2534-2547). Requires dense ids and nv ≤ broadcast budget."""
+    import shutil
+    import tempfile
+
     import numpy as np
 
-    from vite_spark.kernels.csr import csr_superstep
+    from vite_spark.kernels.csr import csr_superstep_packed, pack_csr_partitions
 
     nparts = cfg.shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    edges = edges.repartition(nparts, "src").persist()
+    edges = edges.repartition(nparts, "src")
     deg_pdf = (
         edges.groupBy("src")
         .agg(
@@ -305,7 +308,11 @@ def _csr_phase(
         )
         .toPandas()  # Arrow transfer — nv rows
     )
-    ne = edges.count()
+    # one-time pack of the partitioned adjacency into worker-local CSR files
+    # (BASELINE.json: CSR-packed adjacency partitions) — after this the edge
+    # table never crosses the JVM/Python boundary again
+    pack_dir = tempfile.mkdtemp(prefix="vite_csr_")
+    ne = pack_csr_partitions(edges, pack_dir, nparts)
     ids = deg_pdf["src"].to_numpy(np.int64)
     ids_order = np.argsort(ids)
     ids = ids[ids_order]
@@ -331,7 +338,7 @@ def _csr_phase(
         t0 = time.time()
         iters += 1
         bc = sc.broadcast((curr, vdeg, self_w, cd, cs))
-        decisions = csr_superstep(edges, bc, const).persist()
+        decisions = csr_superstep_packed(spark, pack_dir, nparts, bc, const).persist()
         srow = decisions.agg(
             F.sum("e_cc").alias("e"),
             F.sum(F.when(F.col("new_comm") != F.col("cc"), 1).otherwise(0)).alias("m"),
@@ -371,7 +378,7 @@ def _csr_phase(
         if iters >= cfg.max_total_iterations:
             break
 
-    edges.unpersist()
+    shutil.rmtree(pack_dir, ignore_errors=True)
     import pandas as pd
 
     adf = spark.createDataFrame(

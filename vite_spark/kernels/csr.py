@@ -106,7 +106,12 @@ def csr_superstep(
     """decisions(id, cc, new_comm, e_cc) via one Arrow pass over edges.
 
     ``edges`` must be partitioned so each src's adjacency is wholly inside
-    one partition (repartition(N, "src") gives exactly that)."""
+    one partition (repartition(N, "src") gives exactly that).
+
+    NOTE: this streams the full edge table JVM→Arrow→Python every
+    superstep (~measured 100 MB/s aggregate in local mode) — use the
+    file-packed variant below for iterative runs; this one remains for
+    one-shot sweeps and as the no-local-disk fallback."""
 
     def run(pdf_iter):
         import pandas as pd
@@ -129,5 +134,90 @@ def csr_superstep(
         )
 
     return edges.mapInPandas(
+        run, schema="id long, cc long, new_comm long, e_cc double"
+    )
+
+
+def pack_csr_partitions(edges: DataFrame, pack_dir: str, nparts: int) -> int:
+    """ONE Arrow pass per phase: pack each src-hash partition's adjacency
+    into raw .npy files under pack_dir (the literal 'CSR-packed adjacency
+    partitions' of BASELINE.json). Supersteps then never re-stream the edge
+    table — tasks mmap their partition's arrays from the OS page cache and
+    only the (small) state travels. This IS Vite's execution model: static
+    local CSR per rank, mutable state exchanged per iteration.
+
+    On a real cluster pack_dir is executor-local scratch (same contract as
+    shuffle files); in local mode it is one directory. Returns row count.
+    """
+    import os
+
+    os.makedirs(pack_dir, exist_ok=True)
+
+    def pack(pdf_iter):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        parts = [p for p in pdf_iter if len(p)]
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+            src = pdf["src"].to_numpy(np.int64)
+            dst = pdf["dst"].to_numpy(np.int64)
+            w = pdf["weight"].to_numpy(np.float64)
+        else:
+            src = np.empty(0, np.int64)
+            dst = np.empty(0, np.int64)
+            w = np.empty(0, np.float64)
+        # pre-sort by (src, dst): the superstep's grouping sort then runs
+        # on almost-sorted keys, and segments are contiguous
+        order = np.lexsort((dst, src))
+        np.save(os.path.join(pack_dir, f"src_{pid}.npy"), src[order])
+        np.save(os.path.join(pack_dir, f"dst_{pid}.npy"), dst[order])
+        np.save(os.path.join(pack_dir, f"w_{pid}.npy"), w[order])
+        import pandas as pd
+
+        yield pd.DataFrame({"pid": [pid], "rows": [len(src)]})
+
+    res = edges.mapInPandas(pack, schema="pid int, rows long").collect()
+    return int(sum(r["rows"] for r in res))
+
+
+def csr_superstep_packed(
+    spark,
+    pack_dir: str,
+    nparts: int,
+    state_bcast,
+    const: float,
+) -> DataFrame:
+    """decisions(id, cc, new_comm, e_cc) from packed partitions: the job
+    maps over partition ids only — zero edge bytes cross the JVM/Python
+    boundary after the one-time pack."""
+    pids = spark.range(nparts).selectExpr("CAST(id AS INT) AS pid").repartition(
+        nparts, "pid"
+    )
+
+    def run(pdf_iter):
+        import os
+
+        import pandas as pd
+
+        curr, vdeg, self_w, cd, cs = state_bcast.value
+        for pdf in pdf_iter:
+            for pid in pdf["pid"]:
+                pid = int(pid)
+                src = np.load(os.path.join(pack_dir, f"src_{pid}.npy"), mmap_mode="r")
+                if len(src) == 0:
+                    continue
+                dst = np.load(os.path.join(pack_dir, f"dst_{pid}.npy"), mmap_mode="r")
+                w = np.load(os.path.join(pack_dir, f"w_{pid}.npy"), mmap_mode="r")
+                ids, cc, new_comm, e_cc = sweep_partition_np(
+                    np.asarray(src), np.asarray(dst), np.asarray(w),
+                    curr, vdeg, self_w, cd, cs, const,
+                )
+                yield pd.DataFrame(
+                    {"id": ids, "cc": cc, "new_comm": new_comm, "e_cc": e_cc}
+                )
+
+    return pids.mapInPandas(
         run, schema="id long, cc long, new_comm long, e_cc double"
     )
