@@ -338,17 +338,13 @@ def _csr_phase(
         t0 = time.time()
         iters += 1
         bc = sc.broadcast((curr, vdeg, self_w, cd, cs))
-        decisions = csr_superstep_packed(spark, pack_dir, nparts, bc, const).persist()
-        srow = decisions.agg(
-            F.sum("e_cc").alias("e"),
-            F.sum(F.when(F.col("new_comm") != F.col("cc"), 1).otherwise(0)).alias("m"),
-        ).collect()[0]
-        e_term = float(srow["e"] or 0.0)
-        moves = decisions.filter(F.col("new_comm") != F.col("cc")).select(
-            "id", "new_comm"
-        ).toPandas()  # Arrow transfer — only moved vertices
-        n_moves = len(moves)
-        decisions.unpersist()
+        # ONE job + ONE Arrow transfer per superstep: move rows + per-
+        # partition (e_term, moved) sentinels
+        out = csr_superstep_packed(spark, pack_dir, nparts, bc, const).toPandas()
+        sent = out["id"].to_numpy(np.int64) == -1
+        e_term = float(out["e_part"].to_numpy(np.float64)[sent].sum())
+        n_moves = int(out["moved"].to_numpy(np.int64)[sent].sum())
+        moves = out[~sent]
         bc.unpersist()
 
         target = curr.copy()

@@ -189,9 +189,15 @@ def csr_superstep_packed(
     state_bcast,
     const: float,
 ) -> DataFrame:
-    """decisions(id, cc, new_comm, e_cc) from packed partitions: the job
-    maps over partition ids only — zero edge bytes cross the JVM/Python
-    boundary after the one-time pack."""
+    """Superstep over packed partitions. The job maps over partition ids
+    only (zero edge bytes cross the JVM/Python boundary after the one-time
+    pack) and returns ONLY what the driver needs: the move rows plus one
+    sentinel row per partition carrying the partial e-term and move count
+    (id = -1). One job, one small Arrow transfer per superstep.
+
+    Output schema: (id, new_comm, e_part, moved); move rows have
+    e_part = 0/moved = 0; sentinels have id = -1, new_comm = 0.
+    """
     pids = spark.range(nparts).selectExpr("CAST(id AS INT) AS pid").repartition(
         nparts, "pid"
     )
@@ -214,10 +220,19 @@ def csr_superstep_packed(
                     np.asarray(src), np.asarray(dst), np.asarray(w),
                     curr, vdeg, self_w, cd, cs, const,
                 )
+                mvd = new_comm != cc
                 yield pd.DataFrame(
-                    {"id": ids, "cc": cc, "new_comm": new_comm, "e_cc": e_cc}
+                    {
+                        "id": np.r_[ids[mvd], np.int64(-1)],
+                        "new_comm": np.r_[new_comm[mvd], np.int64(0)],
+                        "e_part": np.r_[np.zeros(int(mvd.sum())), e_cc.sum()],
+                        "moved": np.r_[
+                            np.zeros(int(mvd.sum()), np.int64),
+                            np.int64(mvd.sum()),
+                        ],
+                    }
                 )
 
     return pids.mapInPandas(
-        run, schema="id long, cc long, new_comm long, e_cc double"
+        run, schema="id long, new_comm long, e_part double, moved long"
     )
