@@ -83,6 +83,36 @@ def test_cc_path_graph(spark):
     assert got[0] == 0 and got[19] == 0 and got[31] == 30
 
 
+def test_cc_twophase_diameter50(spark):
+    """large-star/small-star on a diameter-50 path: identical labels to
+    min-label propagation, in O(log² n) rounds (VERDICT r1 item 4)."""
+    from vite_spark.algos.components import connected_components_twophase
+    from vite_spark.runtime.metrics import MetricsCollector
+
+    pairs = [(i, i + 1) for i in range(50)] + [(60, 61), (61, 62)]
+    s, d, w, nv = fx._sym(pairs, 63)
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+    m = MetricsCollector()
+    got = _vec(
+        connected_components_twophase(spark, edges, metrics=m), nv, "component"
+    ).astype(int)
+    ref = connected_components_ref(s, d, nv)
+    present = sorted(set(s.tolist()) | set(d.tolist()))
+    for v in present:
+        assert got[v] == ref[v]
+    rounds = sum(1 for r in m.rows if r.get("kind") == "cc2_round")
+    assert rounds < 12, f"two-phase took {rounds} rounds on diameter 50"
+
+
+def test_cc_twophase_matches_propagation(spark, karate_df, karate_np):
+    from vite_spark.algos.components import connected_components_twophase
+
+    s, d, w, nv = karate_np
+    a = _vec(connected_components(spark, karate_df), nv, "component")
+    b = _vec(connected_components_twophase(spark, karate_df), nv, "component")
+    assert np.array_equal(a, b)
+
+
 def test_lpa_matches_reference(spark, karate_np, karate_df):
     s, d, w, nv = karate_np
     ref = lpa_ref(s, d, w, nv, max_iter=10)

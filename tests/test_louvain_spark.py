@@ -37,10 +37,13 @@ def test_phase_parity(spark, name):
     edges = fx.to_spark_edges(spark, (s, d, w, nv))
 
     o_labels, o_q, o_iters = louvain_oracle_phase(s, d, w, nv)
-    # force the distributed superstep path (the adaptive engine would take
-    # the driver-local CSR kernel at fixture scale, which IS the oracle)
+    # force the distributed shuffle-JOIN superstep path (the adaptive engine
+    # would take the driver-local kernel at fixture scale, and the default
+    # use_csr_kernel=True would take the packed-CSR path, covered separately
+    # by test_csr_kernel_phase_parity)
     pres = louvain_phase(spark, edges, threshold=1e-6,
-                         cfg=EngineConfig(local_phase_max_edges=0))
+                         cfg=EngineConfig(local_phase_max_edges=0,
+                                          use_csr_kernel=False))
 
     assert pres.iters == o_iters
     assert pres.q == pytest.approx(o_q, abs=1e-6)
@@ -48,13 +51,15 @@ def test_phase_parity(spark, name):
     assert np.array_equal(got, o_labels), f"{name}: {got} != {o_labels}"
 
 
+@pytest.mark.parametrize("csr", [False, True])
 @pytest.mark.parametrize("name", ["karate", "sbm", "two_cliques"])
-def test_full_parity(spark, name):
+def test_full_parity(spark, name, csr):
     s, d, w, nv = FIXTURES[name]()
     edges = fx.to_spark_edges(spark, (s, d, w, nv))
 
     oracle = louvain_oracle_full(s, d, w, nv)
-    res = louvain(spark, edges, EngineConfig(local_phase_max_edges=0))
+    res = louvain(spark, edges, EngineConfig(local_phase_max_edges=0,
+                                             use_csr_kernel=csr))
 
     assert res.iters_per_phase == oracle.iters_per_phase
     assert len(res.q_per_phase) == len(oracle.q_per_phase)
@@ -132,11 +137,12 @@ def test_explicit_salting_identical_results(spark):
     s, d, w, nv = fx.weighted_star(16)
     edges = fx.to_spark_edges(spark, (s, d, w, nv))
     base = louvain_phase(spark, edges, threshold=1e-6,
-                         cfg=EngineConfig(local_phase_max_edges=0))
+                         cfg=EngineConfig(local_phase_max_edges=0,
+                                          use_csr_kernel=False))
     salted = louvain_phase(
         spark, edges, threshold=1e-6,
-        cfg=EngineConfig(local_phase_max_edges=0, explicit_salting=True,
-                         skew_salt_parts=4),
+        cfg=EngineConfig(local_phase_max_edges=0, use_csr_kernel=False,
+                         explicit_salting=True, skew_salt_parts=4),
     )
     assert salted.iters == base.iters
     assert salted.q == pytest.approx(base.q, abs=1e-12)

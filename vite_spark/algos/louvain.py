@@ -280,107 +280,130 @@ def _csr_phase(
     cfg: EngineConfig,
     metrics: MetricsCollector,
     level: int,
-) -> PhaseResult:
-    """Distributed CSR-broadcast phase (BASELINE.json core-iteration design):
-    edges stay partitioned by src and persist across supersteps; the
-    per-vertex/per-community state (nv-sized NumPy arrays) is broadcast each
-    superstep and the whole L4+L5 sweep runs as vectorized gather-scatter in
-    one Arrow pass (kernels/csr.py) — zero shuffles per superstep. The
-    driver applies the (typically sparse) move set and re-derives community
-    aggregates incrementally, mirroring Vite's localCupdate deltas
-    (louvain.cpp:2534-2547). Requires dense ids and nv ≤ broadcast budget."""
+) -> PhaseResult | None:
+    """Distributed packed-CSR phase (BASELINE.json core-iteration design).
+
+    One-time pack: the src-partitioned adjacency lands in per-partition
+    worker-local .npy files; after that ZERO edge bytes cross the
+    JVM/Python boundary. Mutable state (curr/comm_deg/comm_size) lives as a
+    per-worker-process mirror advanced by per-superstep MOVE DELTAS — each
+    broadcast exactly once (O(moved) bytes). The driver holds scalars and
+    delta handles only; it never materializes an nv-sized array (round-2
+    redesign of the former driver-state variant).
+
+    Modularity protocol (exact louvain.cpp:427-592 semantics, assembled one
+    job late): superstep k's sweep reports the pre-move e-term at S_{k-1}
+    AND the per-partition a-term partials Σ cd[owned]² at S_{k-1} — which
+    is the POST-move a-term of superstep k-1. The driver therefore checks
+    superstep k-1's convergence after job k; labels/Q/iters returned are
+    bit-identical to the reference protocol (pytest-enforced), at the cost
+    of one extra (discarded) sweep per phase.
+
+    Preconditions (enforced here; returns None → caller falls back to the
+    shuffle-join superstep):
+    - local master (pack files need one filesystem; on a multi-executor
+      cluster the join path provides the same semantics)
+    - dense-ish ids: max_id+1 ≤ broadcast_max_rows (worker mirrors are
+      O(max_id) arrays)
+    - (max_id+1)² < 2^63 (the sweep kernel's grouping key is src*nv + comm)
+    """
     import shutil
     import tempfile
 
     import numpy as np
 
-    from vite_spark.kernels.csr import csr_superstep_packed, pack_csr_partitions
+    from vite_spark.kernels.csr import (
+        csr_labels_packed,
+        csr_superstep_packed,
+        pack_csr_partitions,
+    )
+
+    if not spark.sparkContext.master.startswith("local"):
+        return None
 
     nparts = cfg.shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    # cheap precheck before paying the pack scan
+    row = edges.agg(F.max("src").alias("ms"), F.max("dst").alias("md")).collect()[0]
+    if row["ms"] is None:
+        return PhaseResult(
+            assignment=spark.createDataFrame([], "id long, comm long"),
+            q=float(lower), iters=0, nv=0,
+        )
+    nv_dense = int(max(row["ms"], row["md"])) + 1
+    if nv_dense > cfg.broadcast_max_rows or nv_dense * nv_dense >= 2**63:
+        return None
+
     edges = edges.repartition(nparts, "src")
-    deg_pdf = (
-        edges.groupBy("src")
-        .agg(
-            F.sum("weight").alias("vdeg"),
-            F.sum(F.when(F.col("src") == F.col("dst"), F.col("weight")).otherwise(0.0)).alias("sw"),
-        )
-        .toPandas()  # Arrow transfer — nv rows
-    )
-    # one-time pack of the partitioned adjacency into worker-local CSR files
-    # (BASELINE.json: CSR-packed adjacency partitions) — after this the edge
-    # table never crosses the JVM/Python boundary again
     pack_dir = tempfile.mkdtemp(prefix="vite_csr_")
-    ne = pack_csr_partitions(edges, pack_dir, nparts)
-    ids = deg_pdf["src"].to_numpy(np.int64)
-    ids_order = np.argsort(ids)
-    ids = ids[ids_order]
-    nv_dense = int(ids.max()) + 1 if len(ids) else 0
-    vdeg = np.zeros(nv_dense)
-    self_w = np.zeros(nv_dense)
-    vdeg[ids] = deg_pdf["vdeg"].to_numpy(np.float64)[ids_order]
-    self_w[ids] = deg_pdf["sw"].to_numpy(np.float64)[ids_order]
-    nv = len(ids)
-    two_m = float(vdeg.sum())
-    const = 1.0 / two_m
+    try:
+        info = pack_csr_partitions(edges, pack_dir, nparts)
+        ne, nv, two_m = info["ne"], info["nv"], info["two_m"]
+        const = 1.0 / two_m
+        sc = spark.sparkContext
 
-    past = np.arange(nv_dense, dtype=np.int64)
-    curr = past.copy()
-    cd = vdeg.copy()
-    cs = np.zeros(nv_dense, dtype=np.int64)
-    cs[ids] = 1
+        deltas: list = []       # deltas[j-1] = Broadcast (mid, mnew) of superstep j
+        e_terms: dict = {}
+        walls: dict = {}
+        moveds: dict = {}
+        prev_mod = lower
+        k = 0
+        labels_at = 0
+        q_final = lower
+        iters_final = 0
+        while True:
+            k += 1
+            t0 = time.time()
+            out = csr_superstep_packed(
+                spark, pack_dir, nparts, nv_dense, const, deltas
+            ).toPandas()
+            walls[k] = time.time() - t0
+            sent = out["id"].to_numpy(np.int64) == -1
+            e_terms[k] = float(out["e_part"].to_numpy(np.float64)[sent].sum())
+            a_prev = float(out["a_part"].to_numpy(np.float64)[sent].sum())
+            moveds[k] = int(out["moved"].to_numpy(np.int64)[sent].sum())
+            moves = out[~sent]
 
-    sc = spark.sparkContext
-    prev_mod = lower
-    iters = 0
-    while True:
-        t0 = time.time()
-        iters += 1
-        bc = sc.broadcast((curr, vdeg, self_w, cd, cs))
-        # ONE job + ONE Arrow transfer per superstep: move rows + per-
-        # partition (e_term, moved) sentinels
-        out = csr_superstep_packed(spark, pack_dir, nparts, bc, const).toPandas()
-        sent = out["id"].to_numpy(np.int64) == -1
-        e_term = float(out["e_part"].to_numpy(np.float64)[sent].sum())
-        n_moves = int(out["moved"].to_numpy(np.int64)[sent].sum())
-        moves = out[~sent]
-        bc.unpersist()
+            if k >= 2:
+                j = k - 1
+                mod_j = abs(e_terms[j] * const - a_prev * const * const)
+                metrics.record(
+                    kind="superstep", level=level, iter=j, q=mod_j,
+                    delta_q=mod_j - prev_mod, moved=moveds[j], active=nv,
+                    edges_processed=ne, wall_s=walls[j],
+                    edges_per_sec=ne / walls[j] if walls[j] > 0 else 0.0,
+                    mode="csr_packed",
+                )
+                if (mod_j - prev_mod) < threshold:
+                    # reference break at iteration j returns pastComm =
+                    # state two supersteps back (identity within the
+                    # first two) and prevMod
+                    labels_at, q_final, iters_final = max(j - 2, 0), prev_mod, j
+                    break
+                prev_mod = mod_j if mod_j > lower else lower
+                if j >= cfg.max_total_iterations:
+                    # reference max-iter break happens AFTER rotation:
+                    # past = S_{j-1}, prevMod = mod_j
+                    labels_at, q_final, iters_final = j - 1, prev_mod, j
+                    break
 
-        target = curr.copy()
-        if n_moves:
-            mid = moves["id"].to_numpy(np.int64)
-            mnew = moves["new_comm"].to_numpy(np.int64)
-            mold = curr[mid]
-            target[mid] = mnew
-            np.add.at(cd, mnew, vdeg[mid])
-            np.add.at(cs, mnew, 1)
-            np.subtract.at(cd, mold, vdeg[mid])
-            np.subtract.at(cs, mold, 1)
-        curr_mod = abs(e_term * const - (cd**2).sum() * const * const)
+            b = sc.broadcast((
+                moves["id"].to_numpy(np.int64),
+                moves["new_comm"].to_numpy(np.int64),
+            ))
+            deltas.append(b)
 
-        wall = time.time() - t0
-        metrics.record(
-            kind="superstep", level=level, iter=iters, q=curr_mod,
-            delta_q=curr_mod - prev_mod, moved=n_moves, active=nv,
-            edges_processed=ne, wall_s=wall,
-            edges_per_sec=ne / wall if wall > 0 else 0.0, mode="csr_bcast",
+        lab = csr_labels_packed(
+            spark, pack_dir, nparts, nv_dense, deltas[:labels_at]
+        ).localCheckpoint(eager=True)
+        for b in deltas:
+            b.unpersist()
+        return PhaseResult(
+            assignment=lab, q=float(q_final), iters=iters_final, nv=nv
         )
-
-        if (curr_mod - prev_mod) < threshold:
-            break
-        prev_mod = curr_mod if curr_mod > lower else lower
-        past, curr = curr, target
-        if iters >= cfg.max_total_iterations:
-            break
-
-    shutil.rmtree(pack_dir, ignore_errors=True)
-    import pandas as pd
-
-    adf = spark.createDataFrame(
-        pd.DataFrame({"id": ids, "comm": past[ids]}), schema="id long, comm long"
-    )
-    return PhaseResult(assignment=adf, q=float(prev_mod), iters=iters, nv=nv)
+    finally:
+        shutil.rmtree(pack_dir, ignore_errors=True)
 
 
 def louvain_phase(
@@ -411,6 +434,14 @@ def louvain_phase(
     cfg = cfg or EngineConfig()
     metrics = metrics or MetricsCollector()
 
+    if resume_from is not None and cfg.early_term:
+        raise ValueError(
+            "resume is not supported with early_term != 0: the superstep "
+            "checkpoint does not carry ET activity state (active, "
+            "frozen_cw, p), so a resumed ET run would diverge from the "
+            "uninterrupted trajectory the parity tests certify"
+        )
+
     if (
         cfg.local_phase_max_edges > 0
         and cfg.checkpoint_dir is None
@@ -430,7 +461,11 @@ def louvain_phase(
         and cfg.checkpoint_dir is None
         and resume_from is None
     ):
-        return _csr_phase(spark, edges, threshold, lower, cfg, metrics, level)
+        res = _csr_phase(spark, edges, threshold, lower, cfg, metrics, level)
+        if res is not None:
+            return res
+        # preconditions failed (non-local master / sparse giant ids) →
+        # the shuffle-join superstep below provides identical semantics
 
     edges = edges.repartition(
         cfg.shuffle_partitions
@@ -506,6 +541,7 @@ def louvain_phase(
                 "left_semi",
             )
 
+        colored_tmp: list = []
         if buckets is None:
             decisions = _superstep(sweep_edges, curr, comm_info, vstate, const, nv, cfg)
         else:
@@ -514,6 +550,7 @@ def louvain_phase(
             st, e_cc = _counter_tables(sweep_edges, curr, vstate, nv, cfg)
             st = st.persist()
             e_cc = e_cc.persist()
+            colored_tmp = [st, e_cc]  # released after the eager decision cut
             cand_all = st.filter(F.col("dcomm") != F.col("cc")).join(
                 _maybe_broadcast(
                     colors_df.select(F.col("id").alias("src"), "color"), nv, cfg
@@ -571,6 +608,8 @@ def louvain_phase(
         # `curr` in several branches; without a hard cut the analyzed plan
         # tree grows exponentially across iterations (measured: OOM+stall).
         decisions = decisions.localCheckpoint(eager=True)
+        for df in colored_tmp:  # colored-path per-iteration caches
+            df.unpersist()
 
         srow = decisions.agg(
             F.sum("e_cc").alias("e_term"),
@@ -721,10 +760,18 @@ def resume_phase(
     cfg: EngineConfig,
     level: int = 0,
     metrics: MetricsCollector | None = None,
+    colors: DataFrame | None = None,
 ) -> PhaseResult:
     """Continue a phase from its latest complete superstep checkpoint
     (north_star: 'runs resume mid-level'). Falls back to a fresh phase when
-    no checkpoint exists for this level."""
+    no checkpoint exists for this level.
+
+    Resume is supported for the plain and colored sweeps (colors must be
+    passed back in — coloring is deterministic, so the caller recomputes
+    the same buckets). Early-termination runs cannot resume: the superstep
+    checkpoint carries (curr, past, scalars) but not the ET activity state
+    (active, frozen_cw, p), so a resumed ET run would diverge from the
+    uninterrupted trajectory — louvain_phase rejects that combination."""
     resume_from = None
     latest = ckpt.latest_complete(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
     if latest is not None and latest[0] == level:
@@ -734,7 +781,7 @@ def resume_phase(
         resume_from = (assignment, past, state)
     return louvain_phase(
         spark, edges, threshold=threshold, cfg=cfg, metrics=metrics,
-        level=level, resume_from=resume_from,
+        level=level, resume_from=resume_from, colors=colors,
     )
 
 
@@ -791,8 +838,11 @@ def louvain(
 
             phase_colors, _ = multi_hash_coloring(spark, cur_edges)
         if mid_level_resume:
+            # coloring is deterministic, so the recomputed phase_colors are
+            # identical to the interrupted run's buckets (ADVICE r1)
             pres = resume_phase(
-                spark, cur_edges, threshold=th, cfg=cfg, level=phase, metrics=metrics
+                spark, cur_edges, threshold=th, cfg=cfg, level=phase,
+                metrics=metrics, colors=phase_colors,
             )
             mid_level_resume = False
         else:

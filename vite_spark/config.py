@@ -80,14 +80,18 @@ class EngineConfig:
     # analyzed plans don't share subtrees, so uncut plans grow
     # exponentially across iterations.
     checkpoint_every: int = 1
-    # Use the CSR Arrow-UDF fast path for the local sweep when possible.
-    use_csr_kernel: bool = False
+    # Use the packed-CSR delta-replay fast path (kernels/csr.py) for
+    # distributed phases when its preconditions hold (local master,
+    # dense-ish ids); falls back to the shuffle-join superstep otherwise.
+    use_csr_kernel: bool = True
     # Adaptive execution: when a level's edge table has at most this many
     # rows, run the whole phase driver-local on CSR NumPy kernels (the
     # oracle-validated sweep) instead of distributed supersteps. Coarse
     # levels always shrink below this, so deep levels never pay cluster
     # latency — mirroring how Vite's coarse phases collapse onto few ranks.
-    # Set to 0 to force the distributed path (scaling benchmarks do).
-    local_phase_max_edges: int = 4_000_000
+    # Kept small (100k rows ≈ a few ms of NumPy) so any real level-0 graph
+    # — including the sf0.1 benchmark graph — runs the DISTRIBUTED path;
+    # set to 0 to force the distributed path everywhere (scaling bench does).
+    local_phase_max_edges: int = 100_000
 
     extra: dict = field(default_factory=dict)

@@ -84,14 +84,13 @@ def repos_to_edges(
     path (or commit) co-occurrence. Returns the symmetrized edge table and
     the repo↔id mapping.
     """
-    from pyspark.sql import Window
+    from vite_spark.kernels.ids import dense_ids
 
     gated = sha256_gate(repos).select("repo", key)
-    repo_ids = (
-        gated.select("repo")
-        .distinct()
-        .withColumn("id", F.row_number().over(Window.orderBy("repo")).cast("long") - 1)
-    )
+    # dense rank ordered by repo name via the range-partitioned kernel —
+    # same mapping as a global ROW_NUMBER() OVER (ORDER BY repo) - 1 (the
+    # DuckDB oracle's formulation) but with no single-partition window
+    repo_ids = dense_ids(gated.select("repo"), "repo", "id")
     keyed = gated.join(repo_ids, "repo").select(F.col("id").alias("entity"), F.col(key))
     edges = cooccurrence_edges(keyed, "entity", key, max_key_freq=max_key_freq)
     return edges, repo_ids

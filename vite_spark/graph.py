@@ -115,11 +115,11 @@ def renumber_contiguous(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
         .union(edges.select(F.col("dst").alias("orig_id")))
         .distinct()
     )
-    from pyspark.sql import Window
+    from vite_spark.kernels.ids import dense_ids
 
-    mapping = ids.withColumn(
-        "id", F.row_number().over(Window.orderBy("orig_id")).cast("long") - 1
-    )
+    # dense rank by id via the range-partitioned kernel (no global
+    # single-partition window — scales to 10^12 distinct ids)
+    mapping = dense_ids(ids, "orig_id", "id")
     e = (
         edges.join(mapping.withColumnRenamed("orig_id", "src"), "src")
         .drop("src")

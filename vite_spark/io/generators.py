@@ -122,14 +122,26 @@ def rgg_coords(nv: int, nprocs: int, seed: int = 1):
 def rgg_edges_np(nv: int, nprocs: int, seed: int = 1):
     """Reference-semantics RGG as numpy COO (src, dst, weight, nv).
 
-    Vectorized all-pairs distance (fixture scale); the distributed Spark
-    variant lives in rgg_edges_spark with identical output."""
+    Vectorized distance check restricted to in-strip plus ADJACENT-strip
+    pairs — the reference only exchanges rank±1 ghost bands
+    (generators/graph500/...rgg: nearest-neighbor exchange), so a pair two
+    strips apart is never connected even if within radius. The radius must
+    not exceed the strip height for that rule to capture all in-radius
+    pairs; both variants assert it (ADVICE r1)."""
     X, Y = rgg_coords(nv, nprocs, seed)
     rn = rgg_radius(nv)
+    assert rn <= 1.0 / nprocs, (
+        f"RGG radius {rn:.4f} exceeds strip height {1.0 / nprocs:.4f}; the "
+        "reference's rank±1 exchange (and this generator) would miss "
+        "in-radius pairs — use fewer strips or more vertices"
+    )
+    n = nv // nprocs
+    strip = np.arange(nv, dtype=np.int64) // n
     dx = X[:, None] - X[None, :]
     dy = Y[:, None] - Y[None, :]
     ed = np.sqrt(dx * dx + dy * dy)
-    iu, ju = np.where(np.triu(ed <= rn, k=1))
+    adj = np.abs(strip[:, None] - strip[None, :]) <= 1
+    iu, ju = np.where(np.triu((ed <= rn) & adj, k=1))
     w = ed[iu, ju]
     src = np.r_[iu, ju].astype(np.int64)
     dst = np.r_[ju, iu].astype(np.int64)
@@ -151,6 +163,10 @@ def rgg_edges_spark(spark, nv: int, nprocs: int, seed: int = 1):
 
     n = nv // nprocs
     rn = rgg_radius(nv)
+    assert rn <= 1.0 / nprocs, (
+        f"RGG radius {rn:.4f} exceeds strip height {1.0 / nprocs:.4f}; the "
+        "rank±1 boundary-band join would miss in-radius pairs (ADVICE r1)"
+    )
 
     coord_schema = StructType(
         [

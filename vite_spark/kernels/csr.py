@@ -1,21 +1,30 @@
 """CSR-packed Arrow-UDF Louvain superstep — the BASELINE.json fast path.
 
-One superstep = one `mapInPandas` pass over the persisted, src-partitioned
-edge table. Per Arrow batch the kernel packs the rows into NumPy arrays and
-does the whole L4+L5 gather-scatter vectorized (np.unique key grouping,
-add.reduceat segment sums, lexsort argmax) against BROADCAST per-vertex /
-per-community state — no shuffle at all inside the superstep, no per-row
-Python anywhere. This is the literal Spark re-expression of Vite's model:
-edges stay put (CSR partitions), the small mutable state travels
-(broadcast ≡ ghost exchange), decisions flow back as a tiny DataFrame.
+One superstep = one job over partition ids. Per task the kernel mmaps its
+partition's pre-packed adjacency (one-time pack, zero edge bytes over Arrow
+per superstep) and sweeps the whole L4+L5 gather-scatter vectorized
+(segment reduceat argmax) — no per-row Python anywhere.
 
-Applicable while the per-vertex state fits in a broadcast
-(cfg.broadcast_max_rows); beyond that the join-based superstep in
-algos/louvain.py takes over (state co-moves via shuffle joins).
+State model (round-2 redesign — no O(nv) driver state, no O(nv) broadcast):
+every python worker process keeps a full mirror of the mutable per-vertex /
+per-community state (curr, comm_deg, comm_size) in a process-level cache
+and advances it by applying per-superstep MOVE DELTAS, each broadcast
+exactly once (O(moved) bytes, not O(nv)). The static arrays (vdeg, self_w,
+presence) are assembled once per worker from the per-partition pack files.
+The driver holds only scalars and the (small) delta broadcast handles — it
+never materializes an nv-sized array. This is the Spark re-expression of
+Vite's model (louvain.cpp:2583-2954): static local CSR per rank, only the
+mutable community state is exchanged per iteration.
 
-The decision semantics are IDENTICAL to the NumPy oracle
-(vite_spark/oracle/louvain_ref.py) — the gain/tie-break/guard code is the
-same algorithm applied per partition; parity is pytest-enforced.
+Cluster contract: the pack files require that every superstep task can read
+the partition files it needs — true in local mode (one filesystem) and on
+any shared-scratch cluster; the caller (algos/louvain.py) gates this path
+on a local master and falls back to the shuffle-join superstep otherwise.
+The delta broadcasts themselves are cluster-correct (torrent broadcast).
+
+Decision semantics are IDENTICAL to the NumPy oracle
+(vite_spark/oracle/louvain_ref.py) — gain/tie-break/guard are the same
+algorithm applied per partition; parity is pytest-enforced.
 """
 
 from __future__ import annotations
@@ -108,10 +117,9 @@ def csr_superstep(
     ``edges`` must be partitioned so each src's adjacency is wholly inside
     one partition (repartition(N, "src") gives exactly that).
 
-    NOTE: this streams the full edge table JVM→Arrow→Python every
-    superstep (~measured 100 MB/s aggregate in local mode) — use the
-    file-packed variant below for iterative runs; this one remains for
-    one-shot sweeps and as the no-local-disk fallback."""
+    One-shot variant (full state broadcast, edges streamed): remains as the
+    no-local-disk fallback and for single-sweep uses; iterative phases use
+    the packed + delta-replay machinery below."""
 
     def run(pdf_iter):
         import pandas as pd
@@ -138,16 +146,18 @@ def csr_superstep(
     )
 
 
-def pack_csr_partitions(edges: DataFrame, pack_dir: str, nparts: int) -> int:
+def pack_csr_partitions(edges: DataFrame, pack_dir: str, nparts: int) -> dict:
     """ONE Arrow pass per phase: pack each src-hash partition's adjacency
     into raw .npy files under pack_dir (the literal 'CSR-packed adjacency
-    partitions' of BASELINE.json). Supersteps then never re-stream the edge
-    table — tasks mmap their partition's arrays from the OS page cache and
-    only the (small) state travels. This IS Vite's execution model: static
-    local CSR per rank, mutable state exchanged per iteration.
+    partitions' of BASELINE.json), together with the partition's OWNED
+    vertex statics: distinct src ids, their weighted degrees and self-loop
+    weights (louvain.cpp:2161-2186 computed per rank). Supersteps then
+    never re-stream the edge table — tasks mmap their partition's arrays
+    from the OS page cache and only move deltas travel.
 
-    On a real cluster pack_dir is executor-local scratch (same contract as
-    shuffle files); in local mode it is one directory. Returns row count.
+    Returns {"ne": rows, "nv": owned vertices, "max_id": max id seen,
+    "two_m": total weight} aggregated from per-partition sentinels — the
+    driver never holds an nv-sized array.
     """
     import os
 
@@ -171,68 +181,216 @@ def pack_csr_partitions(edges: DataFrame, pack_dir: str, nparts: int) -> int:
         # pre-sort by (src, dst): the superstep's grouping sort then runs
         # on almost-sorted keys, and segments are contiguous
         order = np.lexsort((dst, src))
-        np.save(os.path.join(pack_dir, f"src_{pid}.npy"), src[order])
-        np.save(os.path.join(pack_dir, f"dst_{pid}.npy"), dst[order])
-        np.save(os.path.join(pack_dir, f"w_{pid}.npy"), w[order])
+        src, dst, w = src[order], dst[order], w[order]
+        # owned statics: every edge of v lives in v's src partition, so the
+        # per-partition degree sums are exact (no cross-partition merge)
+        if len(src):
+            first = np.r_[True, src[1:] != src[:-1]]
+            starts = np.flatnonzero(first)
+            own = src[starts]
+            vdeg = np.add.reduceat(w, starts)
+            sw = np.zeros_like(vdeg)
+            self_rows = src == dst
+            if self_rows.any():
+                seg_of_row = np.cumsum(first) - 1
+                np.add.at(sw, seg_of_row[self_rows], w[self_rows])
+            max_id = int(max(src.max(), dst.max()))
+        else:
+            own = np.empty(0, np.int64)
+            vdeg = np.empty(0, np.float64)
+            sw = np.empty(0, np.float64)
+            max_id = -1
+        for name, arr in (("src", src), ("dst", dst), ("w", w),
+                          ("own", own), ("vdeg", vdeg), ("selfw", sw)):
+            _atomic_save(os.path.join(pack_dir, f"{name}_{pid}.npy"), arr)
         import pandas as pd
 
-        yield pd.DataFrame({"pid": [pid], "rows": [len(src)]})
+        yield pd.DataFrame({
+            "pid": [pid], "rows": [len(src)], "nown": [len(own)],
+            "max_id": [max_id], "sum_w": [float(w.sum())],
+        })
 
-    res = edges.mapInPandas(pack, schema="pid int, rows long").collect()
-    return int(sum(r["rows"] for r in res))
+    res = edges.mapInPandas(
+        pack, schema="pid int, rows long, nown long, max_id long, sum_w double"
+    ).collect()
+    return {
+        "ne": int(sum(r["rows"] for r in res)),
+        "nv": int(sum(r["nown"] for r in res)),
+        "max_id": max((r["max_id"] for r in res), default=-1),
+        "two_m": float(sum(r["sum_w"] for r in res)),
+    }
+
+
+def _atomic_save(path: str, arr: np.ndarray) -> None:
+    """np.save via tmp+rename: task retries / speculative duplicates write
+    the same deterministic bytes, and readers never see a torn file."""
+    import os
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:   # handle, not path: np.save(path) appends .npy
+        np.save(f, arr)
+    os.replace(tmp, path)
+
+
+# Per-worker-process state cache: pack_dir → mutable replayed state. Python
+# workers are reused across jobs (spark.python.worker.reuse), so in steady
+# state each superstep applies only the newest delta. At most ONE phase's
+# state is kept per worker (older pack_dirs evicted on first touch of a new
+# one).
+_WORKER_STATE: dict = {}
+
+
+def _assemble_static(pack_dir: str, nparts: int, nv_dense: int):
+    """Full static arrays from the per-partition pack files (once per
+    worker process per phase; reads ride the shared OS page cache)."""
+    import os
+
+    vdeg = np.zeros(nv_dense)
+    self_w = np.zeros(nv_dense)
+    present = np.zeros(nv_dense, dtype=bool)
+    for p in range(nparts):
+        own = np.load(os.path.join(pack_dir, f"own_{p}.npy"))
+        if len(own) == 0:
+            continue
+        vdeg[own] = np.load(os.path.join(pack_dir, f"vdeg_{p}.npy"))
+        self_w[own] = np.load(os.path.join(pack_dir, f"selfw_{p}.npy"))
+        present[own] = True
+    return vdeg, self_w, present
+
+
+def _replayed_state(pack_dir: str, nparts: int, nv_dense: int, deltas,
+                    cache: bool = True) -> dict:
+    """State after applying deltas[0..len-1] to the singleton init
+    (louvain.cpp:2564-2581). With cache=True the worker's persistent mirror
+    is advanced incrementally (typically by exactly one delta); cache=False
+    replays fresh (used by the label job, which may need an EARLIER state
+    than the cached one)."""
+    st = _WORKER_STATE.get(pack_dir) if cache else None
+    if st is None or st["applied"] > len(deltas):
+        vdeg, self_w, present = _assemble_static(pack_dir, nparts, nv_dense)
+        st = {
+            "applied": 0,
+            "curr": np.arange(nv_dense, dtype=np.int64),
+            "cd": vdeg.copy(),
+            "cs": present.astype(np.int64),
+            "vdeg": vdeg,
+            "self_w": self_w,
+        }
+        if cache:
+            _WORKER_STATE.clear()   # at most one phase's mirror per worker
+            _WORKER_STATE[pack_dir] = st
+    for j in range(st["applied"], len(deltas)):
+        mid, mnew = deltas[j].value
+        mold = st["curr"][mid]
+        st["curr"][mid] = mnew
+        np.add.at(st["cd"], mnew, st["vdeg"][mid])
+        np.add.at(st["cs"], mnew, 1)
+        np.subtract.at(st["cd"], mold, st["vdeg"][mid])
+        np.subtract.at(st["cs"], mold, 1)
+        st["applied"] = j + 1
+    return st
+
+
+def _pid_frame(spark, nparts: int):
+    # range with numPartitions=nparts → one pid per partition, NO shuffle
+    from pyspark.sql import functions as F
+
+    return spark.range(0, nparts, 1, nparts).select(
+        F.col("id").cast("int").alias("pid")
+    )
 
 
 def csr_superstep_packed(
     spark,
     pack_dir: str,
     nparts: int,
-    state_bcast,
+    nv_dense: int,
     const: float,
+    deltas: list,
 ) -> DataFrame:
-    """Superstep over packed partitions. The job maps over partition ids
-    only (zero edge bytes cross the JVM/Python boundary after the one-time
-    pack) and returns ONLY what the driver needs: the move rows plus one
-    sentinel row per partition carrying the partial e-term and move count
-    (id = -1). One job, one small Arrow transfer per superstep.
+    """Superstep over packed partitions with delta-replayed worker state.
 
-    Output schema: (id, new_comm, e_part, moved); move rows have
-    e_part = 0/moved = 0; sentinels have id = -1, new_comm = 0.
+    The job maps over partition ids only; each task advances its worker's
+    state mirror to S_{k-1} (k-1 = len(deltas)), reports this partition's
+    a-term partial Σ cd[owned]² at S_{k-1} (= the POST-move a-term of
+    superstep k-1 — modularity is therefore assembled one job later by the
+    driver, louvain.cpp:2468-2532), sweeps, and returns the move rows plus
+    one sentinel row (id = -1) with (e_part, a_part, moved).
+
+    Output schema: (id, new_comm, e_part, a_part, moved).
     """
-    pids = spark.range(nparts).selectExpr("CAST(id AS INT) AS pid").repartition(
-        nparts, "pid"
-    )
 
     def run(pdf_iter):
         import os
 
         import pandas as pd
 
-        curr, vdeg, self_w, cd, cs = state_bcast.value
         for pdf in pdf_iter:
             for pid in pdf["pid"]:
                 pid = int(pid)
-                src = np.load(os.path.join(pack_dir, f"src_{pid}.npy"), mmap_mode="r")
+                st = _replayed_state(pack_dir, nparts, nv_dense, deltas)
+                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"))
+                a_part = float((st["cd"][own] ** 2).sum())
+                src = np.load(os.path.join(pack_dir, f"src_{pid}.npy"),
+                              mmap_mode="r")
                 if len(src) == 0:
+                    yield pd.DataFrame({
+                        "id": [np.int64(-1)], "new_comm": [np.int64(0)],
+                        "e_part": [0.0], "a_part": [a_part],
+                        "moved": [np.int64(0)],
+                    })
                     continue
-                dst = np.load(os.path.join(pack_dir, f"dst_{pid}.npy"), mmap_mode="r")
-                w = np.load(os.path.join(pack_dir, f"w_{pid}.npy"), mmap_mode="r")
+                dst = np.load(os.path.join(pack_dir, f"dst_{pid}.npy"),
+                              mmap_mode="r")
+                w = np.load(os.path.join(pack_dir, f"w_{pid}.npy"),
+                            mmap_mode="r")
                 ids, cc, new_comm, e_cc = sweep_partition_np(
                     np.asarray(src), np.asarray(dst), np.asarray(w),
-                    curr, vdeg, self_w, cd, cs, const,
+                    st["curr"], st["vdeg"], st["self_w"], st["cd"], st["cs"],
+                    const,
                 )
                 mvd = new_comm != cc
-                yield pd.DataFrame(
-                    {
-                        "id": np.r_[ids[mvd], np.int64(-1)],
-                        "new_comm": np.r_[new_comm[mvd], np.int64(0)],
-                        "e_part": np.r_[np.zeros(int(mvd.sum())), e_cc.sum()],
-                        "moved": np.r_[
-                            np.zeros(int(mvd.sum()), np.int64),
-                            np.int64(mvd.sum()),
-                        ],
-                    }
-                )
+                nm = int(mvd.sum())
+                yield pd.DataFrame({
+                    "id": np.r_[ids[mvd], np.int64(-1)],
+                    "new_comm": np.r_[new_comm[mvd], np.int64(0)],
+                    "e_part": np.r_[np.zeros(nm), e_cc.sum()],
+                    "a_part": np.r_[np.zeros(nm), a_part],
+                    "moved": np.r_[np.zeros(nm, np.int64), np.int64(nm)],
+                })
 
-    return pids.mapInPandas(
-        run, schema="id long, new_comm long, e_part double, moved long"
+    return _pid_frame(spark, nparts).mapInPandas(
+        run,
+        schema="id long, new_comm long, e_part double, a_part double, moved long",
+    )
+
+
+def csr_labels_packed(
+    spark, pack_dir: str, nparts: int, nv_dense: int, deltas: list
+) -> DataFrame:
+    """(id, comm) for every present vertex at the state after applying
+    ``deltas`` — each task emits labels for its OWNED vertices only, so the
+    assignment is produced fully distributed (the driver never holds it).
+    Replays fresh (cache bypassed): the requested state is usually EARLIER
+    than the worker mirrors (the phase protocol returns pastComm)."""
+
+    def run(pdf_iter):
+        import os
+
+        import pandas as pd
+
+        st = None
+        for pdf in pdf_iter:
+            for pid in pdf["pid"]:
+                pid = int(pid)
+                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"))
+                if len(own) == 0:
+                    continue
+                if st is None:  # one replay per task, shared across its pids
+                    st = _replayed_state(pack_dir, nparts, nv_dense, deltas,
+                                         cache=False)
+                yield pd.DataFrame({"id": own, "comm": st["curr"][own]})
+
+    return _pid_frame(spark, nparts).mapInPandas(
+        run, schema="id long, comm long"
     )

@@ -59,6 +59,10 @@ def dense_ids(df: DataFrame, col: str, out_col: str = "new_id", num_parts: int |
             pdf[out_col] = np.arange(base, base + len(pdf), dtype=np.int64)
             yield pdf
 
-        return vals.mapInPandas(rank_partition, schema=out_schema)
+        # eager cut so the cached `vals` can be released before returning
+        # (it was a measured cache leak when left to context GC)
+        return vals.mapInPandas(rank_partition, schema=out_schema).localCheckpoint(
+            eager=True
+        )
     finally:
-        pass  # caller's action materializes; vals unpersists with context GC
+        vals.unpersist()

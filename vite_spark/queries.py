@@ -213,52 +213,45 @@ SELECT v.id, COALESCE(c.triangles, 0) AS triangles
 FROM (SELECT DISTINCT src AS id FROM edges) v LEFT JOIN cnt c USING (id)"""
 
 
-CC_ITERS = 12
-
-
 def q_connected_components(spark, sf_dir):
-    from vite_spark.algos.components import connected_components
+    """True component labeling to FIXPOINT (no iteration cap — the r1 cap
+    of 12 was only an oracle-alignment device): large-star/small-star
+    converges in O(log² n) rounds on any diameter."""
+    from vite_spark.algos.components import connected_components_twophase
 
     e = lineitem_part_edges(spark, sf_dir)
-    return connected_components(spark, e, max_iter=CC_ITERS).select(
-        "id", "component"
-    )
+    return connected_components_twophase(spark, e).select("id", "component")
 
 
+# fixpoint oracle: recursive-UNION reachability closure (terminates when no
+# new (id, reachable-label) rows appear), then MIN per id == the converged
+# min-vertex-id component labeling — no iteration cap on either engine
 SQL_CONNECTED_COMPONENTS = f"""WITH RECURSIVE {EDGES_CTE},
-eplus AS (
-  SELECT src, dst FROM edges
-  UNION ALL
-  SELECT DISTINCT src, src AS dst FROM edges
-),
 cc AS (
-  SELECT 0 AS it, src AS id, src AS component FROM (SELECT DISTINCT src FROM edges)
-  UNION ALL
-  SELECT c.it + 1 AS it, e.src AS id, MIN(c.component) AS component
-  FROM cc c JOIN eplus e ON e.dst = c.id
-  WHERE c.it < {CC_ITERS}
-  GROUP BY c.it + 1, e.src
+  SELECT src AS id, src AS component FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.src AS id, c.component
+  FROM cc c JOIN edges e ON e.dst = c.id
 )
-SELECT id, component FROM cc WHERE it = {CC_ITERS}"""
+SELECT id, MIN(component) AS component FROM cc GROUP BY id"""
 
 
 def q_cc_sizes(spark, sf_dir):
-    from vite_spark.algos.components import connected_components
+    from vite_spark.algos.components import connected_components_twophase
 
     e = lineitem_part_edges(spark, sf_dir)
     return (
-        connected_components(spark, e, max_iter=CC_ITERS)
+        connected_components_twophase(spark, e)
         .groupBy("component")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
 
 
-SQL_CC_SIZES = (
-    SQL_CONNECTED_COMPONENTS.replace(
-        "SELECT id, component FROM cc WHERE it = %d" % CC_ITERS,
-        "SELECT component, COUNT(*) AS n FROM cc WHERE it = %d GROUP BY component"
-        % CC_ITERS,
-    )
+SQL_CC_SIZES = SQL_CONNECTED_COMPONENTS.replace(
+    "SELECT id, MIN(component) AS component FROM cc GROUP BY id",
+    "SELECT component, COUNT(*) AS n FROM "
+    "(SELECT id, MIN(component) AS component FROM cc GROUP BY id) "
+    "GROUP BY component",
 )
 
 PR_ITERS = 10
@@ -370,8 +363,8 @@ def q_token_counts(spark, sf_dir):
 SQL_TOKEN_COUNTS = """
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
-       list_sum(list_transform(string_split(text, ' '),
-                x -> (length(x) + 3) // 4)) AS n_bpe
+       CAST(list_sum(list_transform(string_split(text, ' '),
+                x -> (length(x) + 3) // 4)) AS BIGINT) AS n_bpe
 FROM documents"""
 
 
@@ -531,7 +524,8 @@ bits AS (
   FROM tidt, params GROUP BY doc_id, b
 )
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)
+            AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id"""
 
 
