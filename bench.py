@@ -194,28 +194,40 @@ def run_scaling(n_low: int, sf_dir: str) -> dict:
     # task slots but NOT the Arrow python workers — without taskset the
     # "8-core" run borrows the other 24 cores and the comparison is
     # meaningless. taskset -c 0..N-1 makes each run a true N-core machine.
+    #
+    # INTERLEAVED repeats (low, high, low, high, ...) with per-level
+    # medians: this host's background noise comes in multi-minute windows
+    # (measured swings of 2-4x on identical runs); alternating the two
+    # levels samples the same noise environment for both, and the median
+    # rejects a single bad window. Sequential single-shot runs produced
+    # r1's irreproducible 0.13-1.15 efficiency spread.
+    import statistics
     import subprocess
     import sys as _sys
 
-    results = {}
-    for cores in (n_low, n_high):
-        out = subprocess.run(
-            ["taskset", "-c", f"0-{cores - 1}", _sys.executable, __file__,
-             "--scaling-worker", str(cores), "--scaling-nparts",
-             str(4 * n_high)],
-            capture_output=True, text=True, timeout=3000,
-            env={**_os.environ, "SPARK_DRIVER_MEMORY": "48g"},
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
-    t_low = results[n_low]["edges_per_sec"]
-    t_high = results[n_high]["edges_per_sec"]
+    reps = int(_os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    eps: dict[int, list] = {n_low: [], n_high: []}
+    for _ in range(reps):
+        for cores in (n_low, n_high):
+            out = subprocess.run(
+                ["taskset", "-c", f"0-{cores - 1}", _sys.executable, __file__,
+                 "--scaling-worker", str(cores), "--scaling-nparts",
+                 str(4 * n_high)],
+                capture_output=True, text=True, timeout=3000,
+                env={**_os.environ, "SPARK_DRIVER_MEMORY": "48g"},
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            eps[cores].append(json.loads(line)["edges_per_sec"])
+    t_low = statistics.median(eps[n_low])
+    t_high = statistics.median(eps[n_high])
     eff = (t_high / t_low) / 4.0
     out = {
         "n_cores_low": n_low,
         "n_cores_high": n_high,
         "throughput_low_eps": t_low,
         "throughput_high_eps": t_high,
+        "reps_low_eps": eps[n_low],
+        "reps_high_eps": eps[n_high],
         "speedup": round(t_high / t_low, 3),
         "scaling_efficiency": round(eff, 3),
     }
@@ -259,10 +271,12 @@ def main():
             "",
             "## Measured scaling (bench.py --scaling)",
             "",
-            "| cores | superstep throughput (edges/sec) |",
-            "|---|---|",
-            f"| {res['n_cores_low']} | {res['throughput_low_eps']:,} |",
-            f"| {res['n_cores_high']} | {res['throughput_high_eps']:,} |",
+            "| cores | superstep throughput (edges/sec, median) | per-rep (interleaved) |",
+            "|---|---|---|",
+            f"| {res['n_cores_low']} | {res['throughput_low_eps']:,} | "
+            f"{', '.join(f'{x:,.0f}' for x in res['reps_low_eps'])} |",
+            f"| {res['n_cores_high']} | {res['throughput_high_eps']:,} | "
+            f"{', '.join(f'{x:,.0f}' for x in res['reps_high_eps'])} |",
             "",
             f"speedup {res['n_cores_low']}→{res['n_cores_high']} cores: "
             f"{res['speedup']}×; per-core scaling efficiency: "

@@ -108,17 +108,35 @@ def test_repos_derivation_sha_gate(spark):
 
 
 def test_lsh_ann_recall(spark):
-    from vite_spark.text.ann import cosine_topk, lsh_topk
+    from vite_spark.text.ann import auto_bits, cosine_topk, lsh_topk
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = {(r["query_id"], r["neighbor_id"])
              for r in cosine_topk(emb, k=3).collect()}
-    approx = {(r["query_id"], r["neighbor_id"])
-              for r in lsh_topk(emb, k=3, bits=2).collect()}
-    recall = len(exact & approx) / len(exact)
+    base = {(r["query_id"], r["neighbor_id"])
+            for r in lsh_topk(emb, k=3, bits=2, multiprobe=0).collect()}
+    recall = len(exact & base) / len(exact)
     # random 64-d vectors have weak locality; 4 buckets → recall well above
     # the 3/499 ≈ 0.006 chance floor proves the bucketing works
     assert recall > 0.15
+
+    # multiprobe (flip-1-bit) probes strictly more buckets → recall ≥ base
+    mp = {(r["query_id"], r["neighbor_id"])
+          for r in lsh_topk(emb, k=3, bits=2, multiprobe=1).collect()}
+    assert len(exact & mp) >= len(exact & base)
+
+    # bits=2 + multiprobe=2 probes ALL 4 buckets → exhaustive: the
+    # approximate result must EQUAL the brute-force top-k exactly (also
+    # proves the per-(query, bucket) pre-prune drops nothing it shouldn't)
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in lsh_topk(emb, k=3, bits=2, multiprobe=2).collect()}
+    assert full == exact
+
+    # auto_bits scales bucket count with corpus size (100 TB path): ~64
+    # rows per bucket, clamped
+    assert auto_bits(64) == 4
+    assert auto_bits(1_000_000) == 14
+    assert auto_bits(10**12) == 24
 
 
 def test_simhash_near_pairs_close_texts(spark):

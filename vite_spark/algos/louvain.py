@@ -79,6 +79,7 @@ def _counter_tables(
     vstate: DataFrame,        # (id, vdeg, self_w)
     nv: int,
     cfg: EngineConfig,
+    hubs: DataFrame | None = None,   # (src,) vertices above skew_degree_threshold
 ) -> tuple[DataFrame, DataFrame]:
     """L4 (louvain.cpp:2419-2466): returns
     st(src, dcomm, evc, cc, vdeg, self_w) — the per-(vertex, neighbor-comm)
@@ -91,9 +92,24 @@ def _counter_tables(
     )
     if cfg.explicit_salting:
         # two-stage salted aggregation (explicit skew split — Vite -b
-        # analog): hub vertices' counters build across salt_parts tasks
+        # analog, distgraph.cpp:72-116): ONLY vertices whose degree exceeds
+        # cfg.skew_degree_threshold (the ``hubs`` set, computed once per
+        # phase) have their counters built across salt_parts sub-groups;
+        # everyone else keeps salt 0, so stage 1 adds no rows for the
+        # non-skewed bulk. Weights are integer-valued, so the two-stage
+        # sum is exact and the result is identical to the unsalted path.
+        if hubs is not None:
+            nbr = nbr.join(
+                F.broadcast(hubs.select("src", F.lit(True).alias("is_hub"))),
+                "src", "left",
+            )
+            salt = F.when(
+                F.col("is_hub"), F.pmod(F.col("dst"), F.lit(cfg.skew_salt_parts))
+            ).otherwise(F.lit(0))
+        else:
+            salt = F.pmod(F.col("dst"), F.lit(cfg.skew_salt_parts))
         counter = (
-            nbr.withColumn("salt", F.pmod(F.col("dst"), F.lit(cfg.skew_salt_parts)))
+            nbr.withColumn("salt", salt)
             .groupBy("src", "dcomm", "salt")
             .agg(F.sum("weight").alias("pw"))
             .groupBy("src", "dcomm")
@@ -201,9 +217,10 @@ def _superstep(
     const: float,
     nv: int,
     cfg: EngineConfig,
+    hubs: DataFrame | None = None,
 ) -> DataFrame:
     """One plain Jacobi sweep. Returns decisions(id, cc, new_comm, e_cc, vdeg)."""
-    st, e_cc = _counter_tables(edges, curr, vstate, nv, cfg)
+    st, e_cc = _counter_tables(edges, curr, vstate, nv, cfg, hubs=hubs)
     best = _argmax_moves(
         st.filter(F.col("dcomm") != F.col("cc")), e_cc, comm_info, const, nv, cfg
     )
@@ -286,10 +303,12 @@ def _csr_phase(
     One-time pack: the src-partitioned adjacency lands in per-partition
     worker-local .npy files; after that ZERO edge bytes cross the
     JVM/Python boundary. Mutable state (curr/comm_deg/comm_size) lives as a
-    per-worker-process mirror advanced by per-superstep MOVE DELTAS — each
-    broadcast exactly once (O(moved) bytes). The driver holds scalars and
-    delta handles only; it never materializes an nv-sized array (round-2
-    redesign of the former driver-state variant).
+    per-worker-process mirror advanced by per-superstep MOVE DELTAS that
+    travel worker-to-worker as mv_{step}_{pid}.npy files next to the pack
+    files — nothing O(nv) or O(moved) ever crosses the driver, whose
+    per-superstep job result is nparts scalar sentinel rows (round-2
+    redesign; the former collect-moves + re-broadcast design cost ≈1.5 s
+    serial per superstep at 128M edges and capped scaling at 0.5).
 
     Modularity protocol (exact louvain.cpp:427-592 semantics, assembled one
     job late): superstep k's sweep reports the pre-move e-term at S_{k-1}
@@ -341,9 +360,7 @@ def _csr_phase(
         info = pack_csr_partitions(edges, pack_dir, nparts)
         ne, nv, two_m = info["ne"], info["nv"], info["two_m"]
         const = 1.0 / two_m
-        sc = spark.sparkContext
 
-        deltas: list = []       # deltas[j-1] = Broadcast (mid, mnew) of superstep j
         e_terms: dict = {}
         walls: dict = {}
         moveds: dict = {}
@@ -355,15 +372,15 @@ def _csr_phase(
         while True:
             k += 1
             t0 = time.time()
-            out = csr_superstep_packed(
-                spark, pack_dir, nparts, nv_dense, const, deltas
-            ).toPandas()
+            # moves travel worker-to-worker via mv_{k}_{pid}.npy files; the
+            # driver's job result is nparts scalar sentinel rows only
+            sent = csr_superstep_packed(
+                spark, pack_dir, nparts, nv_dense, const, k
+            ).collect()
             walls[k] = time.time() - t0
-            sent = out["id"].to_numpy(np.int64) == -1
-            e_terms[k] = float(out["e_part"].to_numpy(np.float64)[sent].sum())
-            a_prev = float(out["a_part"].to_numpy(np.float64)[sent].sum())
-            moveds[k] = int(out["moved"].to_numpy(np.int64)[sent].sum())
-            moves = out[~sent]
+            e_terms[k] = float(sum(r["e_part"] for r in sent))
+            a_prev = float(sum(r["a_part"] for r in sent))
+            moveds[k] = int(sum(r["moved"] for r in sent))
 
             if k >= 2:
                 j = k - 1
@@ -388,17 +405,9 @@ def _csr_phase(
                     labels_at, q_final, iters_final = j - 1, prev_mod, j
                     break
 
-            b = sc.broadcast((
-                moves["id"].to_numpy(np.int64),
-                moves["new_comm"].to_numpy(np.int64),
-            ))
-            deltas.append(b)
-
         lab = csr_labels_packed(
-            spark, pack_dir, nparts, nv_dense, deltas[:labels_at]
+            spark, pack_dir, nparts, nv_dense, labels_at
         ).localCheckpoint(eager=True)
-        for b in deltas:
-            b.unpersist()
         return PhaseResult(
             assignment=lab, q=float(q_final), iters=iters_final, nv=nv
         )
@@ -507,6 +516,18 @@ def louvain_phase(
 
     comm_info = comm_aggregates(curr).persist()
 
+    hubs: DataFrame | None = None
+    if cfg.explicit_salting:
+        # skew set computed ONCE per phase: vertices whose neighbor count
+        # exceeds the threshold get salted counters in every superstep
+        hubs = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("nbrs"))
+            .filter(F.col("nbrs") > cfg.skew_degree_threshold)
+            .select("src")
+            .persist()
+        )
+
     et = cfg.early_term
     act: DataFrame | None = None  # (id, active, frozen_cw, p)
     if et:
@@ -543,11 +564,11 @@ def louvain_phase(
 
         colored_tmp: list = []
         if buckets is None:
-            decisions = _superstep(sweep_edges, curr, comm_info, vstate, const, nv, cfg)
+            decisions = _superstep(sweep_edges, curr, comm_info, vstate, const, nv, cfg, hubs=hubs)
         else:
             # colored variant: community aggregates updated between color
             # buckets; neighbor assignments stay Jacobi (louvain.cpp:684-737)
-            st, e_cc = _counter_tables(sweep_edges, curr, vstate, nv, cfg)
+            st, e_cc = _counter_tables(sweep_edges, curr, vstate, nv, cfg, hubs=hubs)
             st = st.persist()
             e_cc = e_cc.persist()
             colored_tmp = [st, e_cc]  # released after the eager decision cut
@@ -726,11 +747,86 @@ def louvain_phase(
     edges.unpersist()
     vstate.unpersist()
     comm_info.unpersist()
+    if hubs is not None:
+        hubs.unpersist()
     if act is not None:
         act.unpersist()
     if colors_df is not None:
         colors_df.unpersist()
     return PhaseResult(assignment=past, q=float(prev_mod), iters=iters, nv=nv)
+
+
+def louvain_sweeps(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """Exactly ``k`` plain Jacobi sweeps from the singleton init; returns the
+    assignment (id, comm) AFTER the k-th move application.
+
+    No convergence protocol, no pastComm rotation — this is the
+    SQL-expressible fixed-sweep variant (the driver's DuckDB oracle runs
+    the identical unrolled sweeps; VERDICT r1 item 3). The per-sweep
+    semantics (L4 counter, L5 gain/tie-breaks, singleton-swap guard,
+    between-sweep community aggregate refresh) are the exact distributed
+    superstep used by louvain_phase — so an oracle hit here value-checks
+    the flagship sweep end-to-end."""
+    cfg = cfg or EngineConfig()
+    edges = edges.repartition(
+        cfg.shuffle_partitions
+        or int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        "src",
+    ).persist()
+    vdeg = weighted_degrees(edges)
+    selfw = self_loop_weights(edges)
+    vstate = (
+        vdeg.join(selfw, vdeg.id == selfw.id, "left")
+        .select(vdeg.id, "vdeg", F.coalesce("self_w", F.lit(0.0)).alias("self_w"))
+        .persist()
+    )
+    row = vstate.agg(F.sum("vdeg").alias("tw"), F.count(F.lit(1)).alias("nv")).collect()[0]
+    two_m, nv = float(row["tw"]), int(row["nv"])
+    const = 1.0 / two_m
+
+    curr = vstate.select("id", F.col("id").alias("comm"))
+    for _ in range(k):
+        comm_info = (
+            curr.join(_maybe_broadcast(vstate.select("id", "vdeg"), nv, cfg), "id")
+            .groupBy("comm")
+            .agg(F.sum("vdeg").alias("degree"), F.count(F.lit(1)).alias("size"))
+        )
+        decisions = _superstep(edges, curr, comm_info, vstate, const, nv, cfg)
+        curr = decisions.select("id", F.col("new_comm").alias("comm")).localCheckpoint(
+            eager=True
+        )
+    edges.unpersist()
+    vstate.unpersist()
+    return curr
+
+
+def modularity_of(edges: DataFrame, assignment: DataFrame) -> float:
+    """Q of an arbitrary assignment (id, comm) over the canonical
+    symmetrized table: Σ_c in_c·const − Σ_c (deg_c·const)², const = 1/2m
+    (louvain.cpp:2188-2218 formula applied to a fixed partition)."""
+    amap = assignment.select(F.col("id"), F.col("comm"))
+    e = (
+        edges.join(amap.select(F.col("id").alias("src"), F.col("comm").alias("cs")), "src")
+        .join(amap.select(F.col("id").alias("dst"), F.col("comm").alias("cd")), "dst")
+    )
+    row = e.agg(
+        F.sum(F.when(F.col("cs") == F.col("cd"), F.col("weight")).otherwise(0.0)).alias("e_in"),
+        F.sum("weight").alias("two_m"),
+    ).collect()[0]
+    two_m = float(row["two_m"])
+    const = 1.0 / two_m
+    deg = (
+        edges.groupBy("src").agg(F.sum("weight").alias("vdeg"))
+        .join(amap.select(F.col("id").alias("src"), "comm"), "src")
+        .groupBy("comm").agg(F.sum("vdeg").alias("cdeg"))
+    )
+    a_term = float(deg.agg(F.sum(F.col("cdeg") * F.col("cdeg"))).collect()[0][0])
+    return float(row["e_in"]) * const - a_term * const * const
 
 
 def coarsen(edges: DataFrame, assignment: DataFrame, cfg: EngineConfig, nv: int) -> tuple[DataFrame, DataFrame]:

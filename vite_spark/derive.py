@@ -21,9 +21,24 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
 
 from vite_spark.graph import symmetrize
+
+log = logging.getLogger("vite_spark.derive")
+
+# Default key-frequency cap for co-occurrence self-joins: a key shared by k
+# rows emits k(k-1)/2 pairs, so one degenerate key (an empty path, a vendored
+# file present in every repo) at k=10^6 emits 5·10^11 pairs — the first OOM a
+# 100 TB user hits (r1 VERDICT missing#4). 10_000 never binds on the driver
+# testdata (max observed key freq ≈ 7 for lineitem orders, < 100 for document
+# paths) but bounds the worst key's fan-out to 10^8 pairs spread over the
+# shuffle. Pass None to disable, or a smaller value for hostile data.
+DEFAULT_MAX_KEY_FREQ = 10_000
+
+_UNSET = object()
 
 
 def sha256_gate(repos: DataFrame, expected_col: str = "content_sha256") -> DataFrame:
@@ -44,7 +59,7 @@ def cooccurrence_edges(
     df: DataFrame,
     entity_col: str,
     key_col: str,
-    max_key_freq: int | None = None,
+    max_key_freq: int | None = _UNSET,  # type: ignore[assignment]
 ) -> DataFrame:
     """Generic co-occurrence: entities sharing a key get an edge weighted by
     the number of shared keys. Returns the canonical symmetrized edge table
@@ -54,10 +69,19 @@ def cooccurrence_edges(
     Plan shape: dedup (entity, key) → optional key-frequency cap →
     self-join on key with src<dst → groupBy pair → symmetrize.
     """
+    if max_key_freq is _UNSET:
+        max_key_freq = DEFAULT_MAX_KEY_FREQ
     pairs = df.select(
         F.col(entity_col).cast("long").alias("entity"), F.col(key_col).alias("key")
     ).distinct()
     if max_key_freq is not None:
+        # no silent caps (PLANS.md discipline): the cutoff is announced;
+        # keys above it are dropped entirely rather than sampled, so the
+        # kept graph is exact over the kept keys
+        log.info(
+            "cooccurrence_edges: key-frequency cap %d in effect on %r "
+            "(keys shared by more rows are dropped)", max_key_freq, key_col,
+        )
         freq = pairs.groupBy("key").agg(F.count(F.lit(1)).alias("kf"))
         pairs = pairs.join(freq.filter(F.col("kf") <= max_key_freq), "key").select(
             "entity", "key"
@@ -76,7 +100,7 @@ def cooccurrence_edges(
 def repos_to_edges(
     repos: DataFrame,
     key: str = "path",
-    max_key_freq: int | None = None,
+    max_key_freq: int | None = _UNSET,  # type: ignore[assignment]
 ) -> tuple[DataFrame, DataFrame]:
     """repos(repo, path, commit, lang, content) → (edges, repo_ids).
 

@@ -5,22 +5,28 @@ partition's pre-packed adjacency (one-time pack, zero edge bytes over Arrow
 per superstep) and sweeps the whole L4+L5 gather-scatter vectorized
 (segment reduceat argmax) — no per-row Python anywhere.
 
-State model (round-2 redesign — no O(nv) driver state, no O(nv) broadcast):
-every python worker process keeps a full mirror of the mutable per-vertex /
-per-community state (curr, comm_deg, comm_size) in a process-level cache
-and advances it by applying per-superstep MOVE DELTAS, each broadcast
-exactly once (O(moved) bytes, not O(nv)). The static arrays (vdeg, self_w,
-presence) are assembled once per worker from the per-partition pack files.
-The driver holds only scalars and the (small) delta broadcast handles — it
-never materializes an nv-sized array. This is the Spark re-expression of
-Vite's model (louvain.cpp:2583-2954): static local CSR per rank, only the
-mutable community state is exchanged per iteration.
+State model (round-2 redesign — no O(nv) driver state, nothing O(nv) or
+even O(moved) through the driver): every python worker process keeps a
+full mirror of the mutable per-vertex / per-community state (curr,
+comm_deg, comm_size) in a process-level cache and advances it by applying
+per-superstep MOVE DELTAS. The deltas are exchanged WORKER-TO-WORKER
+through per-(superstep, partition) files next to the pack files — each
+sweep task writes its partition's moves (mv_{step}_{pid}.npy), and every
+worker's first task of the next superstep reads that superstep's files
+once (O(moved) bytes off the shared page cache). The driver's per-superstep
+job returns exactly one scalar sentinel row per partition (e/a-term
+partials + move count) — the earlier design's collect-all-moves +
+re-broadcast was the measured Amdahl bottleneck (≈1.5 s serial per
+superstep at 128M edges). The static arrays (vdeg, self_w, presence) are
+assembled once per worker from the pack files. This is the Spark
+re-expression of Vite's model (louvain.cpp:2583-2954): static local CSR
+per rank, only the mutable community state is exchanged per iteration.
 
-Cluster contract: the pack files require that every superstep task can read
-the partition files it needs — true in local mode (one filesystem) and on
-any shared-scratch cluster; the caller (algos/louvain.py) gates this path
-on a local master and falls back to the shuffle-join superstep otherwise.
-The delta broadcasts themselves are cluster-correct (torrent broadcast).
+Cluster contract: pack AND move files require that every superstep task
+can read the files any partition wrote — true in local mode (one
+filesystem) and on any shared-scratch cluster; the caller
+(algos/louvain.py) gates this path on a local master and falls back to the
+shuffle-join superstep otherwise (same semantics, cluster-correct).
 
 Decision semantics are IDENTICAL to the NumPy oracle
 (vite_spark/oracle/louvain_ref.py) — gain/tie-break/guard are the same
@@ -34,42 +40,98 @@ import numpy as np
 from pyspark.sql import DataFrame
 
 
-def sweep_partition_np(
-    src: np.ndarray,
-    dst: np.ndarray,
-    w: np.ndarray,
-    curr: np.ndarray,       # nv-sized: vertex → community
-    vdeg: np.ndarray,       # nv-sized
-    self_w: np.ndarray,     # nv-sized
-    comm_deg: np.ndarray,   # nv-sized (community id space == vertex ids)
+# Per-worker-process scratch arena: name → ndarray, grown as needed and
+# reused across supersteps/tasks. On this class of VM, freshly-mmapped
+# pages fault in at <1 GB/s and faulting does NOT scale with workers (it
+# serializes host-side) while reused memory streams at ~15-20 GB/s/core —
+# so steady-state zero-allocation is the difference between a kernel that
+# scales and one that collapses beyond 4 workers (measured; see BENCH.md).
+_ARENA: dict = {}
+
+
+def _buf(name: str, n: int, dtype) -> np.ndarray:
+    a = _ARENA.get(name)
+    if a is None or len(a) < n or a.dtype != np.dtype(dtype):
+        a = np.empty(int(n * 1.25) + 16, dtype)
+        _ARENA[name] = a
+    return a[:n]
+
+
+def _take(src: np.ndarray, idx: np.ndarray, name: str) -> np.ndarray:
+    out = _buf(name, len(idx), src.dtype)
+    np.take(src, idx, out=out)
+    return out
+
+
+def _grouping_order(srcl: np.ndarray, c_dst: np.ndarray, key: np.ndarray,
+                    nvl: int, nv_local: int) -> np.ndarray:
+    """Stable order grouping rows by (src_local, c_dst) — the L4 counter's
+    sort. Adaptive:
+
+    - nearly-sorted key (the common case after the first sweeps: the pack
+      is (src, dst)-sorted and converged labels correlate with dst) →
+      ONE int64 stable argsort; numpy's timsort detects the runs and is
+      ~10x faster than on random keys.
+    - otherwise → LSD radix via a chain of uint16 STABLE argsorts (numpy
+      uses O(n) radix only for ≤16-bit ints; int64 stable is comparison
+      timsort): c_dst low half, c_dst high half, then src_local low/high —
+      each pass ~25 ms / 2M rows vs ~280 ms for one random int64 argsort.
+    """
+    n = len(key)
+    if n < (1 << 16):
+        return np.argsort(key, kind="stable")
+    sample = key[::127]
+    desc = int(np.count_nonzero(sample[:-1] > sample[1:]))
+    if desc * 32 < len(sample):
+        return np.argsort(key, kind="stable")
+
+    lo = _buf("rad_lo", n, np.uint16)
+    tmp = _buf("rad_tmp", n, np.int64)
+    sl = _buf("rad_sl", n, np.int64)
+    sl[:] = srcl                                  # int32 → int64 once
+
+    np.bitwise_and(c_dst, 0xFFFF, out=tmp)
+    lo[:] = tmp
+    order = np.argsort(lo, kind="stable")        # pass 1: c_dst low
+    flip = 0
+    if nvl > (1 << 16):                           # pass 2: c_dst high
+        np.right_shift(c_dst, 16, out=tmp)
+        lo[:] = _take(tmp, order, "rad_perm")
+        order = _take(order, np.argsort(lo, kind="stable"),
+                      f"rad_ord{flip}")
+        flip ^= 1
+    np.bitwise_and(sl, 0xFFFF, out=tmp)           # pass 3: src_local low
+    lo[:] = _take(tmp, order, "rad_perm")
+    order = _take(order, np.argsort(lo, kind="stable"), f"rad_ord{flip}")
+    flip ^= 1
+    if nv_local > (1 << 16):                      # pass 4: src_local high
+        np.right_shift(sl, 16, out=tmp)
+        lo[:] = _take(tmp, order, "rad_perm")
+        order = _take(order, np.argsort(lo, kind="stable"),
+                      f"rad_ord{flip}")
+    return order
+
+
+def _decide_grouped(
+    g_comm: np.ndarray,     # grouped rows: neighbor community
+    e_vc: np.ndarray,       # grouped rows: Σ weight to that community
+    ids: np.ndarray,        # distinct vertices (global ids), segment order
+    new_seg: np.ndarray,
+    curr: np.ndarray,
+    vdeg: np.ndarray,
+    self_w: np.ndarray,
+    comm_deg: np.ndarray,
     comm_size: np.ndarray,
     const: float,
 ):
-    """Louvain decisions for the vertices whose FULL adjacency is in this
-    partition. Returns (ids, cc, new_comm, e_cc) for distinct src."""
-    c_dst = curr[dst]
-    # ONE grouping sort of (src, neighbor community) keys; everything after
-    # is O(n) segment arithmetic (reduceat) — no further sorts, no unique,
-    # no searchsorted (those dominated an earlier lexsort-based version)
-    nvl = np.int64(len(curr))
-    key = src * nvl + c_dst
-    order = np.argsort(key, kind="stable")
-    ks, ws = key[order], w[order]
-    start = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-    e_vc = np.add.reduceat(ws, start)
-    gk = ks[start]
-    g_src = (gk // nvl).astype(np.int64)
-    g_comm = (gk % nvl).astype(np.int64)
-
-    # vertex segments over the grouped rows (g_src is non-decreasing)
-    new_seg = np.r_[True, g_src[1:] != g_src[:-1]]
+    """L5 gain argmax + tie-breaks + singleton guard over grouped counters
+    (the exact louvain.cpp:2220-2279 algebra; shared by both sweep paths)."""
     seg_id = np.cumsum(new_seg) - 1          # per grouped row → vertex index
-    ids = g_src[new_seg]
     n_seg = len(ids)
 
     cc = curr[ids]
     e_cc = np.zeros(n_seg)
-    own = g_comm == curr[g_src]
+    own = g_comm == cc[seg_id]
     e_cc[seg_id[own]] = e_vc[own]
 
     eix = e_cc - self_w[ids]
@@ -105,6 +167,64 @@ def sweep_partition_np(
         )
         new_comm[segs[keep]] = c_best[keep]
     return ids, cc, new_comm, e_cc
+
+
+def sweep_partition_np(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    curr: np.ndarray,       # nv-sized: vertex → community
+    vdeg: np.ndarray,       # nv-sized
+    self_w: np.ndarray,     # nv-sized
+    comm_deg: np.ndarray,   # nv-sized (community id space == vertex ids)
+    comm_size: np.ndarray,
+    const: float,
+    srcl: np.ndarray | None = None,   # packed path: per-partition dense
+    own_ids: np.ndarray | None = None,  # src index into own_ids (sorted)
+):
+    """Louvain decisions for the vertices whose FULL adjacency is in this
+    partition. Returns (ids, cc, new_comm, e_cc) for distinct src.
+
+    Packed path (srcl/own_ids given, rows pre-sorted by (src, dst)): the
+    grouping key is src_local·nv + curr[dst]; the adaptive radix/timsort
+    order and all big temporaries come from the worker arena — steady-state
+    the sweep allocates only the (much smaller) grouped arrays. Generic
+    path (converter/broadcast variant): one int64 stable argsort of the
+    global key, identical semantics."""
+    n = len(dst)
+    c_dst = _buf("c_dst", n, np.int64)
+    np.take(curr, dst, out=c_dst)
+    nvl = np.int64(len(curr))
+    if srcl is not None:
+        key = _buf("key", n, np.int64)
+        np.multiply(srcl, nvl, out=key)
+        key += c_dst
+        order = _grouping_order(srcl, c_dst, key, int(nvl),
+                                int(len(own_ids)))
+        ks = _take(key, order, "ks")
+        ws = _take(w, order, "ws")
+        start = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        e_vc = np.add.reduceat(ws, start)
+        gk = ks[start]
+        g_srcidx = gk // nvl
+        g_comm = gk % nvl
+        new_seg = np.r_[True, g_srcidx[1:] != g_srcidx[:-1]]
+        ids = own_ids[g_srcidx[new_seg]]
+    else:
+        key = src * nvl + c_dst
+        order = np.argsort(key, kind="stable")
+        ks, ws = key[order], w[order]
+        start = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        e_vc = np.add.reduceat(ws, start)
+        gk = ks[start]
+        g_src = (gk // nvl).astype(np.int64)
+        g_comm = (gk % nvl).astype(np.int64)
+        new_seg = np.r_[True, g_src[1:] != g_src[:-1]]
+        ids = g_src[new_seg]
+    return _decide_grouped(
+        g_comm, e_vc, ids, new_seg,
+        curr, vdeg, self_w, comm_deg, comm_size, const,
+    )
 
 
 def csr_superstep(
@@ -183,25 +303,30 @@ def pack_csr_partitions(edges: DataFrame, pack_dir: str, nparts: int) -> dict:
         order = np.lexsort((dst, src))
         src, dst, w = src[order], dst[order], w[order]
         # owned statics: every edge of v lives in v's src partition, so the
-        # per-partition degree sums are exact (no cross-partition merge)
+        # per-partition degree sums are exact (no cross-partition merge).
+        # srcl = per-partition DENSE src index (int32, row → index into
+        # own): lets the superstep's grouping sort radix on 16-bit halves
+        # of a small domain instead of global int64 ids.
         if len(src):
             first = np.r_[True, src[1:] != src[:-1]]
             starts = np.flatnonzero(first)
             own = src[starts]
+            srcl = (np.cumsum(first) - 1).astype(np.int32)
             vdeg = np.add.reduceat(w, starts)
             sw = np.zeros_like(vdeg)
             self_rows = src == dst
             if self_rows.any():
-                seg_of_row = np.cumsum(first) - 1
-                np.add.at(sw, seg_of_row[self_rows], w[self_rows])
+                np.add.at(sw, srcl[self_rows].astype(np.int64), w[self_rows])
             max_id = int(max(src.max(), dst.max()))
         else:
             own = np.empty(0, np.int64)
+            srcl = np.empty(0, np.int32)
             vdeg = np.empty(0, np.float64)
             sw = np.empty(0, np.float64)
             max_id = -1
-        for name, arr in (("src", src), ("dst", dst), ("w", w),
-                          ("own", own), ("vdeg", vdeg), ("selfw", sw)):
+        for name, arr in (("src", src), ("srcl", srcl), ("dst", dst),
+                          ("w", w), ("own", own), ("vdeg", vdeg),
+                          ("selfw", sw)):
             _atomic_save(os.path.join(pack_dir, f"{name}_{pid}.npy"), arr)
         import pandas as pd
 
@@ -258,15 +383,47 @@ def _assemble_static(pack_dir: str, nparts: int, nv_dense: int):
     return vdeg, self_w, present
 
 
-def _replayed_state(pack_dir: str, nparts: int, nv_dense: int, deltas,
+def _load_moves(pack_dir: str, nparts: int, step: int):
+    """Concatenated (mid, mnew) of superstep ``step`` from its per-partition
+    move files (each a (2, m) int64 array)."""
+    import os
+
+    parts = [
+        np.load(os.path.join(pack_dir, f"mv_{step}_{p}.npy"))
+        for p in range(nparts)
+    ]
+    mv = np.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    return mv[0], mv[1]
+
+
+def _apply_delta(st: dict, mid: np.ndarray, mnew: np.ndarray, nv: int) -> None:
+    """Advance the mirror by one superstep's moves. bincount (two O(nv)
+    passes) beats np.add.at's scattered writes once the delta is a few % of
+    nv; below that the scatter wins."""
+    mold = st["curr"][mid]
+    st["curr"][mid] = mnew
+    wts = st["vdeg"][mid]
+    if len(mid) * 32 < nv:
+        np.add.at(st["cd"], mnew, wts)
+        np.add.at(st["cs"], mnew, 1)
+        np.subtract.at(st["cd"], mold, wts)
+        np.subtract.at(st["cs"], mold, 1)
+    else:
+        st["cd"] += np.bincount(mnew, weights=wts, minlength=nv)
+        st["cd"] -= np.bincount(mold, weights=wts, minlength=nv)
+        st["cs"] += np.bincount(mnew, minlength=nv)
+        st["cs"] -= np.bincount(mold, minlength=nv)
+
+
+def _replayed_state(pack_dir: str, nparts: int, nv_dense: int, n_deltas: int,
                     cache: bool = True) -> dict:
-    """State after applying deltas[0..len-1] to the singleton init
+    """State after applying move files 1..n_deltas to the singleton init
     (louvain.cpp:2564-2581). With cache=True the worker's persistent mirror
     is advanced incrementally (typically by exactly one delta); cache=False
     replays fresh (used by the label job, which may need an EARLIER state
     than the cached one)."""
     st = _WORKER_STATE.get(pack_dir) if cache else None
-    if st is None or st["applied"] > len(deltas):
+    if st is None or st["applied"] > n_deltas:
         vdeg, self_w, present = _assemble_static(pack_dir, nparts, nv_dense)
         st = {
             "applied": 0,
@@ -279,15 +436,10 @@ def _replayed_state(pack_dir: str, nparts: int, nv_dense: int, deltas,
         if cache:
             _WORKER_STATE.clear()   # at most one phase's mirror per worker
             _WORKER_STATE[pack_dir] = st
-    for j in range(st["applied"], len(deltas)):
-        mid, mnew = deltas[j].value
-        mold = st["curr"][mid]
-        st["curr"][mid] = mnew
-        np.add.at(st["cd"], mnew, st["vdeg"][mid])
-        np.add.at(st["cs"], mnew, 1)
-        np.subtract.at(st["cd"], mold, st["vdeg"][mid])
-        np.subtract.at(st["cs"], mold, 1)
-        st["applied"] = j + 1
+    for j in range(st["applied"] + 1, n_deltas + 1):
+        mid, mnew = _load_moves(pack_dir, nparts, j)
+        _apply_delta(st, mid, mnew, nv_dense)
+        st["applied"] = j
     return st
 
 
@@ -306,18 +458,20 @@ def csr_superstep_packed(
     nparts: int,
     nv_dense: int,
     const: float,
-    deltas: list,
+    step: int,
 ) -> DataFrame:
-    """Superstep over packed partitions with delta-replayed worker state.
+    """Superstep ``step`` (1-based) over packed partitions with
+    delta-replayed worker state.
 
     The job maps over partition ids only; each task advances its worker's
-    state mirror to S_{k-1} (k-1 = len(deltas)), reports this partition's
-    a-term partial Σ cd[owned]² at S_{k-1} (= the POST-move a-term of
-    superstep k-1 — modularity is therefore assembled one job later by the
-    driver, louvain.cpp:2468-2532), sweeps, and returns the move rows plus
-    one sentinel row (id = -1) with (e_part, a_part, moved).
+    state mirror to S_{step-1} (move files 1..step-1), reports this
+    partition's a-term partial Σ cd[owned]² at S_{step-1} (= the POST-move
+    a-term of superstep step-1 — modularity is therefore assembled one job
+    later by the driver, louvain.cpp:2468-2532), sweeps, WRITES this
+    partition's moves to mv_{step}_{pid}.npy, and returns exactly one
+    scalar sentinel row — the driver never sees a move row.
 
-    Output schema: (id, new_comm, e_part, a_part, moved).
+    Output schema: (pid, e_part, a_part, moved).
     """
 
     def run(pdf_iter):
@@ -328,51 +482,56 @@ def csr_superstep_packed(
         for pdf in pdf_iter:
             for pid in pdf["pid"]:
                 pid = int(pid)
-                st = _replayed_state(pack_dir, nparts, nv_dense, deltas)
+                st = _replayed_state(pack_dir, nparts, nv_dense, step - 1)
                 own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"))
                 a_part = float((st["cd"][own] ** 2).sum())
-                src = np.load(os.path.join(pack_dir, f"src_{pid}.npy"),
+                dst = np.load(os.path.join(pack_dir, f"dst_{pid}.npy"),
                               mmap_mode="r")
-                if len(src) == 0:
+                if len(dst) == 0:
+                    _atomic_save(
+                        os.path.join(pack_dir, f"mv_{step}_{pid}.npy"),
+                        np.empty((2, 0), np.int64),
+                    )
                     yield pd.DataFrame({
-                        "id": [np.int64(-1)], "new_comm": [np.int64(0)],
-                        "e_part": [0.0], "a_part": [a_part],
+                        "pid": [pid], "e_part": [0.0], "a_part": [a_part],
                         "moved": [np.int64(0)],
                     })
                     continue
-                dst = np.load(os.path.join(pack_dir, f"dst_{pid}.npy"),
-                              mmap_mode="r")
+                # mmap views, never copied: edge bytes are read straight
+                # off the shared page cache (no per-superstep 48 MB/task
+                # fresh-page faulting — see _ARENA note)
+                srcl = np.load(os.path.join(pack_dir, f"srcl_{pid}.npy"),
+                               mmap_mode="r")
                 w = np.load(os.path.join(pack_dir, f"w_{pid}.npy"),
                             mmap_mode="r")
                 ids, cc, new_comm, e_cc = sweep_partition_np(
-                    np.asarray(src), np.asarray(dst), np.asarray(w),
+                    None, dst, w,
                     st["curr"], st["vdeg"], st["self_w"], st["cd"], st["cs"],
-                    const,
+                    const, srcl=srcl, own_ids=own,
                 )
                 mvd = new_comm != cc
-                nm = int(mvd.sum())
+                _atomic_save(
+                    os.path.join(pack_dir, f"mv_{step}_{pid}.npy"),
+                    np.vstack([ids[mvd], new_comm[mvd]]),
+                )
                 yield pd.DataFrame({
-                    "id": np.r_[ids[mvd], np.int64(-1)],
-                    "new_comm": np.r_[new_comm[mvd], np.int64(0)],
-                    "e_part": np.r_[np.zeros(nm), e_cc.sum()],
-                    "a_part": np.r_[np.zeros(nm), a_part],
-                    "moved": np.r_[np.zeros(nm, np.int64), np.int64(nm)],
+                    "pid": [pid], "e_part": [float(e_cc.sum())],
+                    "a_part": [a_part], "moved": [np.int64(mvd.sum())],
                 })
 
     return _pid_frame(spark, nparts).mapInPandas(
-        run,
-        schema="id long, new_comm long, e_part double, a_part double, moved long",
+        run, schema="pid int, e_part double, a_part double, moved long"
     )
 
 
 def csr_labels_packed(
-    spark, pack_dir: str, nparts: int, nv_dense: int, deltas: list
+    spark, pack_dir: str, nparts: int, nv_dense: int, n_deltas: int
 ) -> DataFrame:
-    """(id, comm) for every present vertex at the state after applying
-    ``deltas`` — each task emits labels for its OWNED vertices only, so the
-    assignment is produced fully distributed (the driver never holds it).
-    Replays fresh (cache bypassed): the requested state is usually EARLIER
-    than the worker mirrors (the phase protocol returns pastComm)."""
+    """(id, comm) for every present vertex at the state after applying move
+    files 1..n_deltas — each task emits labels for its OWNED vertices only,
+    so the assignment is produced fully distributed (the driver never holds
+    it). Replays fresh (cache bypassed): the requested state is usually
+    EARLIER than the worker mirrors (the phase protocol returns pastComm)."""
 
     def run(pdf_iter):
         import os
@@ -387,7 +546,7 @@ def csr_labels_packed(
                 if len(own) == 0:
                     continue
                 if st is None:  # one replay per task, shared across its pids
-                    st = _replayed_state(pack_dir, nparts, nv_dense, deltas,
+                    st = _replayed_state(pack_dir, nparts, nv_dense, n_deltas,
                                          cache=False)
                 yield pd.DataFrame({"id": own, "comm": st["curr"][own]})
 

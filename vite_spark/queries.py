@@ -282,9 +282,115 @@ pr AS (
 SELECT id, ROUND(rank, 6) AS rank FROM pr WHERE it = {PR_ITERS}"""
 
 
-# Louvain / LPA: iterative with driver-side convergence — not expressible in
-# one SQL statement; rows-only driver check + exact pytest parity vs the
-# NumPy oracle (tests/test_louvain_spark.py, tests/test_queries.py).
+# Full Louvain / convergence protocol: driver-side convergence loop — not
+# expressible in one SQL statement; rows-only driver check + exact pytest
+# parity vs the NumPy oracle. The SWEEP SEMANTICS themselves (L4 counter,
+# L5 gain/tie-breaks, singleton-swap guard, between-sweep aggregate refresh)
+# ARE oracle-checked: louvain_sweep2 below runs exactly 2 Jacobi sweeps in
+# both engines (unrolled CTEs on the DuckDB side) and value-matches labels;
+# louvain_sweep2_q matches the modularity of that assignment.
+
+LOUVAIN_SWEEPS_K = 2
+
+
+def _louvain_sweeps_sql(k: int, final: str = "labels") -> str:
+    """Unrolled k-sweep Louvain as DuckDB CTEs — the same per-sweep algebra
+    as algos/louvain._superstep (gain formula, (gain DESC, comm ASC)
+    argmax, singleton-swap guard), from the singleton init.
+
+    final="labels" → (id, comm) after sweep k; final="q" → 1-row (q6,)
+    modularity of that assignment (same formula as louvain.modularity_of).
+    """
+    parts = [
+        f"WITH {EDGES_CTE},",
+        """verts AS MATERIALIZED (
+  SELECT src AS id, SUM(weight) AS vdeg,
+         SUM(CASE WHEN src = dst THEN weight ELSE 0.0 END) AS self_w
+  FROM edges GROUP BY src
+),
+consts AS (SELECT 1.0 / SUM(weight) AS c FROM edges),
+lab0 AS MATERIALIZED (SELECT id, id AS comm FROM verts),
+cinfo0 AS MATERIALIZED (SELECT id AS comm, vdeg AS degree, 1 AS size FROM verts),""",
+    ]
+    for s in range(1, k + 1):
+        p = s - 1
+        parts.append(f"""evc{s} AS (
+  SELECT e.src, l.comm AS dcomm, SUM(e.weight) AS evc
+  FROM edges e JOIN lab{p} l ON l.id = e.dst
+  GROUP BY e.src, l.comm
+),
+st{s} AS (
+  SELECT v.id AS src, lc.comm AS cc, v.vdeg, v.self_w, x.dcomm, x.evc
+  FROM verts v JOIN lab{p} lc ON lc.id = v.id JOIN evc{s} x ON x.src = v.id
+),
+ecc{s} AS (
+  SELECT src, SUM(CASE WHEN dcomm = cc THEN evc ELSE 0.0 END) AS e_cc
+  FROM st{s} GROUP BY src
+),
+gain{s} AS (
+  SELECT s.src, s.dcomm, s.cc,
+         COALESCE(ti.size, 0) AS tsize, ci.size AS cc_size,
+         2.0 * (s.evc - (ec.e_cc - s.self_w))
+         - 2.0 * s.vdeg * (COALESCE(ti.degree, 0.0) - (ci.degree - s.vdeg))
+               * (SELECT c FROM consts) AS gain
+  FROM st{s} s
+  LEFT JOIN cinfo{p} ti ON ti.comm = s.dcomm
+  JOIN cinfo{p} ci ON ci.comm = s.cc
+  JOIN ecc{s} ec ON ec.src = s.src
+  WHERE s.dcomm <> s.cc
+),
+best{s} AS (
+  SELECT src, CASE WHEN tsize = 1 AND cc_size = 1 AND dcomm > cc
+                   THEN cc ELSE dcomm END AS move_comm
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY gain DESC, dcomm ASC) AS rn
+        FROM gain{s} WHERE gain > 0.0)
+  WHERE rn = 1
+),
+lab{s} AS MATERIALIZED (
+  SELECT l.id, COALESCE(b.move_comm, l.comm) AS comm
+  FROM lab{p} l LEFT JOIN best{s} b ON b.src = l.id
+),
+cinfo{s} AS MATERIALIZED (
+  SELECT l.comm, SUM(v.vdeg) AS degree, COUNT(*) AS size
+  FROM lab{s} l JOIN verts v ON v.id = l.id GROUP BY l.comm
+),""")
+    body = "\n".join(parts)
+    body = body[: body.rstrip().rfind(",")]  # trailing comma of the last CTE
+    if final == "labels":
+        return body + f"\nSELECT id, comm FROM lab{k}"
+    return body + f"""
+SELECT ROUND(
+  (SELECT SUM(CASE WHEN ls.comm = ld.comm THEN e.weight ELSE 0.0 END)
+   FROM edges e JOIN lab{k} ls ON ls.id = e.src JOIN lab{k} ld ON ld.id = e.dst)
+  * (SELECT c FROM consts)
+  - (SELECT SUM(degree * degree) FROM cinfo{k})
+    * (SELECT c FROM consts) * (SELECT c FROM consts),
+  6) AS q6"""
+
+
+SQL_LOUVAIN_SWEEP2 = _louvain_sweeps_sql(LOUVAIN_SWEEPS_K, final="labels")
+SQL_LOUVAIN_SWEEP2_Q = _louvain_sweeps_sql(LOUVAIN_SWEEPS_K, final="q")
+
+
+def q_louvain_sweep2(spark, sf_dir):
+    from vite_spark.algos.louvain import louvain_sweeps
+
+    e = lineitem_part_edges(spark, sf_dir)
+    return louvain_sweeps(spark, e, LOUVAIN_SWEEPS_K)
+
+
+def q_louvain_sweep2_q(spark, sf_dir):
+    from vite_spark.algos.louvain import louvain_sweeps, modularity_of
+
+    e = lineitem_part_edges(spark, sf_dir).persist()
+    lab = louvain_sweeps(spark, e, LOUVAIN_SWEEPS_K)
+    q = modularity_of(e, lab)
+    e.unpersist()
+    return spark.createDataFrame([(q,)], "q double").select(
+        F.round("q", 6).alias("q6")
+    )
+
 
 def q_louvain_assignment(spark, sf_dir):
     from vite_spark.algos.louvain import louvain
@@ -306,11 +412,54 @@ def q_louvain_summary(spark, sf_dir):
     )
 
 
+LPA_ITERS = 10
+
+
 def q_lpa_labels(spark, sf_dir):
     from vite_spark.algos.lpa import label_propagation
 
     e = lineitem_part_edges(spark, sf_dir)
-    return label_propagation(spark, e, max_iter=10)
+    return label_propagation(spark, e, max_iter=LPA_ITERS)
+
+
+def _lpa_sql(iters: int) -> str:
+    """Unrolled synchronous LPA (algos/lpa.py semantics: max weighted vote,
+    tie → min label; self-loops excluded; vertices with no in-votes keep
+    their label). Spark stops early at a fixpoint; a fixpoint is preserved
+    by further sweeps, so the fixed-``iters`` unroll is value-identical."""
+    # AS MATERIALIZED: each lab{i} is referenced twice by iteration i+1 —
+    # without the hint DuckDB may inline the chain, making the plan tree
+    # exponential in `iters` (measured: hang at iters=10)
+    parts = [
+        f"WITH {EDGES_CTE},",
+        """e2 AS MATERIALIZED (SELECT src, dst, weight FROM edges WHERE src <> dst),
+verts AS (SELECT DISTINCT src AS id FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+lab0 AS MATERIALIZED (SELECT id, id AS label FROM verts),""",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""votes{i} AS (
+  SELECT e.src, l.label, SUM(e.weight) AS vote
+  FROM e2 e JOIN lab{p} l ON l.id = e.dst GROUP BY e.src, l.label
+),
+best{i} AS (
+  SELECT src AS id, label FROM (
+    SELECT src, label,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY vote DESC, label ASC) AS rn
+    FROM votes{i}) WHERE rn = 1
+),
+lab{i} AS MATERIALIZED (
+  SELECT l.id, COALESCE(b.label, l.label) AS label
+  FROM lab{p} l LEFT JOIN best{i} b USING (id)
+),""")
+    body = "\n".join(parts)
+    body = body[: body.rstrip().rfind(",")]
+    return body + f"\nSELECT id, label FROM lab{iters}"
+
+
+SQL_LPA_LABELS = _lpa_sql(LPA_ITERS)
 
 
 # ------------------------------------------------------------- repos→edges
@@ -572,8 +721,69 @@ WHERE ROUND(list_dot_product(a.v, b.v) /
             6) >= {COS_NEAR_T}"""
 
 
+ANN_ORACLE_BITS = 8   # pinned for the driver oracle; library default scales
+ANN_DIM = 64
+
+
 def q_ann_lsh_topk(spark, sf_dir):
-    return ann.lsh_topk(_emb(spark, sf_dir), k=TOPK)
+    return ann.lsh_topk(
+        _emb(spark, sf_dir), k=TOPK, dim=ANN_DIM, bits=ANN_ORACLE_BITS,
+        multiprobe=1,
+    )
+
+
+def _ann_lsh_sql(bits: int, k: int, dim: int) -> str:
+    """DuckDB mirror of ann.lsh_topk(bits, multiprobe=1): sign-of-projection
+    buckets from the same deterministic hyperplanes, probe own bucket + all
+    1-bit flips, exact cosine within probed buckets, per-query top-k."""
+    hp_rows = ", ".join(
+        f"({b}, {ann._hyperplane(b, dim)})" for b in range(bits)
+    )
+    flips = " UNION ALL ".join(
+        f"SELECT vec_id, xor(bucket, {1 << b}) AS pb FROM bkt"
+        for b in range(bits)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+hp(b, h) AS (SELECT * FROM (VALUES {hp_rows})),
+proj AS (
+  SELECT e.vec_id, hp.b, list_dot_product(e.v, hp.h) AS d FROM e, hp
+),
+bkt AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM proj GROUP BY vec_id
+),
+nrm AS (SELECT vec_id, SQRT(list_dot_product(v, v)) AS n FROM e),
+probes AS (
+  SELECT vec_id, bucket AS pb FROM bkt
+  UNION ALL {flips}
+),
+cand AS (
+  SELECT p.vec_id AS query_id, nb.vec_id AS neighbor_id
+  FROM probes p JOIN bkt nb ON nb.bucket = p.pb AND nb.vec_id <> p.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(list_dot_product(ea.v, eb.v) / (na.n * nb2.n), 6) AS cos_sim
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.query_id
+  JOIN e eb ON eb.vec_id = c.neighbor_id
+  JOIN nrm na ON na.vec_id = c.query_id
+  JOIN nrm nb2 ON nb2.vec_id = c.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+FROM r WHERE rank <= {k}"""
+
+
+SQL_ANN_LSH_TOPK = _ann_lsh_sql(ANN_ORACLE_BITS, TOPK, ANN_DIM)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -583,6 +793,31 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media, fake=True).select(
         "media_id", "kind", "n_bytes", "width", "height"
     )
+
+
+def _hex4(col: str, start: int) -> str:
+    """SQL for int value of 4 hex chars of ``col`` starting at 1-based
+    ``start`` (= 2 bytes big-endian of the digest, as the fake decoder's
+    int.from_bytes(h[i:i+2], 'big'))."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({col}, {start + j}, 1)) - 1) * {16 ** (3 - j)}"
+        for j in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# DuckDB sha256(VARCHAR) hashes the string's UTF-8 bytes — exactly the
+# payload bytes the fake decoder hashes (payload = encode(text, 'utf-8'))
+SQL_MULTIMODAL = f"""
+WITH h AS (SELECT doc_id, octet_length(encode(text)) AS nb,
+                  sha256(text) AS hx
+           FROM documents)
+SELECT doc_id AS media_id,
+       'image' AS kind,
+       CAST(nb AS BIGINT) AS n_bytes,
+       CAST({_hex4('hx', 1)} % 4096 + 1 AS BIGINT) AS width,
+       CAST({_hex4('hx', 5)} % 4096 + 1 AS BIGINT) AS height
+FROM h"""
 
 
 # ---------------------------------------------------------------- registry
@@ -602,7 +837,9 @@ def registry() -> dict[str, tuple]:
         "pagerank": (q_pagerank, SQL_PAGERANK),
         "louvain_assignment": (q_louvain_assignment, None),
         "louvain_summary": (q_louvain_summary, None),
-        "lpa_labels": (q_lpa_labels, None),
+        "louvain_sweep2": (q_louvain_sweep2, SQL_LOUVAIN_SWEEP2),
+        "louvain_sweep2_q": (q_louvain_sweep2_q, SQL_LOUVAIN_SWEEP2_Q),
+        "lpa_labels": (q_lpa_labels, SQL_LPA_LABELS),
         # ingestion / derivation
         "repos_edges": (q_repos_edges, SQL_REPOS_EDGES),
         "sha256_gate": (q_sha256_gate, SQL_SHA256_GATE),
@@ -619,7 +856,8 @@ def registry() -> dict[str, tuple]:
         # similarity search
         "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
         "cosine_near_pairs": (q_cosine_near_pairs, SQL_COSINE_NEAR_PAIRS),
-        "ann_lsh_topk": (q_ann_lsh_topk, None),
-        # multimodal plumbing (stubbed decode)
-        "multimodal_features": (q_multimodal_features, None),
+        "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+        # multimodal plumbing (stubbed decode; fake-decode oracle mirrors
+        # the sha256-derived dimensions in SQL)
+        "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     }

@@ -150,18 +150,53 @@ def lsh_buckets(emb: DataFrame, dim: int = 64, bits: int = ANN_LSH_BITS,
     return e.select("vec_id", "v", "nrm", bucket.alias("bucket"))
 
 
-def lsh_topk(
-    emb: DataFrame, k: int = 5, dim: int = 64, bits: int = ANN_LSH_BITS,
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k: exact cosine within LSH bucket only.
+def auto_bits(n: int, rows_per_bucket: int = 64, lo: int = 4, hi: int = 24) -> int:
+    """Scale bucket count with corpus size so the in-bucket join stays
+    O(n · rows_per_bucket) instead of O(n²/2^bits_fixed) — the r1 VERDICT's
+    100 TB fix: 2^bits ≈ n / rows_per_bucket, clamped to [2^lo, 2^hi]."""
+    import math
 
-    At scale the bucket join shuffles O(n) rows into 2^bits groups instead
-    of the n² cross join; recall is tested against cosine_topk in pytest.
+    return min(hi, max(lo, math.ceil(math.log2(max(n, 1) / rows_per_bucket))))
+
+
+def lsh_topk(
+    emb: DataFrame, k: int = 5, dim: int = 64, bits: int | None = None,
+    multiprobe: int = 1, vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine within probed LSH buckets only.
+
+    The 100 TB scale path (r2 redesign):
+    - ``bits`` scales with corpus size (auto_bits) unless pinned, so buckets
+      hold ~64 rows at any n — the in-bucket join is linear, never n².
+    - multiprobe: each query also probes the buckets at Hamming distance
+      ≤ ``multiprobe`` of its own (flip-1-bit, flip-2-bits), recovering the
+      recall lost to finer buckets without touching the neighbor side.
+    - per-(query, probed-bucket) top-k pruning runs BEFORE the global
+      per-query window, bounding the global shuffle to (#probes·k) rows per
+      query regardless of bucket occupancy.
+    Candidates are naturally distinct: a neighbor lives in exactly one
+    bucket, and a query's probe set has no repeats.
     """
+    if bits is None:
+        bits = auto_bits(emb.count())
     bk = lsh_buckets(emb, dim, bits, vec_col).persist()
-    a = bk.select(F.col("vec_id").alias("query_id"), F.col("v").alias("va"),
-                  F.col("nrm").alias("na"), "bucket")
+    probe_cols = [F.col("bucket")]
+    if multiprobe >= 1:
+        probe_cols += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << b).cast("long"))
+            for b in range(bits)
+        ]
+    if multiprobe >= 2:
+        probe_cols += [
+            F.col("bucket").bitwiseXOR(F.lit((1 << b1) | (1 << b2)).cast("long"))
+            for b1 in range(bits)
+            for b2 in range(b1 + 1, bits)
+        ]
+    a = bk.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        F.explode(F.array(*probe_cols)).alias("bucket"),
+    )
     b = bk.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"),
                   F.col("nrm").alias("nb"), "bucket")
     pairs = a.join(b, "bucket").filter(
@@ -169,13 +204,22 @@ def lsh_topk(
     ).select(
         "query_id",
         "neighbor_id",
+        "bucket",
         F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
             "cos_sim"
         ),
     )
+    wb = Window.partitionBy("query_id", "bucket").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    pruned = (
+        pairs.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= k)
+        .drop("rb", "bucket")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
                 "cos_sim")
