@@ -151,6 +151,22 @@ def test_explicit_salting_identical_results(spark):
                           _labels_from_df(base.assignment, nv))
 
 
+@pytest.mark.parametrize("name", ["karate", "sbm"])
+def test_vertex_ordering_equals_plain(spark, name):
+    """L17 (distLouvainMethodVertexOrder): the reference's color loop never
+    mutates currComm/localCinfo between buckets and applies localCupdate
+    after ALL colors (louvain.cpp:1379-1418), so the ordered sweep is
+    bit-identical to the plain Jacobi sweep. The engine's -o path must
+    therefore reproduce the plain oracle exactly."""
+    s, d, w, nv = FIXTURES[name]()
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+    oracle = louvain_oracle_full(s, d, w, nv)
+    res = louvain(spark, edges,
+                  EngineConfig(coloring=True, vertex_ordering=True))
+    assert res.final_q == pytest.approx(oracle.q_per_phase[-1], abs=1e-9)
+    assert np.array_equal(_labels_from_df(res.labels, nv), oracle.labels)
+
+
 def test_degree_aware_salting_hub_graph(spark):
     """skew_degree_threshold is LIVE (r1 VERDICT missing#3): on a graph with
     one 512-degree hub, only the hub crosses the threshold; the salted run

@@ -925,9 +925,18 @@ def louvain(
     while True:
         th = threshold_for_phase(short_phase) if cfg.threshold_cycling else cfg.threshold
         # coloring only on phase 0, where the graph is largest
-        # (main.cpp:267-269); cfg.vertex_ordering (L17) orders the sweep
-        # without inter-color updates, which in a Jacobi superstep is
-        # semantically the plain path (SURVEY.md L17 note) — treated as such
+        # (main.cpp:267-269). cfg.vertex_ordering (L17,
+        # distLouvainMethodVertexOrder) is treated as the plain path — this
+        # is an exact equivalence, not an approximation: in the reference
+        # the color loop (louvain.cpp:1379-1400) reads currComm/localCinfo
+        # which are NOT mutated between buckets (decisions write targetComm
+        # and accumulate into localCupdate only), and localCupdate is
+        # applied AFTER all colors (louvain.cpp:1406-1418) — every vertex
+        # therefore sees the identical pre-sweep state, i.e. one Jacobi
+        # sweep == distLouvainMethod's single parallel-for; the coloring
+        # only reorders thread scheduling. (Contrast L16
+        # distLouvainMethodWithColoring, which DOES refresh aggregates
+        # between buckets and is implemented separately above.)
         phase_colors = None
         if cfg.coloring and phase == 0 and not cfg.vertex_ordering:
             from vite_spark.algos.coloring import multi_hash_coloring
