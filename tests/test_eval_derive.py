@@ -185,3 +185,41 @@ def test_multimodal_plumbing(spark):
 
     with _pytest.raises(Exception):
         extract_features(media, fake=False).collect()
+
+
+def test_multimodal_resize_and_frames(spark):
+    from vite_spark.text.multimodal import (
+        docs_as_media,
+        resize_media,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = docs_as_media(docs)
+    n = docs.count()
+
+    rs = resize_media(media, 64, 64, fake=True)
+    rows = rs.collect()
+    assert len(rows) == n
+    # payload is the re-encoded output; sha column matches its utf-8 bytes
+    assert all(r["payload"].decode() == r["resized_sha"] for r in rows[:10])
+    assert all(r["width"] == 64 and r["height"] == 64 for r in rows[:10])
+
+    fr = sample_frames(media, max_frames=4, fake=True)
+    frows = fr.collect()
+    # fan-out: between 1 and 4 frames per media row, frame_idx dense from 0
+    per = {}
+    for r in frows:
+        per.setdefault(r["media_id"], []).append(r)
+    assert len(per) == n
+    for mid, rs_ in list(per.items())[:20]:
+        idxs = sorted(r["frame_idx"] for r in rs_)
+        assert idxs == list(range(len(idxs))) and 1 <= len(idxs) <= 4
+        assert all(r["ts_s"] >= 0.0 for r in rs_)
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        resize_media(media, fake=False).collect()
+    with _pytest.raises(Exception):
+        sample_frames(media, fake=False).collect()

@@ -819,6 +819,47 @@ SELECT doc_id AS media_id,
        CAST({_hex4('hx', 5)} % 4096 + 1 AS BIGINT) AS height
 FROM h"""
 
+RESIZE_W, RESIZE_H = 64, 64
+MAX_FRAMES = 4
+
+
+def q_multimodal_resize(spark, sf_dir):
+    from vite_spark.text.multimodal import docs_as_media, resize_media
+
+    media = docs_as_media(_docs(spark, sf_dir))
+    return resize_media(media, RESIZE_W, RESIZE_H, fake=True).select(
+        "media_id", "kind", "width", "height", "resized_sha"
+    )
+
+
+SQL_MULTIMODAL_RESIZE = f"""
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST({RESIZE_W} AS BIGINT) AS width, CAST({RESIZE_H} AS BIGINT) AS height,
+       sha256(sha256(text) || '|{RESIZE_W}x{RESIZE_H}') AS resized_sha
+FROM documents"""
+
+
+def q_multimodal_frames(spark, sf_dir):
+    from vite_spark.text.multimodal import docs_as_media, sample_frames
+
+    media = docs_as_media(_docs(spark, sf_dir))
+    return sample_frames(media, max_frames=MAX_FRAMES, fake=True)
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+WITH h AS (
+  SELECT doc_id, sha256(text) AS hx,
+         octet_length(encode(text)) % 120 + 1 AS dur,
+         octet_length(encode(text)) % {MAX_FRAMES} + 1 AS nf
+  FROM documents
+),
+f AS (SELECT doc_id, hx, dur, nf, unnest(range(nf)) AS k FROM h)
+SELECT doc_id AS media_id,
+       CAST(k AS BIGINT) AS frame_idx,
+       ROUND(k * dur / nf, 3) AS ts_s,
+       sha256(hx || ':' || CAST(k AS VARCHAR)) AS frame_sha
+FROM f"""
+
 
 # ---------------------------------------------------------------- registry
 
@@ -857,7 +898,9 @@ def registry() -> dict[str, tuple]:
         "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
         "cosine_near_pairs": (q_cosine_near_pairs, SQL_COSINE_NEAR_PAIRS),
         "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
-        # multimodal plumbing (stubbed decode; fake-decode oracle mirrors
-        # the sha256-derived dimensions in SQL)
+        # multimodal plumbing (stubbed codecs; fake-decode oracles mirror
+        # the sha256-derived dimensions/payloads in SQL)
         "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+        "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+        "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     }

@@ -102,3 +102,108 @@ def extract_features(media: DataFrame, fake: bool = False, n_features: int = 8) 
             )
 
     return media.mapInPandas(batch_fn, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("payload", BinaryType(), True),      # re-encoded bytes
+        StructField("resized_sha", StringType(), False),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, width: int = 64, height: int = 64, fake: bool = False
+) -> DataFrame:
+    """Arrow-batched decode→resample→re-encode over binary payloads.
+
+    Real pipeline: PIL/libvips resize inside the same mapInPandas batch.
+    STUB (fake=True): the re-encoded payload is the utf-8 of
+    sha256(sha256(payload).hex + "|WxH") — deterministic, cross-engine
+    reproducible (the resized_sha column is DuckDB-oracle-checked), and the
+    batch shape (binary in, binary out, meta columns) is exactly the real
+    decoder's contract."""
+
+    def batch_fn(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media resize requires codec libraries not present in "
+                    "this environment; pass fake=True for the deterministic stub"
+                )
+            outs = []
+            for b in pdf["payload"]:
+                h = hashlib.sha256(b or b"").hexdigest()
+                outs.append(
+                    hashlib.sha256(f"{h}|{width}x{height}".encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": width,
+                    "height": height,
+                    "payload": [o.encode() for o in outs],
+                    "resized_sha": outs,
+                }
+            )
+
+    return media.mapInPandas(batch_fn, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("ts_s", DoubleType(), False),
+        StructField("frame_sha", StringType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, max_frames: int = 4, fake: bool = False) -> DataFrame:
+    """Video frame sampling: one input row fans out to n_frames rows —
+    the row-explosion plumbing (mapInPandas yielding MORE rows than it
+    receives) a real ffmpeg frame sampler needs.
+
+    STUB (fake=True): duration = n_bytes % 120 + 1 seconds, n_frames =
+    n_bytes % max_frames + 1, uniform timestamps, frame_sha =
+    sha256(sha256(payload).hex + ":" + idx) — all DuckDB-expressible, so
+    the fan-out is value-checked by the driver oracle."""
+
+    def batch_fn(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "frame sampling requires codec libraries not present in "
+                    "this environment; pass fake=True for the deterministic stub"
+                )
+            mid, idxs, tss, shas = [], [], [], []
+            for i, b in zip(pdf["media_id"], pdf["payload"]):
+                b = b or b""
+                h = hashlib.sha256(b).hexdigest()
+                dur = len(b) % 120 + 1
+                nf = len(b) % max_frames + 1
+                for k in range(nf):
+                    mid.append(i)
+                    idxs.append(k)
+                    tss.append(round(k * dur / nf, 3))
+                    shas.append(hashlib.sha256(f"{h}:{k}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": mid, "frame_idx": idxs, "ts_s": tss,
+                 "frame_sha": shas}
+            )
+
+    return media.mapInPandas(batch_fn, schema=FRAMES_SCHEMA)
