@@ -166,8 +166,11 @@ def synth_edges(spark, n_vertices: int = 200_000, avg_deg: int = 16,
     return e.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
 
 
-SCALING_PARQUET = "/tmp/vite_spark_scaling_edges.parquet"
-SCALING_NV = 1_000_000
+# 2M vertices × ~128 degree ≈ 256M directed rows: large enough that the
+# parallel sweep dominates the fixed per-superstep job overhead at 16
+# cores (at 128M rows the overhead floor capped efficiency near 0.8)
+SCALING_PARQUET = "/tmp/vite_spark_scaling_edges_v2.parquet"
+SCALING_NV = 2_000_000
 SCALING_DEG = 128
 
 
