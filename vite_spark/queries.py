@@ -254,6 +254,33 @@ SQL_CC_SIZES = SQL_CONNECTED_COMPONENTS.replace(
     "GROUP BY component",
 )
 
+def q_cc_gini(spark, sf_dir):
+    """E4 (compare.cpp:310-336): Gini of the component-size distribution —
+    driver-checked on the deterministic CC assignment."""
+    from vite_spark.algos.components import connected_components_twophase
+    from vite_spark.eval.compare import gini_coefficient
+
+    e = lineitem_part_edges(spark, sf_dir)
+    lab = connected_components_twophase(spark, e).select(
+        "id", F.col("component").alias("comm")
+    )
+    g = gini_coefficient(lab)
+    return spark.createDataFrame([(g,)], "g double").select(
+        F.round("g", 6).alias("gini")
+    )
+
+
+SQL_CC_GINI = SQL_CONNECTED_COMPONENTS.replace(
+    "SELECT id, MIN(component) AS component FROM cc GROUP BY id",
+    """, comp AS (SELECT id, MIN(component) AS component FROM cc GROUP BY id),
+sizes AS (SELECT component, COUNT(*) AS s FROM comp GROUP BY component),
+r AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s, component) AS i FROM sizes)
+SELECT ROUND(2.0 * SUM(i * s) / (COUNT(*) * CAST(SUM(s) AS DOUBLE))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM r""",
+)
+
+
 PR_ITERS = 10
 
 
@@ -680,6 +707,27 @@ FROM bits GROUP BY doc_id"""
 
 SQL_SIMHASH = _simhash_sql()
 
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return dd.simhash_near_pairs(
+        _docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING
+    ).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+# the oracle joins ALL pairs (correct but quadratic — fine at oracle scale);
+# the Spark side uses the pigeonhole 4x8-bit slice bucket join, which is
+# exact for max_hamming <= 3 (any such pair shares >= 1 untouched slice)
+SQL_SIMHASH_PAIRS = f"""
+WITH sh AS ({SQL_SIMHASH})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}"""
+
 
 # ---------------------------------------------------------------- ANN
 
@@ -875,6 +923,7 @@ def registry() -> dict[str, tuple]:
         "triangles_by_vertex": (q_triangles_by_vertex, SQL_TRIANGLES_BY_VERTEX),
         "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
         "cc_sizes": (q_cc_sizes, SQL_CC_SIZES),
+        "cc_gini": (q_cc_gini, SQL_CC_GINI),
         "pagerank": (q_pagerank, SQL_PAGERANK),
         "louvain_assignment": (q_louvain_assignment, None),
         "louvain_summary": (q_louvain_summary, None),
@@ -894,6 +943,7 @@ def registry() -> dict[str, tuple]:
         "ngram_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
         "minhash_lsh_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
         "simhash": (q_simhash, SQL_SIMHASH),
+        "simhash_near_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
         # similarity search
         "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
         "cosine_near_pairs": (q_cosine_near_pairs, SQL_COSINE_NEAR_PAIRS),
