@@ -5,13 +5,15 @@
   testdata (the Vite headline capability re-expressed Spark-first).
 - ``queries()``: every implemented operator from SURVEY.md §2 +
   training-data-pipeline ops, as (spark, sf_dir) → DataFrame callables.
-- ``oracle_sql()``: DuckDB-equivalent ANSI SQL for each SQL-expressible
-  query (generated from the same constants as the Spark side; see
-  vite_spark/queries.py). Iterative driver-loop algorithms
-  (Louvain, LPA, LSH-ANN, Arrow-UDF multimodal) are intentionally omitted
-  → rows-only driver check; their exact-parity gate is
-  tests/test_louvain_spark.py and tests/test_algos.py against NumPy
-  oracles that mirror /root/reference semantics line-by-line.
+- ``oracle_sql()``: DuckDB-equivalent ANSI SQL for every query except the
+  two full-convergence Louvain entries (generated from the same constants
+  as the Spark side; see vite_spark/queries.py). LPA and fixed-sweep
+  Louvain get unrolled-CTE oracles; LSH-ANN and the multimodal stubs get
+  exact SQL mirrors. Only ``louvain_assignment``/``louvain_summary``
+  (driver-side convergence protocol) stay rows-only; their exact-parity
+  gate is tests/test_louvain_spark.py against the NumPy oracle that
+  mirrors /root/reference semantics line-by-line, and their per-sweep
+  algebra is driver-oracled via ``louvain_sweep2``/``louvain_sweep2_q``.
 """
 
 from __future__ import annotations
