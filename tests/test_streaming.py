@@ -1,0 +1,117 @@
+"""Structured Streaming ops pinned to their batch equivalents: each op is
+drained over the static events table with Trigger.AvailableNow and must
+reproduce exactly what the batch DataFrame computation says."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vite_spark.streaming import (
+    cooccur_edge_stream,
+    run_available_now,
+    running_user_stats,
+    stream_events,
+    streaming_dedup,
+    windowed_event_counts,
+)
+
+SRC = "/root/testdata/sf0.001/events.parquet"
+# the file-stream source requires a directory or glob (basePath must be a
+# directory); the glob's non-wildcard prefix is the sf dir
+SRC_GLOB = "/root/testdata/sf0.001/events.*"
+
+
+def _batch_events(spark):
+    return spark.read.parquet(SRC)
+
+
+def _epoch(col: str):
+    return F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    )
+
+
+def test_windowed_counts_match_batch(spark):
+    st = windowed_event_counts(stream_events(spark, SRC_GLOB))
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in run_available_now(st, output_mode="complete").collect()
+    }
+    exp = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in _batch_events(spark)
+        .groupBy(
+            (F.floor(_epoch("ts") / 600) * 600).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == exp and len(got) > 10
+
+
+def test_streaming_dedup_drops_replayed_files(spark, tmp_path):
+    # two copies of the same file = every event arrives twice
+    import shutil
+
+    d = tmp_path / "events_dup"
+    d.mkdir()
+    shutil.copy(SRC, d / "a.parquet")
+    shutil.copy(SRC, d / "b.parquet")
+    st = streaming_dedup(stream_events(spark, str(d)))
+    out = run_available_now(st, output_mode="append")
+    n_distinct = _batch_events(spark).count()
+    assert out.count() == n_distinct
+    assert out.select("event_id").distinct().count() == n_distinct
+
+
+def test_running_user_stats_match_batch(spark):
+    st = running_user_stats(stream_events(spark, SRC_GLOB))
+    rows = run_available_now(st, output_mode="update").collect()
+    # keep the LAST update per user (multi-batch runs emit intermediates)
+    got = {}
+    for r in rows:
+        prev = got.get(r["user_id"])
+        if prev is None or r["n_events"] > prev[0]:
+            got[r["user_id"]] = (r["n_events"], r["total_value"])
+    exp = {
+        r["user_id"]: (r["n"], r["tot"])
+        for r in _batch_events(spark)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("tot"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_cooccur_edge_stream_matches_batch(spark):
+    st = cooccur_edge_stream(stream_events(spark, SRC_GLOB))
+    got = {
+        (r["window_start"], r["event_type"], r["src"], r["dst"])
+        for r in run_available_now(st, output_mode="complete").collect()
+    }
+    b = (
+        _batch_events(spark)
+        .groupBy(
+            (F.floor(_epoch("ts") / 600) * 600).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.collect_set("user_id").alias("users"))
+    )
+    us = F.array_sort("users")
+    exp = {
+        (r["window_start"], r["event_type"], r["src"], r["dst"])
+        for r in b.select(
+            "window_start", "event_type", F.explode(us).alias("src"), us.alias("au")
+        )
+        .select("window_start", "event_type", "src", F.explode("au").alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .collect()
+    }
+    assert got == exp and len(got) > 0

@@ -909,6 +909,62 @@ SELECT doc_id AS media_id,
 FROM f"""
 
 
+# ---------------------------------------------------------------- streaming
+
+def q_streaming_event_counts(spark, sf_dir):
+    """Structured Streaming surface, driver-checked: the watermarked
+    tumbling-window aggregate drained over the static events table with
+    Trigger.AvailableNow — deterministic, so the value-hash comparison
+    against plain SQL verifies the streaming pipeline end-to-end."""
+    from vite_spark.streaming import (
+        run_available_now,
+        stream_events,
+        windowed_event_counts,
+    )
+
+    st = windowed_event_counts(stream_events(spark, f"{sf_dir}/events.*"))
+    return run_available_now(st, output_mode="complete").select(
+        F.col("window_start").cast("long").alias("window_start"),
+        "event_type", "n", "total_value",
+    )
+
+
+SQL_STREAMING_EVENT_COUNTS = """
+SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 6) AS total_value
+FROM events GROUP BY 1, 2"""
+
+
+def q_streaming_cooccur_edges(spark, sf_dir):
+    """Streaming link-graph construction (users co-occurring in the same
+    (event_type, 10-minute window) bucket), drained deterministically."""
+    from vite_spark.streaming import (
+        cooccur_edge_stream,
+        run_available_now,
+        stream_events,
+    )
+
+    st = cooccur_edge_stream(stream_events(spark, f"{sf_dir}/events.*"))
+    return run_available_now(st, output_mode="complete").select(
+        F.col("window_start").cast("long").alias("window_start"),
+        "event_type", "src", "dst",
+    )
+
+
+SQL_STREAMING_COOCCUR_EDGES = """
+WITH b AS (
+  SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+         event_type, user_id
+  FROM events
+)
+SELECT DISTINCT a.window_start, a.event_type,
+       a.user_id AS src, c.user_id AS dst
+FROM b a JOIN b c USING (window_start, event_type)
+WHERE a.user_id < c.user_id"""
+
+
 # ---------------------------------------------------------------- registry
 
 def registry() -> dict[str, tuple]:
@@ -948,6 +1004,13 @@ def registry() -> dict[str, tuple]:
         "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
         "cosine_near_pairs": (q_cosine_near_pairs, SQL_COSINE_NEAR_PAIRS),
         "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+        # streaming (drained deterministically with Trigger.AvailableNow)
+        "streaming_event_counts": (
+            q_streaming_event_counts, SQL_STREAMING_EVENT_COUNTS,
+        ),
+        "streaming_cooccur_edges": (
+            q_streaming_cooccur_edges, SQL_STREAMING_COOCCUR_EDGES,
+        ),
         # multimodal plumbing (stubbed codecs; fake-decode oracles mirror
         # the sha256-derived dimensions/payloads in SQL)
         "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),

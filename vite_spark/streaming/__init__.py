@@ -1,0 +1,9 @@
+from vite_spark.streaming.ops import (  # noqa: F401
+    EVENT_SCHEMA,
+    cooccur_edge_stream,
+    run_available_now,
+    running_user_stats,
+    stream_events,
+    streaming_dedup,
+    windowed_event_counts,
+)
