@@ -139,6 +139,34 @@ def test_lsh_ann_recall(spark):
     assert auto_bits(10**12) == 24
 
 
+def test_ivf_ann_recall(spark):
+    from vite_spark.text.ann import cosine_topk
+    from vite_spark.text.ivf import ivf_assign, ivf_topk, ivf_train, _collect_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+
+    # every vector lands in exactly one cell; cells partition the corpus
+    cents = _collect_centroids(ivf_train(emb, n_cells=8, iters=2))
+    asg = ivf_assign(emb, cents)
+    assert asg.count() == n
+    assert asg.select("vec_id").distinct().count() == n
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_topk(emb, k=3, n_cells=8, nprobe=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    # probing 2 of 8 cells ≈ 25% of the corpus; spherical cells group
+    # cosine-similar vectors, so recall must beat the random-subset floor
+    assert recall > 0.3
+
+    # nprobe = n_cells probes every cell → exhaustive == brute force
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(emb, k=3, n_cells=8, nprobe=8).collect()}
+    assert full == exact
+
+
 def test_simhash_near_pairs_close_texts(spark):
     docs = spark.createDataFrame(
         [

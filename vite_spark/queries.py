@@ -909,6 +909,98 @@ SELECT doc_id AS media_id,
 FROM f"""
 
 
+IVF_CELLS, IVF_NPROBE, IVF_ITERS = 16, 2, 2
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    from vite_spark.text.ivf import ivf_topk
+
+    return ivf_topk(
+        _emb(spark, sf_dir), k=TOPK, n_cells=IVF_CELLS, nprobe=IVF_NPROBE,
+        iters=IVF_ITERS,
+    )
+
+
+def _ivf_sql(k: int, n_cells: int, nprobe: int, iters: int) -> str:
+    """DuckDB mirror of ivf.ivf_topk: identical deterministic spherical
+    k-means (lowest-vec_id init, 6dp-rounded cosines and centroids, ties →
+    min cell), identical probe/top-k ordering."""
+
+    def cos(vexpr, nexpr, centtbl):
+        return (
+            f"ROUND(list_dot_product({vexpr}, {centtbl}.cent) / "
+            f"({nexpr} * SQRT(list_dot_product({centtbl}.cent, {centtbl}.cent))), 6)"
+        )
+
+    parts = [f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nrm AS MATERIALIZED (SELECT vec_id, SQRT(list_dot_product(v, v)) AS n FROM e),
+c0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(v, x -> ROUND(x, 6)) AS cent
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {n_cells})
+),"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f"""asg{i} AS MATERIALIZED (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.v', 'n.n', 'c')} DESC,
+                                       c.cell ASC) AS rn
+    FROM e JOIN nrm n USING (vec_id) CROSS JOIN c{p} c
+  ) WHERE rn = 1
+),
+c{i} AS MATERIALIZED (
+  SELECT cell, list(m ORDER BY pos) AS cent FROM (
+    SELECT cell, pos, ROUND(AVG(x), 6) AS m FROM (
+      SELECT cell, unnest(v) AS x, unnest(range(len(v))) AS pos FROM asg{i}
+    ) GROUP BY cell, pos
+  ) GROUP BY cell
+),""")
+    parts.append(f"""probe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.v', 'n.n', 'c')} DESC,
+                                       c.cell ASC) AS rn
+    FROM e JOIN nrm n USING (vec_id) CROSS JOIN c{iters} c
+  ) WHERE rn <= {nprobe}
+),
+asgf AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.v', 'n.n', 'c')} DESC,
+                                       c.cell ASC) AS rn
+    FROM e JOIN nrm n USING (vec_id) CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_dot_product(ea.v, eb.v) / (na.n * nb.n), 6) AS cos_sim
+  FROM probe p
+  JOIN asgf a USING (cell)
+  JOIN e ea ON ea.vec_id = p.query_id
+  JOIN e eb ON eb.vec_id = a.vec_id
+  JOIN nrm na ON na.vec_id = p.query_id
+  JOIN nrm nb ON nb.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+FROM r WHERE rank <= {k}""")
+    return "\n".join(parts)
+
+
+SQL_ANN_IVF_TOPK = _ivf_sql(TOPK, IVF_CELLS, IVF_NPROBE, IVF_ITERS)
+
+
 # ---------------------------------------------------------------- streaming
 
 def q_streaming_event_counts(spark, sf_dir):
@@ -1004,6 +1096,7 @@ def registry() -> dict[str, tuple]:
         "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
         "cosine_near_pairs": (q_cosine_near_pairs, SQL_COSINE_NEAR_PAIRS),
         "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+        "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
         # streaming (drained deterministically with Trigger.AvailableNow)
         "streaming_event_counts": (
             q_streaming_event_counts, SQL_STREAMING_EVENT_COUNTS,
