@@ -35,7 +35,47 @@ def make_spark(cores: int | str, shuffle_parts: int | None = None):
                      shuffle_partitions=shuffle_parts)
 
 
-def run_headline(spark, sf_dir: str) -> dict:
+def run_headline(spark, sf_dir: str, reps: int | None = None) -> dict:
+    """Headline suite with INTERLEAVED full-suite repeats and per-query
+    medians (same discipline --scaling learned in r2: this host's noise
+    comes in multi-minute windows with 2-4x swings, so a single-shot
+    headline number is weather — r2's apparent 43% regression was exactly
+    that). reps defaults to $SPARK_GRAFT_HEADLINE_REPS or 3; per-rep values
+    are reported alongside the medians so any window effect is visible."""
+    import statistics
+
+    if reps is None:
+        reps = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "3"))
+    per_rep: list[dict] = []
+    extra: dict = {}
+    for i in range(reps):
+        t, e = _headline_once(spark, sf_dir)
+        per_rep.append(t)
+        if i == 0:
+            extra = e          # deterministic values (q, supersteps, edges)
+        else:
+            # throughput metrics: keep per-rep, median below
+            for k in ("louvain_edges_per_sec", "TEPS"):
+                extra[f"_{k}_reps"] = extra.get(f"_{k}_reps", [extra[k]]) + [e[k]]
+    timings = {
+        q: round(statistics.median(r[q] for r in per_rep), 3)
+        for q in per_rep[0]
+    }
+    for k in ("louvain_edges_per_sec", "TEPS"):
+        vals = extra.pop(f"_{k}_reps", None)
+        if vals:
+            extra[k] = round(statistics.median(vals), 1)
+    return {
+        "timings": timings,
+        "extra": {
+            **extra,
+            "headline_reps": reps,
+            "queries_per_rep": per_rep,
+        },
+    }
+
+
+def _headline_once(spark, sf_dir: str) -> tuple[dict, dict]:
     from pyspark.sql import functions as F
 
     from vite_spark.algos.louvain import louvain
@@ -61,7 +101,7 @@ def run_headline(spark, sf_dir: str) -> dict:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # graph build once (also timed — it is a real operator)
+    # graph build once per rep (also timed — it is a real operator)
     t0 = time.time()
     edges = lineitem_part_edges(spark, sf_dir).persist()
     ne = edges.count()
@@ -89,7 +129,8 @@ def run_headline(spark, sf_dir: str) -> dict:
     timed("simhash", lambda: q_simhash(spark, sf_dir).count())
     timed("quality_scores", lambda: q_quality(spark, sf_dir).count())
 
-    return {"timings": timings, "extra": extra}
+    edges.unpersist()   # keep executor storage flat across repeats
+    return timings, extra
 
 
 def superstep_throughput(spark, edges, iters: int = 5, warmup: int = 2,

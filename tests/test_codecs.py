@@ -1,0 +1,156 @@
+"""BMP codec (text/codecs.py) pinned to the public format spec, and the
+real multimodal decode path that rides on it."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+
+from vite_spark.text.codecs import (
+    decode_bmp,
+    encode_bmp,
+    is_bmp,
+    resize_nearest,
+)
+
+
+def _reference_bmp_2x2() -> tuple[bytes, np.ndarray]:
+    """Hand-built 2x2 24-bit BMP from the spec (NOT via encode_bmp):
+    bottom-up rows, BGR triples, 4-byte row padding."""
+    rgb = np.array(
+        [[[255, 0, 0], [0, 255, 0]],
+         [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )
+    # stride = (3*2 + 3) & ~3 = 8; two rows = 16 pixel bytes
+    pix = bytes(
+        # bottom row first: (0,0,255)->BGR ff 00 00 ; white -> ff ff ff ; pad
+        [0xFF, 0x00, 0x00, 0xFF, 0xFF, 0xFF, 0x00, 0x00,
+         # top row: (255,0,0)->00 00 ff ; (0,255,0)->00 ff 00 ; pad
+         0x00, 0x00, 0xFF, 0x00, 0xFF, 0x00, 0x00, 0x00]
+    )
+    head = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pix),
+                       2835, 2835, 0, 0)
+    return head + info + pix, rgb
+
+
+def test_decode_matches_spec_literal():
+    payload, expected = _reference_bmp_2x2()
+    got = decode_bmp(payload)
+    assert got.shape == (2, 2, 3)
+    assert (got == expected).all()
+
+
+def test_encode_decode_roundtrip_arbitrary_sizes():
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (2, 3), (5, 4), (17, 31), (8, 8)]:
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_bmp(encode_bmp(rgb))
+        assert out.shape == (h, w, 3)
+        assert (out == rgb).all()
+
+
+def test_decode_top_down_variant():
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = bytearray(encode_bmp(rgb))
+    # flip height sign (offset 22, i32) -> top-down row order
+    struct.pack_into("<i", payload, 22, -2)
+    flipped = decode_bmp(bytes(payload))
+    assert (flipped == rgb[::-1]).all()
+
+
+def test_decode_rejects_unsupported_loudly():
+    payload = bytearray(encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+    struct.pack_into("<H", payload, 28, 8)   # bpp = 8
+    with pytest.raises(ValueError, match="24-bit"):
+        decode_bmp(bytes(payload))
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"BX" + bytes(60))
+    assert not is_bmp(b"BM too short")
+
+
+def test_resize_nearest_exact_blocks():
+    # 2x2 upsampled 2x: each source pixel becomes a 2x2 block
+    rgb = np.array(
+        [[[10, 0, 0], [0, 20, 0]], [[0, 0, 30], [40, 40, 40]]], np.uint8
+    )
+    up = resize_nearest(rgb, 4, 4)
+    assert up.shape == (4, 4, 3)
+    for r in range(4):
+        for c in range(4):
+            assert (up[r, c] == rgb[r // 2, c // 2]).all()
+    # identity resize
+    assert (resize_nearest(rgb, 2, 2) == rgb).all()
+
+
+def test_multimodal_real_decode_on_spark(spark):
+    """Real path end-to-end: BMP payloads decode to true dims/means, and a
+    'BM'-prefixed TEXT payload falls through to the stub instead of
+    crashing (UTF-8 can never satisfy the bpp/compression bytes)."""
+    import pandas as pd
+
+    from vite_spark.text.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_media,
+    )
+
+    rgb = np.zeros((3, 5, 3), np.uint8)
+    rgb[..., 0] = 200   # constant red channel
+    bmp = encode_bmp(rgb)
+    trap = ("BM" + "x" * 100).encode()   # BM magic, not a BMP
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "kind": ["image", "image"],
+            "payload": [bmp, trap],
+            "mime": ["image/bmp", "text/plain"],
+            "meta_width": pd.array([None, None], dtype="Int64"),
+            "meta_height": pd.array([None, None], dtype="Int64"),
+            "meta_duration_s": pd.array([None, None], dtype="Float64"),
+        }
+    )
+    media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+
+    rows = {r["media_id"]: r for r in extract_features(media, fake=True).collect()}
+    real = rows[1]
+    assert (real["width"], real["height"]) == (5, 3)
+    assert real["n_bytes"] == len(bmp)
+    assert real["features"][0] == round(200 / 255.0, 6)
+    assert real["features"][1] == 0.0 and real["features"][2] == 0.0
+    # trap row took the deterministic stub path (sha-derived dims)
+    h = hashlib.sha256(trap).digest()
+    assert rows[2]["width"] == int.from_bytes(h[0:2], "big") % 4096 + 1
+
+    # fake=False: real BMP decodes, non-BMP raises loudly
+    only_bmp = spark.createDataFrame(pdf[pdf.media_id == 1], schema=MEDIA_SCHEMA)
+    assert extract_features(only_bmp).count() == 1
+    with pytest.raises(Exception, match="BMP"):
+        extract_features(media).collect()
+
+    # real resize: decode -> nearest resample -> re-encode, sha of real bytes
+    rrows = {r["media_id"]: r for r in resize_media(media, 4, 2, fake=True).collect()}
+    expect = encode_bmp(resize_nearest(rgb, 4, 2))
+    assert bytes(rrows[1]["payload"]) == expect
+    assert rrows[1]["resized_sha"] == hashlib.sha256(expect).hexdigest()
+
+
+def test_bmp_media_from_docs_contract(spark):
+    """Driver-fixture contract: dims/pixel formulas match what the DuckDB
+    oracle recomputes (queries.SQL_MULTIMODAL_BMP)."""
+    import pandas as pd
+
+    from vite_spark.text.multimodal import bmp_media_from_docs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 5, 40], "text": ["alpha", "beta", "gamma"]})
+    )
+    out = {r["media_id"]: r for r in bmp_media_from_docs(docs).collect()}
+    for doc_id, text in [(0, "alpha"), (5, "beta"), (40, "gamma")]:
+        rgb = decode_bmp(bytes(out[doc_id]["payload"]))
+        assert rgb.shape == (doc_id % 17 + 2, doc_id % 31 + 2, 3)
+        h = hashlib.sha256(text.encode()).digest()
+        assert (rgb == np.frombuffer(h[:3], np.uint8)).all()

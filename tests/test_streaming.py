@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from vite_spark.streaming import (
+    EVENT_SCHEMA,
     cooccur_edge_stream,
     run_available_now,
     running_user_stats,
@@ -115,3 +116,45 @@ def test_cooccur_edge_stream_matches_batch(spark):
         .collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_cooccur_edge_stream_hot_bucket_cap(spark, tmp_path):
+    """One hot (event_type, window) bucket with more users than the cap:
+    the emitted pairs are bounded at C(K,2) over the K SMALLEST user_ids
+    (r2 VERDICT wrong#3 — uncapped fan-out is k² per bucket)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    d = tmp_path / "events_hot"
+    d.mkdir()
+    n_users, cap = 20, 5
+    base = dt.datetime(2024, 1, 1, 0, 1, 0)
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n_users),
+            "ts": [base] * n_users,
+            "user_id": list(range(n_users)),
+            "event_type": ["hot"] * n_users,
+            "value": [1.0] * n_users,
+            "props": ["{}"] * n_users,
+        }
+    )
+    spark.createDataFrame(pdf, schema=EVENT_SCHEMA).coalesce(1).write.parquet(
+        str(d / "part"), mode="overwrite"
+    )
+    st = cooccur_edge_stream(
+        stream_events(spark, str(d / "part")), max_bucket_users=cap
+    )
+    rows = run_available_now(st, output_mode="complete").collect()
+    # exactly C(cap, 2) pairs, all among the cap smallest user ids
+    assert len(rows) == cap * (cap - 1) // 2
+    assert all(r["src"] < r["dst"] < cap for r in rows)
+    # uncapped control emits the full C(n_users, 2)
+    st_all = cooccur_edge_stream(
+        stream_events(spark, str(d / "part")), max_bucket_users=None
+    )
+    assert (
+        run_available_now(st_all, output_mode="complete").count()
+        == n_users * (n_users - 1) // 2
+    )

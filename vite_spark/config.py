@@ -67,7 +67,14 @@ class EngineConfig:
     # Explicit two-stage salted aggregation for the L4 counter: stage 1
     # groups by (src, comm, salt(dst)) so a super-hub vertex's counter is
     # built by skew_salt_parts tasks before the final merge. Identical
-    # results (integer-weight exact); AQE skew handling covers the join.
+    # results (integer-weight exact); parity-tested. OFF by default: the
+    # map-side partial hash agg + AQE skew-join splitting already collapse
+    # hub counters before the shuffle, and the extra stage costs ~1 shuffle
+    # on the non-skewed bulk. FLIP THIS ON when a phase runs the
+    # shuffle-join superstep (not the packed-CSR path) AND the degree
+    # distribution has hubs above ~10^6 neighbors (check
+    # graph_stats.max_vdeg) — that is where one reducer would otherwise
+    # build a 10^6-row counter group alone.
     explicit_salting: bool = False
     # Shuffle partitions for superstep joins; None = session default.
     shuffle_partitions: int | None = None

@@ -16,7 +16,7 @@ Gini coefficient of community sizes (compare.cpp:310-336):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def pair_counting_scores(truth: DataFrame, output: DataFrame) -> dict:
@@ -49,17 +49,76 @@ def pair_counting_scores(truth: DataFrame, output: DataFrame) -> dict:
     }
 
 
-def gini_coefficient(assignment: DataFrame) -> float:
-    """Gini of the community-size distribution (compare.cpp:310-336)."""
+def gini_coefficient(assignment: DataFrame, num_parts: int | None = None) -> float:
+    """Gini of the community-size distribution (compare.cpp:310-336).
+
+    Fully distributed ranking — no global single-partition window (a 100×
+    co-occurrence graph can have 10⁸ communities): the rank-weighted sum
+    Σ i·s_i over sizes sorted by (s, comm) collapses to per-distinct-size
+    BLOCKS, because equal sizes occupy a contiguous rank run and their
+    rank-sum is an arithmetic series independent of the comm tie-order.
+    Block offsets come from a range partition on s + one tiny per-partition
+    count collect (the kernels/ids.py dense-rank pattern); every term is an
+    exact integer, so the value is bit-identical to the windowed form."""
+    spark = assignment.sparkSession
+    if num_parts is None:
+        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
     sizes = assignment.groupBy("comm").agg(F.count(F.lit(1)).alias("s"))
-    w = Window.orderBy("s", "comm")
-    ranked = sizes.withColumn("i", F.row_number().over(w))
-    row = ranked.agg(
-        F.sum(F.col("i") * F.col("s")).alias("num"),
-        F.sum("s").alias("tot"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    n, tot = int(row["n"]), float(row["tot"])
+    blocks = (
+        sizes.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .repartitionByRange(num_parts, F.col("s"))
+        .persist()
+    )
+    try:
+        counts = (
+            blocks.select(F.spark_partition_id().alias("pid"), "cnt")
+            .groupBy("pid")
+            .agg(F.sum("cnt").alias("c"))
+            .collect()
+        )
+        by_pid = {r["pid"]: int(r["c"]) for r in counts}
+        offsets, acc = {}, 0
+        for pid in sorted(by_pid):
+            offsets[pid] = acc
+            acc += by_pid[pid]
+        b_offsets = spark.sparkContext.broadcast(offsets)
+
+        def block_contrib(pdf_iter):
+            import numpy as np
+            import pandas as pd
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            parts = [p for p in pdf_iter if len(p)]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+            pdf = pdf.sort_values("s", ignore_index=True)
+            s = pdf["s"].to_numpy(np.int64)
+            cnt = pdf["cnt"].to_numpy(np.int64)
+            before = b_offsets.value.get(pid, 0) + np.concatenate(
+                ([0], np.cumsum(cnt)[:-1])
+            )
+            # ranks of a block of `cnt` equal sizes after `before` rows:
+            # before+1 .. before+cnt → rank-sum = cnt·before + cnt(cnt+1)/2
+            contrib = s * (cnt * before + cnt * (cnt + 1) // 2)
+            yield pd.DataFrame({"contrib": contrib})
+
+        row = (
+            blocks.mapInPandas(block_contrib, schema="contrib long")
+            .agg(F.sum("contrib").alias("num"))
+            .collect()[0]
+        )
+        tot_row = blocks.agg(
+            F.sum(F.col("s") * F.col("cnt")).alias("tot"),
+            F.sum("cnt").alias("n"),
+        ).collect()[0]
+    finally:
+        blocks.unpersist()
+    n = int(tot_row["n"] or 0)
+    tot = float(tot_row["tot"] or 0.0)
     if n == 0 or tot == 0:
         return 0.0
     return 2.0 * float(row["num"]) / (n * tot) - (n + 1.0) / n

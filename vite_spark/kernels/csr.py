@@ -80,6 +80,12 @@ def _grouping_order(srcl: np.ndarray, c_dst: np.ndarray, key: np.ndarray,
     n = len(key)
     if n < (1 << 16):
         return np.argsort(key, kind="stable")
+    if nvl >= (1 << 32) or nv_local >= (1 << 32):
+        # radix precondition (r2 ADVICE): the LSD passes below cover only
+        # bits 0..31 of c_dst / srcl — beyond 2^32 ids the uint16
+        # truncation would silently mis-group the counter. The comparison
+        # timsort is slower but correct for any id width.
+        return np.argsort(key, kind="stable")
     sample = key[::127]
     desc = int(np.count_nonzero(sample[:-1] > sample[1:]))
     if desc * 32 < len(sample):

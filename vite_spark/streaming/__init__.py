@@ -1,4 +1,5 @@
 from vite_spark.streaming.ops import (  # noqa: F401
+    DEFAULT_MAX_BUCKET_USERS,
     EVENT_SCHEMA,
     cooccur_edge_stream,
     run_available_now,

@@ -27,6 +27,13 @@ IVF_ROUND = 6
 
 
 def _cos(v, nv, cent: list, cnorm: float):
+    if cnorm == 0.0:
+        # zero-norm centroid (degenerate cell whose members average to the
+        # zero vector): keep the cell with a DEFINED cosine of 0 — the SQL
+        # oracle mirrors the same CASE, so both engines quantize over the
+        # identical cell set (r2 ADVICE; dropping the cell Spark-side only
+        # changed membership and probe sets vs the oracle)
+        return F.lit(0.0)
     c = F.array(*[F.lit(float(x)) for x in cent])
     return F.round(_dot(v, c) / (nv * F.lit(cnorm)), IVF_ROUND)
 
@@ -59,8 +66,9 @@ def _collect_centroids(cdf: DataFrame) -> list:
     for r in sorted(rows, key=lambda r: r["cell"]):
         cent = list(r["centroid"])
         cn = math.sqrt(sum(x * x for x in cent))
-        if cn > 0:
-            out.append((int(r["cell"]), cent, cn))
+        # zero-norm cells are KEPT (cosine defined as 0 in _cos) so the
+        # engine and the DuckDB oracle share one cell universe
+        out.append((int(r["cell"]), cent, cn))
     return out
 
 
