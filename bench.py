@@ -134,7 +134,7 @@ def _headline_once(spark, sf_dir: str) -> tuple[dict, dict]:
 
 
 def superstep_throughput(spark, edges, iters: int = 5, warmup: int = 2,
-                         csr: bool = True) -> float:
+                         csr: bool = True, sharded: bool = False) -> float:
     """edges/sec per Louvain superstep (BASELINE.md metric): run `iters`
     fixed supersteps, report the mean of the post-warmup ones (the first
     pay one-off costs: python worker spin-up, cache build, first broadcast)."""
@@ -146,8 +146,11 @@ def superstep_throughput(spark, edges, iters: int = 5, warmup: int = 2,
     # force a distributed superstep path — this measures cluster scaling;
     # csr=True uses the CSR-broadcast Arrow kernel (the flagship design),
     # csr=False the shuffle-join path (the very-large-nv fallback)
+    # sharded=True forces the O(nv/p + |universe_p|) sharded-state kernel
+    # (the path any graph beyond csr_mirror_max_ids dense ids takes)
     cfg = EngineConfig(
-        max_total_iterations=iters, local_phase_max_edges=0, use_csr_kernel=csr
+        max_total_iterations=iters, local_phase_max_edges=0,
+        use_csr_kernel=csr, csr_force_sharded=sharded,
     )
     louvain_phase(spark, edges, threshold=-1e9, cfg=cfg, metrics=m)
     # threshold=-1e9 forces `iters` full supersteps (never converges early).

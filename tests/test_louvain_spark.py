@@ -186,3 +186,58 @@ def test_degree_aware_salting_hub_graph(spark):
     assert salted.q == pytest.approx(base.q, abs=1e-12)
     assert np.array_equal(_labels_from_df(salted.assignment, nv),
                           _labels_from_df(base.assignment, nv))
+
+
+@pytest.mark.parametrize("name", ["karate", "sbm", "self_loops",
+                                  "weighted_star", "two_cliques", "ring_8",
+                                  "singleton_pairs"])
+def test_csr_sharded_phase_parity(spark, name):
+    """The SHARDED-state packed path (kernels/csr_sharded.py — per-
+    partition universe + owned-slice state, self-describing move records,
+    snapshot+replay persistence) matches the oracle exactly. snapshot
+    interval 2 forces several snapshot/replay/prune cycles even on short
+    fixture runs."""
+    s, d, w, nv = FIXTURES[name]()
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+    o_labels, o_q, o_iters = louvain_oracle_phase(s, d, w, nv)
+    pres = louvain_phase(
+        spark, edges, threshold=1e-6,
+        cfg=EngineConfig(local_phase_max_edges=0, use_csr_kernel=True,
+                         csr_force_sharded=True, csr_snapshot_every=2),
+    )
+    assert pres.iters == o_iters
+    assert pres.q == pytest.approx(o_q, abs=1e-6)
+    assert np.array_equal(_labels_from_df(pres.assignment, nv), o_labels)
+
+
+@pytest.mark.parametrize("name", ["karate", "sbm"])
+def test_csr_sharded_full_parity(spark, name):
+    """Full multi-level Louvain through the sharded kernel: identical
+    phase trajectory and final labels to the oracle."""
+    s, d, w, nv = FIXTURES[name]()
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+    oracle = louvain_oracle_full(s, d, w, nv)
+    res = louvain(
+        spark, edges,
+        EngineConfig(local_phase_max_edges=0, use_csr_kernel=True,
+                     csr_force_sharded=True, csr_snapshot_every=2),
+    )
+    assert res.iters_per_phase == oracle.iters_per_phase
+    for a, b in zip(res.q_per_phase, oracle.q_per_phase):
+        assert a == pytest.approx(b, abs=1e-6)
+    assert np.array_equal(_labels_from_df(res.labels, nv), oracle.labels)
+
+
+def test_csr_sharded_equals_mirror(spark):
+    """Sharded state and full-mirror state are the same algorithm: labels
+    and Q bit-identical on a multi-phase run."""
+    s, d, w, nv = FIXTURES["sbm"]()
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+    r_mirror = louvain(spark, edges, EngineConfig(
+        local_phase_max_edges=0, use_csr_kernel=True))
+    r_shard = louvain(spark, edges, EngineConfig(
+        local_phase_max_edges=0, use_csr_kernel=True,
+        csr_force_sharded=True))
+    assert r_mirror.q_per_phase == r_shard.q_per_phase
+    assert np.array_equal(_labels_from_df(r_mirror.labels, nv),
+                          _labels_from_df(r_shard.labels, nv))

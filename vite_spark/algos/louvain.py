@@ -318,13 +318,23 @@ def _csr_phase(
     bit-identical to the reference protocol (pytest-enforced), at the cost
     of one extra (discarded) sweep per phase.
 
+    State representation (cfg.csr_mirror_max_ids boundary):
+    - MIRROR (kernels/csr.py): every worker holds O(nv_dense) state arrays
+      advanced by move deltas — fastest constant, bounded by per-worker
+      memory (~40 B/id across the 5 arrays).
+    - SHARDED (kernels/csr_sharded.py): per-partition state over the
+      partition's universe + owned slice only (Vite's localCinfo /
+      remoteCinfo model, louvain.cpp:2583-2954) with self-describing move
+      records — no dense-id ceiling; this is the path a 10⁹-vertex graph
+      takes.
+
     Preconditions (enforced here; returns None → caller falls back to the
     shuffle-join superstep):
     - local master (pack files need one filesystem; on a multi-executor
       cluster the join path provides the same semantics)
-    - dense-ish ids: max_id+1 ≤ broadcast_max_rows (worker mirrors are
-      O(max_id) arrays)
-    - (max_id+1)² < 2^63 (the sweep kernel's grouping key is src*nv + comm)
+    - grouping-key width: max_own_per_partition · (max_id+1) < 2^63
+      (mirror path pre-checks the conservative (max_id+1)²; sharded
+      validates the exact bound from pack stats)
     """
     import shutil
     import tempfile
@@ -335,6 +345,12 @@ def _csr_phase(
         csr_labels_packed,
         csr_superstep_packed,
         pack_csr_partitions,
+    )
+    from vite_spark.kernels.csr_sharded import (
+        csr_labels_sharded,
+        csr_superstep_sharded,
+        init_shard_state,
+        pack_csr_partitions_sharded,
     )
 
     if not spark.sparkContext.master.startswith("local"):
@@ -351,13 +367,20 @@ def _csr_phase(
             q=float(lower), iters=0, nv=0,
         )
     nv_dense = int(max(row["ms"], row["md"])) + 1
-    if nv_dense > cfg.broadcast_max_rows or nv_dense * nv_dense >= 2**63:
-        return None
+    sharded = cfg.csr_force_sharded or nv_dense > cfg.csr_mirror_max_ids
+    if not sharded and nv_dense * nv_dense >= 2**63:
+        sharded = True   # mirror's conservative key bound; sharded re-checks
 
     edges = edges.repartition(nparts, "src")
     pack_dir = tempfile.mkdtemp(prefix="vite_csr_")
     try:
-        info = pack_csr_partitions(edges, pack_dir, nparts)
+        if sharded:
+            info = pack_csr_partitions_sharded(edges, pack_dir, nparts)
+            if info["max_nown"] * nv_dense >= 2**63:
+                return None   # grouping key would overflow → join path
+            init_shard_state(spark, pack_dir, nparts)
+        else:
+            info = pack_csr_partitions(edges, pack_dir, nparts)
         ne, nv, two_m = info["ne"], info["nv"], info["two_m"]
         const = 1.0 / two_m
 
@@ -372,11 +395,17 @@ def _csr_phase(
         while True:
             k += 1
             t0 = time.time()
-            # moves travel worker-to-worker via mv_{k}_{pid}.npy files; the
+            # moves travel worker-to-worker via per-(step, pid) files; the
             # driver's job result is nparts scalar sentinel rows only
-            sent = csr_superstep_packed(
-                spark, pack_dir, nparts, nv_dense, const, k
-            ).collect()
+            if sharded:
+                sent = csr_superstep_sharded(
+                    spark, pack_dir, nparts, nv_dense, const, k,
+                    snapshot_every=cfg.csr_snapshot_every,
+                ).collect()
+            else:
+                sent = csr_superstep_packed(
+                    spark, pack_dir, nparts, nv_dense, const, k
+                ).collect()
             walls[k] = time.time() - t0
             e_terms[k] = float(sum(r["e_part"] for r in sent))
             a_prev = float(sum(r["a_part"] for r in sent))
@@ -390,7 +419,7 @@ def _csr_phase(
                     delta_q=mod_j - prev_mod, moved=moveds[j], active=nv,
                     edges_processed=ne, wall_s=walls[j],
                     edges_per_sec=ne / walls[j] if walls[j] > 0 else 0.0,
-                    mode="csr_packed",
+                    mode="csr_sharded" if sharded else "csr_packed",
                 )
                 if (mod_j - prev_mod) < threshold:
                     # reference break at iteration j returns pastComm =
@@ -405,9 +434,14 @@ def _csr_phase(
                     labels_at, q_final, iters_final = j - 1, prev_mod, j
                     break
 
-        lab = csr_labels_packed(
-            spark, pack_dir, nparts, nv_dense, labels_at
-        ).localCheckpoint(eager=True)
+        if sharded:
+            lab = csr_labels_sharded(
+                spark, pack_dir, nparts, labels_at
+            ).localCheckpoint(eager=True)
+        else:
+            lab = csr_labels_packed(
+                spark, pack_dir, nparts, nv_dense, labels_at
+            ).localCheckpoint(eager=True)
         return PhaseResult(
             assignment=lab, q=float(q_final), iters=iters_final, nv=nv
         )
@@ -442,14 +476,6 @@ def louvain_phase(
     """
     cfg = cfg or EngineConfig()
     metrics = metrics or MetricsCollector()
-
-    if resume_from is not None and cfg.early_term:
-        raise ValueError(
-            "resume is not supported with early_term != 0: the superstep "
-            "checkpoint does not carry ET activity state (active, "
-            "frozen_cw, p), so a resumed ET run would diverge from the "
-            "uninterrupted trajectory the parity tests certify"
-        )
 
     if (
         cfg.local_phase_max_edges > 0
@@ -497,8 +523,23 @@ def louvain_phase(
     # state init (louvain.cpp:2564-2581) or resume (north_star)
     start_iter = 0
     prev_mod = lower
+    act_resumed: DataFrame | None = None
     if resume_from is not None:
-        curr, past, state = resume_from
+        curr, past, state, act_resumed = resume_from
+        if int(state.get("early_term", 0)) != cfg.early_term:
+            raise ValueError(
+                "checkpoint was written with early_term="
+                f"{state.get('early_term', 0)} but resume requested "
+                f"early_term={cfg.early_term}: the freeze/decay trajectory "
+                "is config-dependent, so mixed resume would diverge"
+            )
+        if cfg.early_term and act_resumed is None:
+            raise ValueError(
+                "checkpoint carries no ET activity state (active, "
+                "frozen_cw, p) — it predates ET-aware checkpoints; a "
+                "resumed ET run would diverge from the uninterrupted "
+                "trajectory"
+            )
         start_iter = state["iter"]
         prev_mod = state["prev_mod"]
         curr = curr.persist()
@@ -531,11 +572,13 @@ def louvain_phase(
     et = cfg.early_term
     act: DataFrame | None = None  # (id, active, frozen_cw, p)
     if et:
-        act = vstate.select(
-            "id",
-            F.lit(True).alias("active"),
-            F.lit(0.0).alias("frozen_cw"),
-            F.lit(1.0).alias("p"),
+        act = (
+            act_resumed if act_resumed is not None else vstate.select(
+                "id",
+                F.lit(True).alias("active"),
+                F.lit(0.0).alias("frozen_cw"),
+                F.lit(1.0).alias("p"),
+            )
         ).persist()
 
     buckets: list | None = None
@@ -738,7 +781,9 @@ def louvain_phase(
                 iters,
                 curr,
                 past,
-                {"iter": iters, "prev_mod": prev_mod, "two_m": two_m, "nv": nv, "ne": ne},
+                {"iter": iters, "prev_mod": prev_mod, "two_m": two_m,
+                 "nv": nv, "ne": ne, "early_term": et},
+                act_df=act if et else None,
             )
 
         if iters >= cfg.max_total_iterations:
@@ -862,19 +907,19 @@ def resume_phase(
     (north_star: 'runs resume mid-level'). Falls back to a fresh phase when
     no checkpoint exists for this level.
 
-    Resume is supported for the plain and colored sweeps (colors must be
-    passed back in — coloring is deterministic, so the caller recomputes
-    the same buckets). Early-termination runs cannot resume: the superstep
-    checkpoint carries (curr, past, scalars) but not the ET activity state
-    (active, frozen_cw, p), so a resumed ET run would diverge from the
-    uninterrupted trajectory — louvain_phase rejects that combination."""
+    Resume is supported for the plain, colored, and early-termination
+    sweeps (colors must be passed back in — coloring is deterministic, so
+    the caller recomputes the same buckets; ET activity state (active,
+    frozen_cw, p) is persisted in the checkpoint alongside curr/past, and
+    louvain_phase rejects a resume whose early_term config differs from
+    the checkpoint's)."""
     resume_from = None
     latest = ckpt.latest_complete(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
     if latest is not None and latest[0] == level:
-        assignment, past, state = ckpt.read_superstep(
+        assignment, past, state, act = ckpt.read_superstep(
             spark, cfg.checkpoint_dir, level, latest[1]
         )
-        resume_from = (assignment, past, state)
+        resume_from = (assignment, past, state, act)
     return louvain_phase(
         spark, edges, threshold=threshold, cfg=cfg, metrics=metrics,
         level=level, resume_from=resume_from, colors=colors,

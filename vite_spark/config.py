@@ -91,6 +91,18 @@ class EngineConfig:
     # distributed phases when its preconditions hold (local master,
     # dense-ish ids); falls back to the shuffle-join superstep otherwise.
     use_csr_kernel: bool = True
+    # Packed-CSR state representation switch: at most this many dense ids
+    # run the full per-worker state MIRROR (kernels/csr.py — O(nv) arrays
+    # per worker process, fastest constant); beyond it the phase runs the
+    # SHARDED state kernel (kernels/csr_sharded.py — O(nv/p + |universe_p|)
+    # per partition, Vite's localCinfo/remoteCinfo memory model), which has
+    # no dense-id ceiling. 5M ids ≈ 200 MB mirror per worker.
+    csr_mirror_max_ids: int = 5_000_000
+    # Force the sharded kernel at any size (parity tests / benchmarks).
+    csr_force_sharded: bool = False
+    # Sharded kernel: write a per-partition state snapshot every k
+    # supersteps; intermediate states replay the O(moved) move files.
+    csr_snapshot_every: int = 4
     # Adaptive execution: when a level's edge table has at most this many
     # rows, run the whole phase driver-local on CSR NumPy kernels (the
     # oracle-validated sweep) instead of distributed supersteps. Coarse

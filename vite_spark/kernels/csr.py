@@ -203,7 +203,13 @@ def sweep_partition_np(
     nvl = np.int64(len(curr))
     if srcl is not None:
         key = _buf("key", n, np.int64)
-        np.multiply(srcl, nvl, out=key)
+        # upcast int32 srcl BEFORE the multiply: NumPy 1.x value-based
+        # casting routes np.multiply(int32_arr, int64_scalar, out=int64)
+        # through the INT32 loop, silently overflowing once
+        # max(srcl)·nvl ≥ 2^31 — i.e. on any benchmark-scale graph
+        # (caught in r3; pinned by test_packed_key_no_int32_overflow)
+        key[:] = srcl
+        key *= nvl
         key += c_dst
         order = _grouping_order(srcl, c_dst, key, int(nvl),
                                 int(len(own_ids)))

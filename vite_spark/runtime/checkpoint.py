@@ -26,10 +26,18 @@ def superstep_dir(root: str, level: int, iter_: int) -> str:
     return os.path.join(root, f"level={level}", f"iter={iter_}")
 
 
-def write_superstep(root, level, iter_, assignment_df, past_df, state: dict):
+def write_superstep(root, level, iter_, assignment_df, past_df, state: dict,
+                    act_df=None):
+    """``act_df`` (id, active, frozen_cw, p) is the early-termination
+    activity state — persisted whenever the phase runs with ET so a
+    resumed run continues the identical freeze/decay trajectory (r2
+    VERDICT next#7; resume+ET used to be rejected for lack of it)."""
     d = superstep_dir(root, level, iter_)
     assignment_df.write.mode("overwrite").parquet(os.path.join(d, "assignment"))
     past_df.write.mode("overwrite").parquet(os.path.join(d, "past"))
+    if act_df is not None:
+        act_df.write.mode("overwrite").parquet(os.path.join(d, "act"))
+        state = {**state, "has_act": True}
     with open(os.path.join(d, "state.json"), "w") as f:
         json.dump(state, f)
     open(os.path.join(d, "_COMPLETE"), "w").close()
@@ -66,12 +74,18 @@ def latest_complete(root: str):
 
 
 def read_superstep(spark, root, level, iter_):
+    """Returns (assignment, past, state, act) — act is None for non-ET
+    checkpoints."""
     d = superstep_dir(root, level, iter_)
     with open(os.path.join(d, "state.json")) as f:
         state = json.load(f)
     assignment = spark.read.parquet(os.path.join(d, "assignment"))
     past = spark.read.parquet(os.path.join(d, "past"))
-    return assignment, past, state
+    act = (
+        spark.read.parquet(os.path.join(d, "act"))
+        if state.get("has_act") else None
+    )
+    return assignment, past, state, act
 
 
 def write_phase_state(root, comm_all_df, meta: dict):
