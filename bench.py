@@ -134,7 +134,8 @@ def _headline_once(spark, sf_dir: str) -> tuple[dict, dict]:
 
 
 def superstep_throughput(spark, edges, iters: int = 5, warmup: int = 2,
-                         csr: bool = True, sharded: bool = False) -> float:
+                         csr: bool = True, sharded: bool = False,
+                         metrics=None) -> float:
     """edges/sec per Louvain superstep (BASELINE.md metric): run `iters`
     fixed supersteps, report the mean of the post-warmup ones (the first
     pay one-off costs: python worker spin-up, cache build, first broadcast)."""
@@ -142,7 +143,7 @@ def superstep_throughput(spark, edges, iters: int = 5, warmup: int = 2,
     from vite_spark.config import EngineConfig
     from vite_spark.runtime.metrics import MetricsCollector
 
-    m = MetricsCollector()
+    m = metrics if metrics is not None else MetricsCollector()
     # force a distributed superstep path — this measures cluster scaling;
     # csr=True uses the CSR-broadcast Arrow kernel (the flagship design),
     # csr=False the shuffle-join path (the very-large-nv fallback)
@@ -212,10 +213,18 @@ def synth_edges(spark, n_vertices: int = 200_000, avg_deg: int = 16,
 
 # 2M vertices × ~128 degree ≈ 256M directed rows: large enough that the
 # parallel sweep dominates the fixed per-superstep job overhead at 16
-# cores (at 128M rows the overhead floor capped efficiency near 0.8)
-SCALING_PARQUET = "/tmp/vite_spark_scaling_edges_v2.parquet"
-SCALING_NV = 2_000_000
-SCALING_DEG = 128
+# cores (at 128M rows the overhead floor capped efficiency near 0.8).
+# SPARK_GRAFT_SCALING_NV / _DEG override the input shape — e.g. NV=24M
+# runs the SHARDED-state kernel (the engine auto-switches beyond
+# csr_mirror_max_ids dense ids), the path the r2 verdict asked to measure.
+_NV_DEFAULT, _DEG_DEFAULT = 2_000_000, 128
+SCALING_NV = int(os.environ.get("SPARK_GRAFT_SCALING_NV", _NV_DEFAULT))
+SCALING_DEG = int(os.environ.get("SPARK_GRAFT_SCALING_DEG", _DEG_DEFAULT))
+SCALING_PARQUET = (
+    "/tmp/vite_spark_scaling_edges_v2.parquet"
+    if (SCALING_NV, SCALING_DEG) == (_NV_DEFAULT, _DEG_DEFAULT)
+    else f"/tmp/vite_spark_scaling_edges_nv{SCALING_NV}_d{SCALING_DEG}.parquet"
+)
 
 
 def run_scaling(n_low: int, sf_dir: str) -> dict:
@@ -229,7 +238,7 @@ def run_scaling(n_low: int, sf_dir: str) -> dict:
     # generate the input ONCE (deterministic) — both parallelism levels
     # must see the same bytes (BASELINE.json: "same input both runs")
     if not _os.path.exists(SCALING_PARQUET):
-        spark = make_spark(n_high, shuffle_parts=n_high * 2)
+        spark = make_spark(32, shuffle_parts=64)
         try:
             synth_edges(
                 spark, n_vertices=SCALING_NV, avg_deg=SCALING_DEG, parts=128
@@ -254,21 +263,27 @@ def run_scaling(n_low: int, sf_dir: str) -> dict:
 
     reps = int(_os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
     eps: dict[int, list] = {n_low: [], n_high: []}
+    mode = "?"
     for _ in range(reps):
         for cores in (n_low, n_high):
             out = subprocess.run(
                 ["taskset", "-c", f"0-{cores - 1}", _sys.executable, __file__,
                  "--scaling-worker", str(cores), "--scaling-nparts",
                  str(4 * n_high)],
-                capture_output=True, text=True, timeout=3000,
+                capture_output=True, text=True, timeout=6000,
                 env={**_os.environ, "SPARK_DRIVER_MEMORY": "48g"},
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            eps[cores].append(json.loads(line)["edges_per_sec"])
+            rec = json.loads(line)
+            eps[cores].append(rec["edges_per_sec"])
+            mode = rec.get("mode", "?")
     t_low = statistics.median(eps[n_low])
     t_high = statistics.median(eps[n_high])
     eff = (t_high / t_low) / 4.0
     out = {
+        "nv": SCALING_NV,
+        "avg_deg": SCALING_DEG,
+        "kernel_mode": mode,
         "n_cores_low": n_low,
         "n_cores_high": n_high,
         "throughput_low_eps": t_low,
@@ -282,6 +297,8 @@ def run_scaling(n_low: int, sf_dir: str) -> dict:
 
 
 def scaling_worker(cores: int, nparts: int):
+    from vite_spark.runtime.metrics import MetricsCollector
+
     # IDENTICAL partitioning at both levels — only concurrency differs
     spark = make_spark(cores, shuffle_parts=nparts)
     try:
@@ -290,8 +307,12 @@ def scaling_worker(cores: int, nparts: int):
         # warmup=1 absorbs the one-off cold page-cache read of the packed
         # partitions; supersteps 2..5 (the work-heavy phase any real run
         # spends its time in) are measured
-        eps = superstep_throughput(spark, edges, iters=5, warmup=1)
-        print(json.dumps({"edges": ne, "edges_per_sec": round(eps, 1)}))
+        m = MetricsCollector()
+        eps = superstep_throughput(spark, edges, iters=5, warmup=1, metrics=m)
+        modes = sorted({r.get("mode", "join") for r in m.rows
+                        if r.get("kind") == "superstep"})
+        print(json.dumps({"edges": ne, "edges_per_sec": round(eps, 1),
+                          "mode": "+".join(modes)}))
     finally:
         spark.stop()
 
@@ -316,7 +337,8 @@ def main():
         print(json.dumps(res))
         lines = [
             "",
-            "## Measured scaling (bench.py --scaling)",
+            f"## Measured scaling (bench.py --scaling, nv={res['nv']:,}, "
+            f"avg_deg={res['avg_deg']}, kernel={res['kernel_mode']})",
             "",
             "| cores | superstep throughput (edges/sec, median) | per-rep (interleaved) |",
             "|---|---|---|",

@@ -54,12 +54,16 @@ def test_coloring_deterministic(spark):
     assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
 
 
+@pytest.mark.parametrize("kernel", ["join", "mirror", "sharded"])
 @pytest.mark.parametrize("et", [1, 2])
-def test_early_term_engine_matches_oracle(spark, et):
+def test_early_term_engine_matches_oracle(spark, et, kernel):
     # t3/t4 differ from t1/t2 only by the driver-side ≥90%-frozen abort
-    # (cheap count), covered by the oracle-level test below. Capped at 5
-    # supersteps: enough to exercise freezing (iters > 2) while keeping the
-    # distributed run fast; parity must hold at every prefix anyway.
+    # (cheap count), covered by the oracle-level test below and by
+    # test_et_abort_on_packed_path. Capped at 5 supersteps: enough to
+    # exercise freezing (iters > 2) while keeping the distributed run
+    # fast; parity must hold at every prefix anyway. All THREE execution
+    # paths carry ET: the shuffle-join superstep and both packed kernels
+    # (owner-local ET state files — r2 VERDICT next#6).
     s, d, w, nv, _ = fx.planted_partition()
     edges = fx.to_spark_edges(spark, (s, d, w, nv))
     o_labels, o_q, o_iters = louvain_oracle_phase(s, d, w, nv, early_term=et,
@@ -67,16 +71,41 @@ def test_early_term_engine_matches_oracle(spark, et):
     pres = louvain_phase(
         spark, edges, threshold=1e-6,
         cfg=EngineConfig(local_phase_max_edges=0, early_term=et,
-                         max_total_iterations=5),
+                         max_total_iterations=5,
+                         use_csr_kernel=kernel != "join",
+                         csr_force_sharded=kernel == "sharded",
+                         csr_snapshot_every=2),
     )
     assert pres.iters == o_iters
     assert pres.q == pytest.approx(o_q, abs=1e-6)
     assert np.array_equal(_labels(pres.assignment, nv), o_labels)
 
 
-def test_colored_engine_matches_oracle(spark):
+@pytest.mark.parametrize("kernel", ["mirror", "sharded"])
+def test_et_abort_on_packed_path(spark, kernel):
+    """t3: the packed driver aborts the phase once ≥90% of owned vertices
+    are frozen, with the identical return protocol to the oracle."""
+    s, d, w, nv, _ = fx.planted_partition()
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+    o_labels, o_q, o_iters = louvain_oracle_phase(s, d, w, nv, early_term=3)
+    pres = louvain_phase(
+        spark, edges, threshold=1e-6,
+        cfg=EngineConfig(local_phase_max_edges=0, early_term=3,
+                         use_csr_kernel=True,
+                         csr_force_sharded=kernel == "sharded",
+                         csr_snapshot_every=2),
+    )
+    assert pres.iters == o_iters
+    assert pres.q == pytest.approx(o_q, abs=1e-6)
+    assert np.array_equal(_labels(pres.assignment, nv), o_labels)
+
+
+@pytest.mark.parametrize("kernel", ["join", "packed"])
+def test_colored_engine_matches_oracle(spark, kernel):
     # karate-scale: the distributed colored path chains ~4 joins per color
-    # bucket per superstep — parity is scale-free, so test it small
+    # bucket per superstep — parity is scale-free, so test it small.
+    # kernel="packed" forces the per-color-bucket PACKED loop
+    # (kernels/csr.py colored block, r2 VERDICT next#6).
     s, d, w, nv = fx.karate()
     edges = fx.to_spark_edges(spark, (s, d, w, nv))
     colors_df, _ = multi_hash_coloring(spark, edges)
@@ -88,7 +117,8 @@ def test_colored_engine_matches_oracle(spark):
                                                   max_iters=4)
     pres = louvain_phase(
         spark, edges, threshold=1e-6,
-        cfg=EngineConfig(local_phase_max_edges=0, max_total_iterations=4),
+        cfg=EngineConfig(local_phase_max_edges=0, max_total_iterations=4,
+                         use_csr_kernel=kernel == "packed"),
         colors=colors_df,
     )
     assert pres.iters == o_iters

@@ -297,6 +297,7 @@ def _csr_phase(
     cfg: EngineConfig,
     metrics: MetricsCollector,
     level: int,
+    colors: DataFrame | None = None,
 ) -> PhaseResult | None:
     """Distributed packed-CSR phase (BASELINE.json core-iteration design).
 
@@ -342,8 +343,11 @@ def _csr_phase(
     import numpy as np
 
     from vite_spark.kernels.csr import (
+        csr_labels_colored,
         csr_labels_packed,
+        csr_superstep_colored,
         csr_superstep_packed,
+        pack_colors,
         pack_csr_partitions,
     )
     from vite_spark.kernels.csr_sharded import (
@@ -370,6 +374,10 @@ def _csr_phase(
     sharded = cfg.csr_force_sharded or nv_dense > cfg.csr_mirror_max_ids
     if not sharded and nv_dense * nv_dense >= 2**63:
         sharded = True   # mirror's conservative key bound; sharded re-checks
+    if colors is not None and (sharded or cfg.early_term):
+        # colored runs are packed on the MIRROR kernel only, and the
+        # colored+ET combination stays on the join path
+        return None
 
     edges = edges.repartition(nparts, "src")
     pack_dir = tempfile.mkdtemp(prefix="vite_csr_")
@@ -384,9 +392,78 @@ def _csr_phase(
         ne, nv, two_m = info["ne"], info["nv"], info["two_m"]
         const = 1.0 / two_m
 
+        if colors is not None:
+            # colored iteration = one packed job per color bucket; bucket
+            # deltas refresh cd/cs while curr stays iteration-start
+            # (kernels/csr.py colored block). Same one-job-late modularity
+            # protocol: iteration j is judged after bucket 0 of iteration
+            # j+1 reports the a-term at S_j.
+            pack_colors(colors.select("id", "color"), pack_dir, nparts)
+            vals = sorted(
+                r["color"] for r in colors.select("color").distinct().collect()
+            )
+            buckets = [c for c in vals if c >= 0] + ([-1] if -1 in vals else [])
+            nb = len(buckets)
+            e_terms, walls, moveds = {}, {}, {}
+            prev_mod = lower
+            k = 0
+            labels_at, q_final, iters_final = 0, lower, 0
+            done = False
+            while not done:
+                k += 1
+                t0 = time.time()
+                e_k, moved_k, a_prev = 0.0, 0, 0.0
+                for bi, b in enumerate(buckets):
+                    sent = csr_superstep_colored(
+                        spark, pack_dir, nparts, nv_dense, const, k, bi,
+                        nb, b,
+                    ).collect()
+                    e_k += float(sum(r["e_part"] for r in sent))
+                    moved_k += int(sum(r["moved"] for r in sent))
+                    if bi == 0:
+                        a_prev = float(sum(r["a_part"] for r in sent))
+                        if k >= 2:
+                            j = k - 1
+                            mod_j = abs(
+                                e_terms[j] * const - a_prev * const * const
+                            )
+                            metrics.record(
+                                kind="superstep", level=level, iter=j,
+                                q=mod_j, delta_q=mod_j - prev_mod,
+                                moved=moveds[j], active=nv,
+                                edges_processed=ne, wall_s=walls[j],
+                                edges_per_sec=(
+                                    ne / walls[j] if walls[j] > 0 else 0.0
+                                ),
+                                mode="csr_colored",
+                            )
+                            if (mod_j - prev_mod) < threshold:
+                                labels_at = max(j - 2, 0)
+                                q_final, iters_final = prev_mod, j
+                                done = True
+                                break
+                            prev_mod = mod_j if mod_j > lower else lower
+                            if j >= cfg.max_total_iterations:
+                                labels_at = j - 1
+                                q_final, iters_final = prev_mod, j
+                                done = True
+                                break
+                if not done:
+                    walls[k] = time.time() - t0
+                    e_terms[k] = e_k
+                    moveds[k] = moved_k
+            lab = csr_labels_colored(
+                spark, pack_dir, nparts, nv_dense, labels_at, nb
+            ).localCheckpoint(eager=True)
+            return PhaseResult(
+                assignment=lab, q=float(q_final), iters=iters_final, nv=nv
+            )
+
+        et = cfg.early_term
         e_terms: dict = {}
         walls: dict = {}
         moveds: dict = {}
+        frozens: dict = {}
         prev_mod = lower
         k = 0
         labels_at = 0
@@ -400,27 +477,36 @@ def _csr_phase(
             if sharded:
                 sent = csr_superstep_sharded(
                     spark, pack_dir, nparts, nv_dense, const, k,
-                    snapshot_every=cfg.csr_snapshot_every,
+                    snapshot_every=cfg.csr_snapshot_every, early_term=et,
                 ).collect()
             else:
                 sent = csr_superstep_packed(
-                    spark, pack_dir, nparts, nv_dense, const, k
+                    spark, pack_dir, nparts, nv_dense, const, k,
+                    early_term=et,
                 ).collect()
             walls[k] = time.time() - t0
             e_terms[k] = float(sum(r["e_part"] for r in sent))
             a_prev = float(sum(r["a_part"] for r in sent))
             moveds[k] = int(sum(r["moved"] for r in sent))
+            frozens[k] = int(sum(r["frozen"] for r in sent))
 
             if k >= 2:
                 j = k - 1
                 mod_j = abs(e_terms[j] * const - a_prev * const * const)
                 metrics.record(
                     kind="superstep", level=level, iter=j, q=mod_j,
-                    delta_q=mod_j - prev_mod, moved=moveds[j], active=nv,
+                    delta_q=mod_j - prev_mod, moved=moveds[j],
+                    active=nv - frozens[j],
                     edges_processed=ne, wall_s=walls[j],
                     edges_per_sec=ne / walls[j] if walls[j] > 0 else 0.0,
                     mode="csr_sharded" if sharded else "csr_packed",
                 )
+                if et in (3, 4) and frozens[j] >= 0.9 * nv:
+                    # t3/t4 phase abort (join-path order: after the j
+                    # metrics, before the threshold check) — same return
+                    # protocol as the convergence break
+                    labels_at, q_final, iters_final = max(j - 2, 0), prev_mod, j
+                    break
                 if (mod_j - prev_mod) < threshold:
                     # reference break at iteration j returns pastComm =
                     # state two supersteps back (identity within the
@@ -491,16 +577,21 @@ def louvain_phase(
 
     if (
         cfg.use_csr_kernel
-        and cfg.early_term == 0
-        and colors is None
         and cfg.checkpoint_dir is None
         and resume_from is None
     ):
-        res = _csr_phase(spark, edges, threshold, lower, cfg, metrics, level)
+        # early_term and colored runs stay on the packed path too (owner-
+        # local ET state files; one packed job per color bucket — r2
+        # VERDICT next#6). _csr_phase returns None for the combinations it
+        # does not pack (colored+ET, colored on the sharded kernel,
+        # non-local master, key-width overflow) and the join superstep
+        # below provides identical semantics.
+        res = _csr_phase(
+            spark, edges, threshold, lower, cfg, metrics, level,
+            colors=colors,
+        )
         if res is not None:
             return res
-        # preconditions failed (non-local master / sparse giant ids) →
-        # the shuffle-join superstep below provides identical semantics
 
     edges = edges.repartition(
         cfg.shuffle_partitions

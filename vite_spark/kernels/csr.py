@@ -35,6 +35,8 @@ algorithm applied per partition; parity is pytest-enforced.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from pyspark.sql import DataFrame
@@ -464,6 +466,68 @@ def _pid_frame(spark, nparts: int):
     )
 
 
+def _load_et(pack_dir: str, pid: int, step: int, own: np.ndarray):
+    """Early-termination state of partition ``pid`` after superstep
+    ``step`` (all-active init for step 0). ET state is owner-local
+    (louvain.cpp:100-113 keeps it per rank too): (active, frozen_cw, p,
+    past_own) over the owned vertices, written once per superstep by the
+    single task that swept the partition — job barriers order the files,
+    so no replay machinery is needed."""
+    import os
+
+    if step == 0:
+        return {
+            "active": np.ones(len(own), dtype=bool),
+            "frozen_cw": np.zeros(len(own)),
+            "p": np.ones(len(own)),
+            "past": own.copy(),
+        }
+    with np.load(os.path.join(pack_dir, f"et_{step}_{pid}.npz")) as z:
+        return {k: z[k].copy() for k in ("active", "frozen_cw", "p", "past")}
+
+
+def _advance_et(et: dict, k: int, mode: int, cc: np.ndarray,
+                new_comm: np.ndarray, e_cc: np.ndarray,
+                swept: np.ndarray) -> dict:
+    """Post-sweep ET update for superstep ``k`` — the exact algebra of the
+    shuffle-join path (algos/louvain.py ET block; reference intent
+    louvain.cpp:173-183, 380-400): t1/t3 freeze after target==curr==past
+    beyond iteration 2; t2/t4 decay p by (1-α) while curr==past and freeze
+    at the cutoff. frozen_cw tracks the most recent e_cc while active and
+    pins on deactivation; past pins for frozen vertices.
+
+    ``swept`` maps the sweep outputs (cc/new_comm/e_cc, one row per
+    ACTIVE vertex) to positions in the owned arrays."""
+    from vite_spark.config import ET_ALPHA, P_CUTOFF
+
+    active = et["active"]
+    new = {k2: v.copy() for k2, v in et.items()}
+    # cw_now for pre-update-active vertices (incl. those freezing NOW) —
+    # matches the join path's when(active, cw_now).otherwise(frozen_cw)
+    new["frozen_cw"][swept] = e_cc
+    if k > 2:
+        if mode in (1, 3):
+            same = (new_comm == cc) & (cc == et["past"][swept])
+            na = active.copy()
+            na[swept] &= ~same
+            new["active"] = na
+        elif mode in (2, 4):
+            dec = cc == et["past"][swept]
+            pnew = new["p"]
+            pnew[swept] = np.where(dec, pnew[swept] * (1.0 - ET_ALPHA),
+                                   pnew[swept])
+            na = active.copy()
+            na[swept] &= ~(pnew[swept] <= P_CUTOFF)
+            new["active"] = na
+    # past rotation with pinning: past <- pre-sweep curr for POST-update
+    # actives only (the join path rotates with the updated act; for a
+    # vertex freezing now the two agree — freeze requires cc == past —
+    # but the faithful order is pin-first)
+    still = new["active"][swept]
+    new["past"][swept[still]] = cc[still]
+    return new
+
+
 def csr_superstep_packed(
     spark,
     pack_dir: str,
@@ -471,6 +535,7 @@ def csr_superstep_packed(
     nv_dense: int,
     const: float,
     step: int,
+    early_term: int = 0,
 ) -> DataFrame:
     """Superstep ``step`` (1-based) over packed partitions with
     delta-replayed worker state.
@@ -483,7 +548,16 @@ def csr_superstep_packed(
     partition's moves to mv_{step}_{pid}.npy, and returns exactly one
     scalar sentinel row — the driver never sees a move row.
 
-    Output schema: (pid, e_part, a_part, moved).
+    With early_term != 0 the sweep SKIPS rows of frozen src vertices (the
+    work saving of the heuristic), frozen vertices contribute their pinned
+    frozen_cw to the e-term, and the sentinel carries the frozen count for
+    the driver's t3/t4 phase-abort check. Delta replay and labels are
+    UNCHANGED: frozen vertices simply stop producing moves, and an
+    ET-pinned pastComm equals the frozen vertex's stationary label (it
+    froze only after 2 static iterations, so curr at every j ≥ f-2 equals
+    the pinned past) — the labels_at = j-2 replay stays exact under ET.
+
+    Output schema: (pid, e_part, a_part, moved, frozen).
     """
 
     def run(pdf_iter):
@@ -497,6 +571,7 @@ def csr_superstep_packed(
                 st = _replayed_state(pack_dir, nparts, nv_dense, step - 1)
                 own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"))
                 a_part = float((st["cd"][own] ** 2).sum())
+                et = _load_et(pack_dir, pid, step - 1, own) if early_term else None
                 dst = np.load(os.path.join(pack_dir, f"dst_{pid}.npy"),
                               mmap_mode="r")
                 if len(dst) == 0:
@@ -504,9 +579,11 @@ def csr_superstep_packed(
                         os.path.join(pack_dir, f"mv_{step}_{pid}.npy"),
                         np.empty((2, 0), np.int64),
                     )
+                    if early_term:
+                        _save_et(pack_dir, pid, step, et)
                     yield pd.DataFrame({
                         "pid": [pid], "e_part": [0.0], "a_part": [a_part],
-                        "moved": [np.int64(0)],
+                        "moved": [np.int64(0)], "frozen": [np.int64(0)],
                     })
                     continue
                 # mmap views, never copied: edge bytes are read straight
@@ -516,14 +593,223 @@ def csr_superstep_packed(
                                mmap_mode="r")
                 w = np.load(os.path.join(pack_dir, f"w_{pid}.npy"),
                             mmap_mode="r")
-                ids, cc, new_comm, e_cc = sweep_partition_np(
-                    None, dst, w,
-                    st["curr"], st["vdeg"], st["self_w"], st["cd"], st["cs"],
-                    const, srcl=srcl, own_ids=own,
-                )
+                n_frozen = 0
+                if early_term:
+                    n_frozen = int((~et["active"]).sum())
+                    if n_frozen:
+                        rows = et["active"][srcl]   # skip frozen src rows
+                        srcl, dst, w = srcl[rows], dst[rows], w[rows]
+                if len(dst):
+                    ids, cc, new_comm, e_cc = sweep_partition_np(
+                        None, dst, w,
+                        st["curr"], st["vdeg"], st["self_w"], st["cd"],
+                        st["cs"], const, srcl=srcl, own_ids=own,
+                    )
+                else:
+                    ids = np.empty(0, np.int64)
+                    cc = new_comm = ids
+                    e_cc = np.empty(0)
                 mvd = new_comm != cc
                 _atomic_save(
                     os.path.join(pack_dir, f"mv_{step}_{pid}.npy"),
+                    np.vstack([ids[mvd], new_comm[mvd]]),
+                )
+                e_part = float(e_cc.sum())
+                if early_term:
+                    e_part += float(et["frozen_cw"][~et["active"]].sum())
+                    swept = np.searchsorted(own, ids)
+                    et = _advance_et(et, step, early_term, cc, new_comm,
+                                     e_cc, swept)
+                    _save_et(pack_dir, pid, step, et)
+                yield pd.DataFrame({
+                    "pid": [pid], "e_part": [e_part],
+                    "a_part": [a_part], "moved": [np.int64(mvd.sum())],
+                    "frozen": [np.int64(n_frozen)],
+                })
+
+    return _pid_frame(spark, nparts).mapInPandas(
+        run,
+        schema="pid int, e_part double, a_part double, moved long, frozen long",
+    )
+
+
+def _save_et(pack_dir: str, pid: int, step: int, et: dict) -> None:
+    import os
+
+    tmp = os.path.join(pack_dir, f"et_{step}_{pid}.npz.tmp.{os.getpid()}")
+    with open(tmp, "wb") as f:
+        np.savez(f, **et)
+    os.replace(tmp, os.path.join(pack_dir, f"et_{step}_{pid}.npz"))
+
+
+# ---------------------------------------------------------------------------
+# Colored variant (L16, louvain.cpp:593-786 / distLouvainMethodWithColoring):
+# one iteration = a loop over color buckets; community AGGREGATES refresh
+# between buckets while neighbor ASSIGNMENTS stay Jacobi (the counter is
+# built once per iteration). Packed re-expression: one job per
+# (iteration, bucket); bucket move deltas advance cd/cs immediately but
+# curr only at iteration end (pending list) — exactly the join path's
+# "refresh cinfo between buckets, decisions against iteration-start
+# assignment" semantics (algos/louvain.py colored block).
+# ---------------------------------------------------------------------------
+
+
+def pack_colors(colors_df: DataFrame, pack_dir: str, nparts: int) -> None:
+    """col_{pid}.npy: per-partition colors aligned with own_{pid}.
+
+    colors_df(id, color) is hash-repartitioned on id with the same
+    partitioner as the edge pack's repartition(nparts, "src") (same
+    single-long key, same numPartitions → identical placement), so
+    partition p holds exactly the colors of its owned vertices; sorting
+    by id aligns them with the sorted own array (asserted)."""
+    import os
+
+    def write(pdf_iter):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        parts = [p for p in pdf_iter if len(p)]
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+            pdf = pdf.sort_values("id", ignore_index=True)
+            ids = pdf["id"].to_numpy(np.int64)
+            col = pdf["color"].to_numpy(np.int64)
+        else:
+            ids = np.empty(0, np.int64)
+            col = np.empty(0, np.int64)
+        own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"))
+        assert np.array_equal(ids, own), (
+            f"color partitioning misaligned with edge pack (pid {pid}: "
+            f"{len(ids)} colors vs {len(own)} owned)"
+        )
+        _atomic_save(os.path.join(pack_dir, f"col_{pid}.npy"), col)
+        yield pd.DataFrame({"pid": [pid], "n": [len(ids)]})
+
+    colors_df.repartition(nparts, "id").mapInPandas(
+        write, schema="pid int, n long"
+    ).collect()
+
+
+_COLORED_STATE: dict = {}
+
+
+def _load_bucket_moves(pack_dir: str, nparts: int, it: int, bi: int):
+    parts = [
+        np.load(os.path.join(pack_dir, f"mvc_{it}_{bi}_{p}.npy"))
+        for p in range(nparts)
+    ]
+    mv = np.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    return mv[0], mv[1]
+
+
+def _colored_state(pack_dir: str, nparts: int, nv_dense: int,
+                   step: int, bi: int, n_buckets: int,
+                   cache: bool = True) -> dict:
+    """Mirror state positioned at (iteration ``step``, before bucket
+    ``bi``): curr at S_{step-1} (iteration-start, Jacobi), cd/cs advanced
+    by buckets 0..bi-1 of iteration ``step``; pending curr updates applied
+    when the position rolls into a new iteration."""
+    target = (step, bi)
+    st = _COLORED_STATE.get(pack_dir) if cache else None
+    if st is not None and (st["it"], st["bi"]) > target:
+        st = None
+    if st is None:
+        vdeg, self_w, present = _assemble_static(pack_dir, nparts, nv_dense)
+        st = {
+            "it": 1, "bi": 0,
+            "curr": np.arange(nv_dense, dtype=np.int64),
+            "cd": vdeg.copy(),
+            "cs": present.astype(np.int64),
+            "vdeg": vdeg, "self_w": self_w,
+            "pending": [],
+        }
+        if cache:
+            _COLORED_STATE.clear()
+            _COLORED_STATE[pack_dir] = st
+    while (st["it"], st["bi"]) < target:
+        it, b = st["it"], st["bi"]
+        mid, mnew = _load_bucket_moves(pack_dir, nparts, it, b)
+        if len(mid):
+            # cd/cs advance NOW (aggregate refresh between buckets);
+            # mold = iteration-start community — each vertex is swept in
+            # exactly one bucket, so curr[mid] is still pre-iteration
+            mold = st["curr"][mid]
+            wts = st["vdeg"][mid]
+            np.add.at(st["cd"], mnew, wts)
+            np.subtract.at(st["cd"], mold, wts)
+            np.add.at(st["cs"], mnew, 1)
+            np.subtract.at(st["cs"], mold, 1)
+            st["pending"].append((mid, mnew))
+        if b + 1 < n_buckets:
+            st["bi"] = b + 1
+        else:
+            for mid_p, mnew_p in st["pending"]:
+                st["curr"][mid_p] = mnew_p
+            st["pending"] = []
+            st["it"], st["bi"] = it + 1, 0
+    return st
+
+
+def csr_superstep_colored(
+    spark,
+    pack_dir: str,
+    nparts: int,
+    nv_dense: int,
+    const: float,
+    step: int,
+    bi: int,
+    n_buckets: int,
+    bucket_color: int,
+) -> DataFrame:
+    """Bucket ``bi`` of colored iteration ``step``: sweep only own
+    vertices of ``bucket_color`` against (iteration-start curr, refreshed
+    cd/cs), write mvc_{step}_{bi}_{pid}.npy. Bucket-0 sentinels carry the
+    a-term partial at S_{step-1} (the one-job-late modularity protocol,
+    as in the plain packed superstep)."""
+
+    def run(pdf_iter):
+        import os
+
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            for pid in pdf["pid"]:
+                pid = int(pid)
+                st = _colored_state(pack_dir, nparts, nv_dense, step, bi,
+                                    n_buckets)
+                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"))
+                a_part = (
+                    float((st["cd"][own] ** 2).sum()) if bi == 0 else 0.0
+                )
+                col = np.load(os.path.join(pack_dir, f"col_{pid}.npy"))
+                srcl = np.load(os.path.join(pack_dir, f"srcl_{pid}.npy"),
+                               mmap_mode="r")
+                dst = np.load(os.path.join(pack_dir, f"dst_{pid}.npy"),
+                              mmap_mode="r")
+                w = np.load(os.path.join(pack_dir, f"w_{pid}.npy"),
+                            mmap_mode="r")
+                rows = col[srcl] == bucket_color if len(col) else (
+                    np.zeros(0, dtype=bool)
+                )
+                if not rows.any():
+                    _atomic_save(
+                        os.path.join(pack_dir, f"mvc_{step}_{bi}_{pid}.npy"),
+                        np.empty((2, 0), np.int64),
+                    )
+                    yield pd.DataFrame({
+                        "pid": [pid], "e_part": [0.0], "a_part": [a_part],
+                        "moved": [np.int64(0)],
+                    })
+                    continue
+                ids, cc, new_comm, e_cc = sweep_partition_np(
+                    None, dst[rows], w[rows],
+                    st["curr"], st["vdeg"], st["self_w"], st["cd"],
+                    st["cs"], const, srcl=srcl[rows], own_ids=own,
+                )
+                mvd = new_comm != cc
+                _atomic_save(
+                    os.path.join(pack_dir, f"mvc_{step}_{bi}_{pid}.npy"),
                     np.vstack([ids[mvd], new_comm[mvd]]),
                 )
                 yield pd.DataFrame({
@@ -533,6 +819,37 @@ def csr_superstep_packed(
 
     return _pid_frame(spark, nparts).mapInPandas(
         run, schema="pid int, e_part double, a_part double, moved long"
+    )
+
+
+def csr_labels_colored(
+    spark, pack_dir: str, nparts: int, nv_dense: int, n_iters: int,
+    n_buckets: int,
+) -> DataFrame:
+    """Owned labels after ``n_iters`` FULL colored iterations (fresh
+    replay, cache bypassed — the protocol's pastComm is an earlier state
+    than the worker caches)."""
+
+    def run(pdf_iter):
+        import os
+
+        import pandas as pd
+
+        st = None
+        for pdf in pdf_iter:
+            for pid in pdf["pid"]:
+                pid = int(pid)
+                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"))
+                if len(own) == 0:
+                    continue
+                if st is None:
+                    st = _colored_state(pack_dir, nparts, nv_dense,
+                                        n_iters + 1, 0, n_buckets,
+                                        cache=False)
+                yield pd.DataFrame({"id": own, "comm": st["curr"][own]})
+
+    return _pid_frame(spark, nparts).mapInPandas(
+        run, schema="id long, comm long"
     )
 
 

@@ -53,10 +53,13 @@ import os
 import numpy as np
 
 from vite_spark.kernels.csr import (
+    _advance_et,
     _atomic_save,
     _buf,
     _grouping_order,
+    _load_et,
     _pid_frame,
+    _save_et,
     _take,
 )
 
@@ -410,17 +413,20 @@ def csr_superstep_sharded(
     const: float,
     step: int,
     snapshot_every: int = 4,
+    early_term: int = 0,
 ):
     """Superstep ``step`` (1-based) with sharded per-partition state.
 
     Protocol identical to csr.csr_superstep_packed (one scalar sentinel
     row per partition; a_part = Σ ocd² over OWNED community ids at
     S_{step-1}, i.e. the post-move a-term of the previous superstep;
-    modularity assembled one job late by the driver): only the state
-    representation differs. Snapshots st_{j} are written by the task that
-    first materializes S_j with j % snapshot_every == 0 — always the
-    superstep-(j+1) task of the same pid, so there is no cross-task
-    write race and retries rewrite identical bytes."""
+    modularity assembled one job late by the driver; early_term semantics
+    incl. frozen-row skipping and pinned frozen_cw e-term contributions —
+    see csr.csr_superstep_packed): only the state representation differs.
+    Snapshots st_{j} are written by the task that first materializes S_j
+    with j % snapshot_every == 0 — always the superstep-(j+1) task of the
+    same pid, so there is no cross-task write race and retries rewrite
+    identical bytes."""
 
     def run(pdf_iter):
         import pandas as pd
@@ -446,15 +452,18 @@ def csr_superstep_sharded(
                         except OSError:
                             pass
                 a_part = float((st["ocd"] ** 2).sum())
+                et = _load_et(pack_dir, pid, step - 1, own) if early_term else None
                 if len(own) == 0:
                     _atomic_savez(
                         os.path.join(pack_dir, f"smv_{step}_{pid}.npz"),
                         ints=np.empty((4, 0), np.int64),
                         flts=np.empty((2, 0), np.float64),
                     )
+                    if early_term:
+                        _save_et(pack_dir, pid, step, et)
                     yield pd.DataFrame({
                         "pid": [pid], "e_part": [0.0], "a_part": [a_part],
-                        "moved": [np.int64(0)],
+                        "moved": [np.int64(0)], "frozen": [np.int64(0)],
                     })
                     continue
                 dstl = np.load(os.path.join(pack_dir, f"dstl_{pid}.npy"),
@@ -466,10 +475,21 @@ def csr_superstep_sharded(
                 vdeg_own = np.load(os.path.join(pack_dir, f"vdeg_{pid}.npy"))
                 selfw_own = np.load(os.path.join(pack_dir, f"selfw_{pid}.npy"))
                 own_pos = np.searchsorted(ux, own)
-                ids, cc, new_comm, e_cc = sweep_partition_sharded(
-                    dstl, srcl, w, own, own_pos, vdeg_own, selfw_own,
-                    st, nv_dense, const,
-                )
+                n_frozen = 0
+                if early_term:
+                    n_frozen = int((~et["active"]).sum())
+                    if n_frozen:
+                        rows = et["active"][srcl]   # skip frozen src rows
+                        srcl, dstl, w = srcl[rows], dstl[rows], w[rows]
+                if len(dstl):
+                    ids, cc, new_comm, e_cc = sweep_partition_sharded(
+                        dstl, srcl, w, own, own_pos, vdeg_own, selfw_own,
+                        st, nv_dense, const,
+                    )
+                else:
+                    ids = np.empty(0, np.int64)
+                    cc = new_comm = ids
+                    e_cc = np.empty(0)
                 mvd = new_comm != cc
                 mnew_m = new_comm[mvd]
                 tpos, tm = _positions(st["tkeys"], mnew_m)
@@ -481,13 +501,22 @@ def csr_superstep_sharded(
                     flts=np.vstack([vdeg_own[np.searchsorted(own, ids[mvd])],
                                     st["tcd"][tpos]]),
                 )
+                e_part = float(e_cc.sum())
+                if early_term:
+                    e_part += float(et["frozen_cw"][~et["active"]].sum())
+                    swept = np.searchsorted(own, ids)
+                    et = _advance_et(et, step, early_term, cc, new_comm,
+                                     e_cc, swept)
+                    _save_et(pack_dir, pid, step, et)
                 yield pd.DataFrame({
-                    "pid": [pid], "e_part": [float(e_cc.sum())],
+                    "pid": [pid], "e_part": [e_part],
                     "a_part": [a_part], "moved": [np.int64(mvd.sum())],
+                    "frozen": [np.int64(n_frozen)],
                 })
 
     return _pid_frame(spark, nparts).mapInPandas(
-        run, schema="pid int, e_part double, a_part double, moved long"
+        run,
+        schema="pid int, e_part double, a_part double, moved long, frozen long",
     )
 
 
