@@ -158,16 +158,20 @@ def init_shard_state(spark, pack_dir: str, nparts: int):
                 ux = np.load(os.path.join(pack_dir, f"ux_{pid}.npy"))
                 uvdeg = np.zeros(len(ux))
                 hit = np.zeros(len(ux), dtype=bool)
-                for q in range(nparts):
+                for q in range(nparts) if len(ux) else ():
                     own_q = np.load(os.path.join(pack_dir, f"own_{q}.npy"))
                     if len(own_q) == 0:
                         continue
                     vdeg_q = np.load(os.path.join(pack_dir, f"vdeg_{q}.npy"))
-                    pos = np.searchsorted(own_q, ux)
-                    pos_c = np.minimum(pos, len(own_q) - 1)
-                    m = own_q[pos_c] == ux
-                    uvdeg[m] = vdeg_q[pos_c[m]]
-                    hit |= m
+                    # probe the SMALL side into the big one: O(|own_q| ·
+                    # log|U_p|) per pack, not O(|U_p| · log|own_q|) — at
+                    # 32 partitions × 9M-entry universes the reverse
+                    # direction cost ~10 min/rep at 4 cores (measured)
+                    pos = np.searchsorted(ux, own_q)
+                    pos_c = np.minimum(pos, len(ux) - 1)
+                    m = ux[pos_c] == own_q
+                    uvdeg[pos_c[m]] = vdeg_q[m]
+                    hit[pos_c[m]] = True
                 # symmetrized input ⇒ every universe vertex is someone's src
                 assert bool(hit.all()), "universe vertex owned by no partition"
                 own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"))
