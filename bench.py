@@ -305,10 +305,13 @@ def scaling_worker(cores: int, nparts: int):
         edges = spark.read.parquet(SCALING_PARQUET)
         ne = edges.count()
         # warmup=1 absorbs the one-off cold page-cache read of the packed
-        # partitions; supersteps 2..5 (the work-heavy phase any real run
-        # spends its time in) are measured
+        # partitions; supersteps 2..iters (the work-heavy phase any real
+        # run spends its time in) are measured. SPARK_GRAFT_SCALING_ITERS
+        # trims the per-rep cost for very large inputs.
+        iters = int(os.environ.get("SPARK_GRAFT_SCALING_ITERS", "5"))
         m = MetricsCollector()
-        eps = superstep_throughput(spark, edges, iters=5, warmup=1, metrics=m)
+        eps = superstep_throughput(spark, edges, iters=iters, warmup=1,
+                                   metrics=m)
         modes = sorted({r.get("mode", "join") for r in m.rows
                         if r.get("kind") == "superstep"})
         print(json.dumps({"edges": ne, "edges_per_sec": round(eps, 1),

@@ -204,9 +204,20 @@ def _load_move_stream(pack_dir: str, nparts: int, step: int):
             np.concatenate(flts, axis=1) if len(flts) > 1 else flts[0])
 
 
-def _flow_table(mold, mnew, vd):
+# Per-worker flow-table cache: the per-superstep community flow table is
+# GLOBAL (identical for every partition), but each task replays it for its
+# own pid — without the cache a worker serving p partitions recomputes the
+# same O(moved·log moved) unique+scatter p times per superstep (measured
+# dominant at 24M vertices / 4 cores). Keyed (pack_dir, step), small LRU.
+_FLOW_CACHE: dict = {}
+_FLOW_CACHE_MAX = 4
+
+
+def _flow_table(mold, mnew, vd, cache_key=None):
     """Per-community aggregate flow of one superstep's full move stream:
     sorted unique community keys with (Σ vd in − out, count in − out)."""
+    if cache_key is not None and cache_key in _FLOW_CACHE:
+        return _FLOW_CACHE[cache_key]
     keys = np.concatenate([mnew, mold])
     dcd = np.concatenate([vd, -vd])
     dcs = np.concatenate([np.ones(len(mnew), np.int64),
@@ -216,7 +227,12 @@ def _flow_table(mold, mnew, vd):
     fcs = np.zeros(len(fkeys), np.int64)
     np.add.at(fcd, inv, dcd)
     np.add.at(fcs, inv, dcs)
-    return fkeys, fcd, fcs
+    out = (fkeys, fcd, fcs)
+    if cache_key is not None:
+        while len(_FLOW_CACHE) >= _FLOW_CACHE_MAX:
+            _FLOW_CACHE.pop(next(iter(_FLOW_CACHE)))
+        _FLOW_CACHE[cache_key] = out
+    return out
 
 
 def _positions(sorted_keys: np.ndarray, queries: np.ndarray):
@@ -229,7 +245,7 @@ def _positions(sorted_keys: np.ndarray, queries: np.ndarray):
 
 
 def _apply_stream_sharded(st: dict, ints, flts, own: np.ndarray,
-                          ux: np.ndarray) -> None:
+                          ux: np.ndarray, flow_key=None) -> None:
     """Advance one partition's sharded state by one superstep's global
     move stream. Order of operations matters only logically — all values
     below are taken from the PRE-step state carried in the records."""
@@ -237,7 +253,7 @@ def _apply_stream_sharded(st: dict, ints, flts, own: np.ndarray,
     vd, cdp = flts
 
     # 1) flows onto tracked (referenced) communities
-    fkeys, fcd, fcs = _flow_table(mold, mnew, vd)
+    fkeys, fcd, fcs = _flow_table(mold, mnew, vd, cache_key=flow_key)
     tpos, tm = _positions(st["tkeys"], fkeys)
     np.add.at(st["tcd"], tpos[tm], fcd[tm])
     np.add.at(st["tcs"], tpos[tm], fcs[tm])
@@ -300,7 +316,8 @@ def _load_state(pack_dir: str, nparts: int, pid: int, upto: int,
     debug = bool(os.environ.get("VITE_SHARDED_DEBUG"))
     for j in range(j0 + 1, upto + 1):
         ints, flts = _load_move_stream(pack_dir, nparts, j)
-        _apply_stream_sharded(st, ints, flts, own, ux)
+        _apply_stream_sharded(st, ints, flts, own, ux,
+                              flow_key=(pack_dir, j))
         if debug:
             image = np.unique(st["curr"])
             _, m = _positions(st["tkeys"], image)
