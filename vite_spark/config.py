@@ -102,7 +102,13 @@ class EngineConfig:
     csr_force_sharded: bool = False
     # Sharded kernel: write a per-partition state snapshot every k
     # supersteps; intermediate states replay the O(moved) move files.
-    csr_snapshot_every: int = 4
+    # Default 1: with longer windows every superstep re-replays the
+    # window's earlier deltas, and the FIRST superstep's delta (the
+    # biggest — nearly every vertex moves) gets re-read up to k-1 times
+    # per partition; measured dominant at 24M vertices. One snapshot
+    # read+write per partition per superstep is cheaper page-cache
+    # traffic than any repeated delta.
+    csr_snapshot_every: int = 1
     # Adaptive execution: when a level's edge table has at most this many
     # rows, run the whole phase driver-local on CSR NumPy kernels (the
     # oracle-validated sweep) instead of distributed supersteps. Coarse
