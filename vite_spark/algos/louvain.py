@@ -351,9 +351,9 @@ def _csr_phase(
         pack_csr_partitions,
     )
     from vite_spark.kernels.csr_sharded import (
+        build_routes,
         csr_labels_sharded,
         csr_superstep_sharded,
-        init_shard_state,
         pack_csr_partitions_sharded,
     )
 
@@ -379,14 +379,35 @@ def _csr_phase(
         # colored+ET combination stays on the join path
         return None
 
-    edges = edges.repartition(nparts, "src")
+    if sharded:
+        # RANGE partitioning for the sharded kernel: Vite's 1-D block
+        # ownership (distgraph.cpp:165-169) with row-sampled bounds — the
+        # edge-balanced -b variant (balanceEdges, distgraph.cpp:72-116).
+        # Ranges keep neighborhood locality, so per-partition universes
+        # (ghost sets) stay near O(nv/p) instead of hashing every
+        # neighborhood across all partitions, and owner(id) is a tiny
+        # searchsorted (getOwner, distgraph.hpp:260-271).
+        edges = edges.repartitionByRange(nparts, "src")
+        # RangePartitioner caps at the distinct-sample count — tiny key
+        # domains yield fewer partitions than requested; every downstream
+        # pid loop must see the REAL count
+        nparts = edges.rdd.getNumPartitions()
+    else:
+        edges = edges.repartition(nparts, "src")
     pack_dir = tempfile.mkdtemp(prefix="vite_csr_")
     try:
+        routing = None
         if sharded:
             info = pack_csr_partitions_sharded(edges, pack_dir, nparts)
             if info["max_nown"] * nv_dense >= 2**63:
                 return None   # grouping key would overflow → join path
-            init_shard_state(spark, pack_dir, nparts)
+            if not info["w_integer"] and not cfg.csr_force_sharded:
+                # non-integer weights: the sharded kernel's per-writer
+                # flow pre-aggregation changes float summation ORDER vs
+                # the mirror/oracle — auto-route to the join path (r3
+                # ADVICE #1); csr_force_sharded opts in deliberately
+                return None
+            routing = build_routes(spark, pack_dir, nparts)
         else:
             info = pack_csr_partitions(edges, pack_dir, nparts)
         ne, nv, two_m = info["ne"], info["nv"], info["two_m"]
@@ -477,7 +498,7 @@ def _csr_phase(
             if sharded:
                 sent = csr_superstep_sharded(
                     spark, pack_dir, nparts, nv_dense, const, k,
-                    snapshot_every=cfg.csr_snapshot_every, early_term=et,
+                    routing, early_term=et,
                 ).collect()
             else:
                 sent = csr_superstep_packed(

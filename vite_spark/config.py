@@ -100,14 +100,10 @@ class EngineConfig:
     csr_mirror_max_ids: int = 5_000_000
     # Force the sharded kernel at any size (parity tests / benchmarks).
     csr_force_sharded: bool = False
-    # Sharded kernel: write a per-partition state snapshot every k
-    # supersteps; intermediate states replay the O(moved) move files.
-    # Default 1: with longer windows every superstep re-replays the
-    # window's earlier deltas, and the FIRST superstep's delta (the
-    # biggest — nearly every vertex moves) gets re-read up to k-1 times
-    # per partition; measured dominant at 24M vertices. One snapshot
-    # read+write per partition per superstep is cheaper page-cache
-    # traffic than any repeated delta.
+    # Retired v1 knob (kept so existing configs construct): the v2
+    # sharded kernel keeps no snapshot/replay chain — per-partition state
+    # is saved fresh each superstep and deltas are reader-routed, so
+    # there is nothing to snapshot on an interval.
     csr_snapshot_every: int = 1
     # Adaptive execution: when a level's edge table has at most this many
     # rows, run the whole phase driver-local on CSR NumPy kernels (the
