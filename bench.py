@@ -149,9 +149,15 @@ def superstep_throughput(spark, edges, iters: int = 5, warmup: int = 2,
     # csr=False the shuffle-join path (the very-large-nv fallback)
     # sharded=True forces the O(nv/p + |universe_p|) sharded-state kernel
     # (the path any graph beyond csr_mirror_max_ids dense ids takes)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
     cfg = EngineConfig(
         max_total_iterations=iters, local_phase_max_edges=0,
         use_csr_kernel=csr, csr_force_sharded=sharded,
+        scratch_dir=scratch,   # tmpfs: no disk writeback in the hot loop
+        # persistent pack reuse across the interleaved reps (the
+        # fileConvert-once analog): the pack is identical for every rep
+        # (same input/partitioning); only measured supersteps recompute
+        pack_cache_dir=os.environ.get("SPARK_GRAFT_PACK_CACHE") or None,
     )
     louvain_phase(spark, edges, threshold=-1e9, cfg=cfg, metrics=m)
     # threshold=-1e9 forces `iters` full supersteps (never converges early).
@@ -263,20 +269,36 @@ def run_scaling(n_low: int, sf_dir: str) -> dict:
 
     reps = int(_os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
     eps: dict[int, list] = {n_low: [], n_high: []}
+    walls: dict[int, list] = {n_low: [], n_high: []}
     mode = "?"
-    for _ in range(reps):
-        for cores in (n_low, n_high):
-            out = subprocess.run(
-                ["taskset", "-c", f"0-{cores - 1}", _sys.executable, __file__,
-                 "--scaling-worker", str(cores), "--scaling-nparts",
-                 str(4 * n_high)],
-                capture_output=True, text=True, timeout=6000,
-                env={**_os.environ, "SPARK_DRIVER_MEMORY": "48g"},
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            rec = json.loads(line)
-            eps[cores].append(rec["edges_per_sec"])
-            mode = rec.get("mode", "?")
+    env = {**_os.environ, "SPARK_DRIVER_MEMORY": "48g"}
+    pack_cache = None
+    if _os.path.isdir("/dev/shm"):
+        # pack once (fileConvert-once analog), reuse across every rep —
+        # the pack is unmeasured either way; this just removes ~10-30 min
+        # of redundant per-rep setup. Removed again at the end.
+        pack_cache = f"/dev/shm/vite_pack_{SCALING_NV}_{SCALING_DEG}"
+        env["SPARK_GRAFT_PACK_CACHE"] = pack_cache
+    try:
+        for _ in range(reps):
+            for cores in (n_low, n_high):
+                out = subprocess.run(
+                    ["taskset", "-c", f"0-{cores - 1}", _sys.executable,
+                     __file__, "--scaling-worker", str(cores),
+                     "--scaling-nparts", str(4 * n_high)],
+                    capture_output=True, text=True, timeout=6000, env=env,
+                )
+                line = [l for l in out.stdout.splitlines()
+                        if l.startswith("{")][-1]
+                rec = json.loads(line)
+                eps[cores].append(rec["edges_per_sec"])
+                walls[cores].append(rec.get("superstep_walls"))
+                mode = rec.get("mode", "?")
+    finally:
+        if pack_cache:
+            import shutil
+
+            shutil.rmtree(pack_cache, ignore_errors=True)
     t_low = statistics.median(eps[n_low])
     t_high = statistics.median(eps[n_high])
     eff = (t_high / t_low) / 4.0
@@ -292,6 +314,8 @@ def run_scaling(n_low: int, sf_dir: str) -> dict:
         "reps_high_eps": eps[n_high],
         "speedup": round(t_high / t_low, 3),
         "scaling_efficiency": round(eff, 3),
+        "walls_low": walls[n_low],
+        "walls_high": walls[n_high],
     }
     return out
 
@@ -314,8 +338,11 @@ def scaling_worker(cores: int, nparts: int):
                                    metrics=m)
         modes = sorted({r.get("mode", "join") for r in m.rows
                         if r.get("kind") == "superstep"})
+        walls = [round(r["wall_s"], 2) for r in m.rows
+                 if r.get("kind") == "superstep"]
         print(json.dumps({"edges": ne, "edges_per_sec": round(eps, 1),
-                          "mode": "+".join(modes)}))
+                          "mode": "+".join(modes),
+                          "superstep_walls": walls}))
     finally:
         spark.stop()
 

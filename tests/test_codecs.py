@@ -154,3 +154,90 @@ def test_bmp_media_from_docs_contract(spark):
         assert rgb.shape == (doc_id % 17 + 2, doc_id % 31 + 2, 3)
         h = hashlib.sha256(text.encode()).digest()
         assert (rgb == np.frombuffer(h[:3], np.uint8)).all()
+
+
+# --- WAV (RIFF/WAVE PCM16) -------------------------------------------------
+
+def _reference_wav() -> tuple[bytes, np.ndarray, int]:
+    """Hand-built 3-sample stereo PCM16 WAV from the RIFF spec (NOT via
+    encode_wav)."""
+    from vite_spark.text.codecs import is_wav  # noqa: F401  (import check)
+
+    samples = np.array([[100, -100], [32767, -32768], [0, 5]], dtype=np.int16)
+    data = samples.tobytes()                      # interleaved LE
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body, samples, 8000
+
+
+def test_wav_decode_matches_spec_literal():
+    from vite_spark.text.codecs import decode_wav
+
+    payload, samples, sr = _reference_wav()
+    s, rate = decode_wav(payload)
+    assert rate == sr
+    assert np.array_equal(s, samples)
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    from vite_spark.text.codecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3):
+        s = rng.integers(-32768, 32768, size=(37, ch)).astype(np.int16)
+        out, rate = decode_wav(encode_wav(s, 44100))
+        assert rate == 44100
+        assert np.array_equal(out, s)
+    mono = rng.integers(-32768, 32768, size=11).astype(np.int16)
+    out, _ = decode_wav(encode_wav(mono, 8000))
+    assert np.array_equal(out[:, 0], mono)
+
+
+def test_wav_chunk_walk_skips_extra_chunks():
+    """Decoder must walk past LIST/INFO-style chunks (incl. odd-size +
+    pad byte) to find fmt/data wherever they are."""
+    from vite_spark.text.codecs import decode_wav
+
+    payload, samples, sr = _reference_wav()
+    fmt_and_data = payload[12:]          # chunks only (RIFF/size/WAVE cut)
+    junk = b"LIST" + struct.pack("<I", 5) + b"JUNK!" + b"\x00"  # odd + pad
+    body = b"WAVE" + junk + fmt_and_data
+    rebuilt = b"RIFF" + struct.pack("<I", len(body)) + body
+    s, rate = decode_wav(rebuilt)
+    assert rate == sr
+    assert np.array_equal(s, samples)
+
+
+def test_wav_rejects_non_pcm16():
+    from vite_spark.text.codecs import decode_wav, encode_wav, is_wav
+
+    good = encode_wav(np.zeros(4, np.int16), 8000)
+    # flip audio_format to 3 (IEEE float) inside the fmt chunk
+    bad = bytearray(good)
+    bad[20:22] = struct.pack("<H", 3)
+    with pytest.raises(ValueError, match="PCM 16-bit"):
+        decode_wav(bytes(bad))
+    assert not is_wav(b"RIFFxxxx")                # too short / not WAVE
+    assert not is_wav(b"not audio at all" * 4)
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        decode_wav(b"X" * 64)
+
+
+def test_extract_audio_features_real_path_no_spark():
+    """The real audio feature math, driven directly (no Spark): constant
+    samples give mean = v/2^15, rms = |v|/2^15, duration = n/sr."""
+    from vite_spark.text.codecs import encode_wav
+
+    v, n, ch, sr = -12345, 50, 2, 8000
+    payload = encode_wav(np.full((n, ch), v, np.int16), sr)
+    # reproduce the extract_audio_features inner math
+    from vite_spark.text.codecs import decode_wav
+
+    s, rate = decode_wav(payload)
+    x = s.astype(np.float64) / 32768.0
+    assert rate == sr
+    assert float(x.mean()) == v / 32768.0
+    assert float(np.sqrt((x * x).mean())) == abs(v) / 32768.0
+    assert s.shape == (n, ch)
+    assert len(payload) == 44 + 2 * ch * n

@@ -145,3 +145,24 @@ def test_et_abort_modes_oracle():
     _, _, i2 = louvain_oracle_phase(s, d, w, nv, early_term=2)
     _, _, i4 = louvain_oracle_phase(s, d, w, nv, early_term=4)
     assert i4 <= i2
+
+
+def test_pack_colors_misaligned_falls_back(spark):
+    """A caller-supplied colors table that omits a vertex with edges must
+    make _csr_phase decline (return None → shuffle-join colored path)
+    instead of crashing the phase from inside an executor with a pack
+    assertion (r3 ADVICE #2)."""
+    from vite_spark.algos.louvain import _csr_phase
+    from vite_spark.runtime.metrics import MetricsCollector
+
+    s, d, w, nv = fx.karate()
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+    bad_colors = spark.createDataFrame(
+        [(int(i), 0) for i in range(1, nv)], "id long, color long"
+    )  # vertex 0 missing
+    res = _csr_phase(
+        spark, edges, 1e-6, -1.0,
+        EngineConfig(local_phase_max_edges=0, use_csr_kernel=True),
+        MetricsCollector(), 0, colors=bad_colors,
+    )
+    assert res is None

@@ -92,3 +92,45 @@ def test_sharded_key_no_int32_overflow():
     assert np.array_equal(i0, i1)
     assert np.array_equal(n0, n1)
     assert np.allclose(e0, e1)
+
+
+def test_sharded_key_near_int64_max():
+    """The boundary-condition pattern pin (r3 VERDICT next#3): a sharded
+    sweep whose grouping key srcl*nv_dense + c_dst lands just BELOW 2^63
+    (nown=100k, nv_dense ~ 9e13 -> max key ~ 9.0e18 vs int64 max 9.22e18)
+    must produce decisions identical to the same graph at small ids. Any
+    int32 (or float64) intermediate re-entering the key path corrupts the
+    grouping here long before fixture scale would notice."""
+    nv_small, half = 100_000, 2
+    s, d, w = _ring(nv_small, half)
+    shift = 90_000_000_000_000          # ids ~ 9e13
+
+    def run(base):
+        sb, db = s + base, d + base
+        first = np.r_[True, sb[1:] != sb[:-1]]
+        srcl = (np.cumsum(first) - 1).astype(np.int32)
+        own = sb[np.flatnonzero(first)]
+        ux = np.union1d(own, db)
+        dstl = np.searchsorted(ux, db).astype(np.int32)
+        vdeg = np.zeros(len(own))
+        np.add.at(vdeg, srcl.astype(np.int64), w)
+        st = {
+            "curr": ux.copy(),
+            "tkeys": ux.copy(),
+            "tcd": vdeg[np.searchsorted(own, ux)],
+            "tcs": np.ones(len(ux), np.int64),
+        }
+        nv_dense = int(base + nv_small)
+        assert len(own) * nv_dense < 2**63          # the guard's domain
+        assert len(own) * nv_dense > 2**62          # ... but barely
+        ids, cc, new_comm, e_cc = sweep_partition_sharded(
+            dstl, srcl, w, own, np.searchsorted(ux, own), vdeg,
+            np.zeros(len(own)), st, nv_dense, 1.0 / w.sum(),
+        )
+        return ids - base, new_comm - base, e_cc
+
+    i0, n0, e0 = run(0)
+    i1, n1, e1 = run(shift)
+    assert np.array_equal(i0, i1)
+    assert np.array_equal(n0, n1)
+    assert np.allclose(e0, e1)

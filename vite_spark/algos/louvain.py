@@ -352,6 +352,7 @@ def _csr_phase(
     )
     from vite_spark.kernels.csr_sharded import (
         build_routes,
+        csr_advance_sharded,
         csr_labels_sharded,
         csr_superstep_sharded,
         pack_csr_partitions_sharded,
@@ -379,26 +380,60 @@ def _csr_phase(
         # colored+ET combination stays on the join path
         return None
 
-    if sharded:
-        # RANGE partitioning for the sharded kernel: Vite's 1-D block
-        # ownership (distgraph.cpp:165-169) with row-sampled bounds — the
-        # edge-balanced -b variant (balanceEdges, distgraph.cpp:72-116).
-        # Ranges keep neighborhood locality, so per-partition universes
-        # (ghost sets) stay near O(nv/p) instead of hashing every
-        # neighborhood across all partitions, and owner(id) is a tiny
-        # searchsorted (getOwner, distgraph.hpp:260-271).
-        edges = edges.repartitionByRange(nparts, "src")
-        # RangePartitioner caps at the distinct-sample count — tiny key
-        # domains yield fewer partitions than requested; every downstream
-        # pid loop must see the REAL count
-        nparts = edges.rdd.getNumPartitions()
-    else:
-        edges = edges.repartition(nparts, "src")
-    pack_dir = tempfile.mkdtemp(prefix="vite_csr_")
-    try:
-        routing = None
+    import json
+    import os
+
+    routing = None
+    info = None
+    pack_dir = None
+    cleanup = True
+    if sharded and cfg.pack_cache_dir and level == 0:
+        # persistent pack reuse (the fileConvert-once analog): statics +
+        # routes come off the cache; per-run transients are purged
+        pack_dir = os.path.join(cfg.pack_cache_dir, "vite_pack")
+        cleanup = False
+        mf = os.path.join(pack_dir, "manifest.json")
+        if os.path.exists(mf):
+            with open(mf) as fh:
+                man = json.load(fh)
+            info = man["info"]
+            nparts = man["nparts"]
+            routing = (
+                {int(k): v for k, v in man["owners_of"].items()},
+                {int(k): v for k, v in man["rdrs_of"].items()},
+            )
+            for f in os.listdir(pack_dir):
+                if f.startswith(("mvu_", "flw_", "cur_", "ost_", "et_")):
+                    try:
+                        os.remove(os.path.join(pack_dir, f))
+                    except OSError:
+                        pass
+    if info is None:
         if sharded:
-            info = pack_csr_partitions_sharded(edges, pack_dir, nparts)
+            # RANGE partitioning for the sharded kernel: Vite's 1-D block
+            # ownership (distgraph.cpp:165-169) with row-sampled bounds —
+            # the edge-balanced -b variant (balanceEdges,
+            # distgraph.cpp:72-116). Ranges keep neighborhood locality, so
+            # per-partition universes (ghost sets) stay near O(nv/p)
+            # instead of hashing every neighborhood across all partitions,
+            # and owner(id) is a tiny searchsorted (getOwner,
+            # distgraph.hpp:260-271).
+            edges = edges.repartitionByRange(nparts, "src")
+            # RangePartitioner caps at the distinct-sample count — tiny
+            # key domains yield fewer partitions than requested; every
+            # downstream pid loop must see the REAL count
+            nparts = edges.rdd.getNumPartitions()
+        else:
+            edges = edges.repartition(nparts, "src")
+        if pack_dir is None:
+            pack_dir = tempfile.mkdtemp(prefix="vite_csr_",
+                                        dir=cfg.scratch_dir)
+        else:
+            os.makedirs(pack_dir, exist_ok=True)
+    try:
+        if sharded:
+            if info is None:
+                info = pack_csr_partitions_sharded(edges, pack_dir, nparts)
             if info["max_nown"] * nv_dense >= 2**63:
                 return None   # grouping key would overflow → join path
             if not info["w_integer"] and not cfg.csr_force_sharded:
@@ -407,7 +442,16 @@ def _csr_phase(
                 # the mirror/oracle — auto-route to the join path (r3
                 # ADVICE #1); csr_force_sharded opts in deliberately
                 return None
-            routing = build_routes(spark, pack_dir, nparts)
+            if routing is None:
+                routing = build_routes(spark, pack_dir, nparts)
+                if not cleanup:   # cached pack: persist the manifest
+                    tmp = os.path.join(pack_dir, f".mf.{os.getpid()}")
+                    with open(tmp, "w") as fh:
+                        json.dump({
+                            "info": info, "nparts": nparts,
+                            "owners_of": routing[0], "rdrs_of": routing[1],
+                        }, fh)
+                    os.replace(tmp, os.path.join(pack_dir, "manifest.json"))
         else:
             info = pack_csr_partitions(edges, pack_dir, nparts)
         ne, nv, two_m = info["ne"], info["nv"], info["two_m"]
@@ -419,7 +463,10 @@ def _csr_phase(
             # (kernels/csr.py colored block). Same one-job-late modularity
             # protocol: iteration j is judged after bucket 0 of iteration
             # j+1 reports the a-term at S_j.
-            pack_colors(colors.select("id", "color"), pack_dir, nparts)
+            if not pack_colors(colors.select("id", "color"), pack_dir, nparts):
+                # colors misaligned with the edge pack (missing/extra
+                # vertices) → shuffle-join colored path, same semantics
+                return None
             vals = sorted(
                 r["color"] for r in colors.select("color").distinct().collect()
             )
@@ -496,6 +543,11 @@ def _csr_phase(
             # moves travel worker-to-worker via per-(step, pid) files; the
             # driver's job result is nparts scalar sentinel rows only
             if sharded:
+                if k >= 2:
+                    # owner-state advance job first: merges superstep-
+                    # (k-1) flow partials once per owner behind a job
+                    # barrier, so the sweep's aggregate pulls are loads
+                    csr_advance_sharded(spark, pack_dir, nparts, k).collect()
                 sent = csr_superstep_sharded(
                     spark, pack_dir, nparts, nv_dense, const, k,
                     routing, early_term=et,
@@ -553,7 +605,8 @@ def _csr_phase(
             assignment=lab, q=float(q_final), iters=iters_final, nv=nv
         )
     finally:
-        shutil.rmtree(pack_dir, ignore_errors=True)
+        if cleanup:
+            shutil.rmtree(pack_dir, ignore_errors=True)
 
 
 def louvain_phase(

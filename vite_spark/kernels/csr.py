@@ -654,14 +654,20 @@ def _save_et(pack_dir: str, pid: int, step: int, et: dict) -> None:
 # ---------------------------------------------------------------------------
 
 
-def pack_colors(colors_df: DataFrame, pack_dir: str, nparts: int) -> None:
+def pack_colors(colors_df: DataFrame, pack_dir: str, nparts: int) -> bool:
     """col_{pid}.npy: per-partition colors aligned with own_{pid}.
 
     colors_df(id, color) is hash-repartitioned on id with the same
     partitioner as the edge pack's repartition(nparts, "src") (same
     single-long key, same numPartitions → identical placement), so
     partition p holds exactly the colors of its owned vertices; sorting
-    by id aligns them with the sorted own array (asserted)."""
+    by id aligns them with the sorted own array.
+
+    Returns True when every partition aligned. A caller-supplied colors
+    table that omits a vertex with edges (or carries extras) returns
+    False instead of crashing the phase from inside an executor — the
+    caller then falls back to the shuffle-join colored path, like every
+    other _csr_phase precondition failure (r3 ADVICE #2)."""
     import os
 
     def write(pdf_iter):
@@ -679,16 +685,15 @@ def pack_colors(colors_df: DataFrame, pack_dir: str, nparts: int) -> None:
             ids = np.empty(0, np.int64)
             col = np.empty(0, np.int64)
         own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"))
-        assert np.array_equal(ids, own), (
-            f"color partitioning misaligned with edge pack (pid {pid}: "
-            f"{len(ids)} colors vs {len(own)} owned)"
-        )
-        _atomic_save(os.path.join(pack_dir, f"col_{pid}.npy"), col)
-        yield pd.DataFrame({"pid": [pid], "n": [len(ids)]})
+        ok = np.array_equal(ids, own)
+        if ok:
+            _atomic_save(os.path.join(pack_dir, f"col_{pid}.npy"), col)
+        yield pd.DataFrame({"pid": [pid], "n": [len(ids)], "ok": [ok]})
 
-    colors_df.repartition(nparts, "id").mapInPandas(
-        write, schema="pid int, n long"
+    res = colors_df.repartition(nparts, "id").mapInPandas(
+        write, schema="pid int, n long, ok boolean"
     ).collect()
+    return all(r["ok"] for r in res)
 
 
 _COLORED_STATE: dict = {}

@@ -277,19 +277,42 @@ def build_routes(spark, pack_dir: str, nparts: int):
 # Per-worker cache of owner aggregate states (pack_dir, owner, step) →
 # (ocd, ocs). Every reader referencing an owner at the same step computes
 # bit-identical arrays (fixed writer merge order), so sharing is safe;
-# treat cached arrays as read-only.
+# treat cached arrays as read-only. Policy: keep ALL owners of the
+# NEWEST (pack_dir, step) seen — a sweep task touches every owner its
+# referenced set spans, and the next task on this worker touches largely
+# the same owners, so evicting within a step (the v2.0 small-FIFO
+# mistake) rereads O(nparts · nv/p) bytes per task instead of per worker.
 _OST_CACHE: dict = {}
-_OST_CACHE_MAX = 16
+
+# Per-worker cache of the static sorted owned-id arrays (pack_dir, o) →
+# own_o: the tracked-aggregate pull slices against every owner its
+# referenced set spans, each superstep — the arrays are immutable per
+# phase, so loading them once per worker (not once per task per step)
+# removes O(nparts · nv/p) bytes per task. Evicted on pack_dir change.
+_OWN_CACHE: dict = {}
 
 
-def _owner_aggs_at(pack_dir: str, nparts: int, o: int, j: int):
+def _own_of(pack_dir: str, o: int) -> np.ndarray:
+    key = (pack_dir, o)
+    arr = _OWN_CACHE.get(key)
+    if arr is None:
+        if _OWN_CACHE and next(iter(_OWN_CACHE))[0] != pack_dir:
+            _OWN_CACHE.clear()
+        arr = np.load(os.path.join(pack_dir, f"own_{o}.npy"))
+        _OWN_CACHE[key] = arr
+    return arr
+
+
+def _owner_aggs_at(pack_dir: str, nparts: int, o: int, j: int,
+                   save: bool = False):
     """(ocd, ocs) over partition o's OWNED community ids at state S_j —
     the localCinfo shard (louvain.cpp:2534-2547). S_0 = singleton init
-    (vdeg, 1). For j ≥ 1: the owner's saved `ost_{j}_{o}` if present
-    (written by the owner's superstep-(j+1) task), else recomputed from
-    `ost_{j-1}_{o}` (guaranteed present — prior job) + superstep-j flow
-    partials merged in fixed writer order. Deterministic: every caller
-    materializes bit-identical values."""
+    (vdeg, 1). For j ≥ 1: the saved `ost_{j}_{o}` if present (the advance
+    job of superstep j+1 guarantees it before any sweep task runs), else
+    recomputed from `ost_{j-1}_{o}` + superstep-j flow partials merged in
+    fixed writer order — deterministic, so every materialization is
+    bit-identical and save=True (the advance job) can persist it
+    race-free."""
     if j == 0:
         vdeg = np.load(os.path.join(pack_dir, f"vdeg_{o}.npy"))
         return vdeg.copy(), np.ones(len(vdeg), np.int64)
@@ -304,7 +327,7 @@ def _owner_aggs_at(pack_dir: str, nparts: int, o: int, j: int):
     else:
         ocd, ocs = _owner_aggs_at(pack_dir, nparts, o, j - 1)
         ocd, ocs = ocd.copy(), ocs.copy()
-        own_o = np.load(os.path.join(pack_dir, f"own_{o}.npy"))
+        own_o = _own_of(pack_dir, o)
         for q in range(nparts):
             f = os.path.join(pack_dir, f"flw_{j}_{q}_{o}.npz")
             if not os.path.exists(f):
@@ -316,10 +339,50 @@ def _owner_aggs_at(pack_dir: str, nparts: int, o: int, j: int):
             np.add.at(ocd, pos, dcd)
             np.add.at(ocs, pos, dcs)
         out = (ocd, ocs)
-    while len(_OST_CACHE) >= _OST_CACHE_MAX:
-        _OST_CACHE.pop(next(iter(_OST_CACHE)))
+        if save:
+            _atomic_savez(path, ocd=out[0], ocs=out[1])
+    stale = [k2 for k2 in _OST_CACHE if (k2[0], k2[2]) != (pack_dir, j)]
+    for k2 in stale:
+        _OST_CACHE.pop(k2, None)
     _OST_CACHE[key] = out
     return out
+
+
+def csr_advance_sharded(spark, pack_dir: str, nparts: int, step: int):
+    """The per-superstep OWNER state advance (updateRemoteCommunities'
+    owner-side apply, louvain.cpp:2978-3111), run as its own tiny job
+    BEFORE superstep ``step``'s sweep: each partition merges its inbound
+    superstep-(step-1) flow partials and persists `ost_{step-1}` — so
+    every sweep task then just LOADS owner aggregates off the page cache
+    instead of nparts tasks × nworkers racing to recompute the same
+    merges (the measured v2.0 hot spot at 24M vertices: each owner's
+    merge was redone up to nworkers times and thrashed the old cache).
+    Seconds of extra job latency, ~nparts× less duplicated merge work."""
+
+    def run(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            for pid in pdf["pid"]:
+                pid = int(pid)
+                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"))
+                if len(own) == 0:
+                    yield pd.DataFrame({"pid": [pid], "nc": [0]})
+                    continue
+                ocd, _ocs = _owner_aggs_at(pack_dir, nparts, pid, step - 1,
+                                           save=True)
+                old = step - 4
+                if old >= 1:
+                    try:
+                        os.remove(os.path.join(
+                            pack_dir, f"ost_{old}_{pid}.npz"))
+                    except OSError:
+                        pass
+                yield pd.DataFrame({"pid": [pid], "nc": [len(ocd)]})
+
+    return _pid_frame(spark, nparts).mapInPandas(
+        run, schema="pid int, nc long"
+    )
 
 
 def sweep_partition_sharded(
@@ -497,21 +560,9 @@ def csr_superstep_sharded(
                         except OSError:
                             pass
 
-                # --- 2) own community aggregates at S_{step-1} ---
+                # --- 2) own community aggregates at S_{step-1} (pure
+                # load for step ≥ 2: the advance job persisted the file) ---
                 ocd, ocs = _owner_aggs_at(pack_dir, nparts, pid, step - 1)
-                if step >= 2:
-                    p_ost = os.path.join(
-                        pack_dir, f"ost_{step - 1}_{pid}.npz"
-                    )
-                    if not os.path.exists(p_ost):
-                        _atomic_savez(p_ost, ocd=ocd, ocs=ocs)
-                    old = step - 4
-                    if old >= 1:
-                        try:
-                            os.remove(os.path.join(
-                                pack_dir, f"ost_{old}_{pid}.npz"))
-                        except OSError:
-                            pass
                 a_part = float((ocd ** 2).sum())
 
                 # --- 3) tracked aggregates for the referenced set ---
@@ -528,8 +579,7 @@ def csr_superstep_sharded(
                         ocd_o, ocs_o = _owner_aggs_at(
                             pack_dir, nparts, o, step - 1
                         )
-                    own_o = (own if o == pid else
-                             np.load(os.path.join(pack_dir, f"own_{o}.npy")))
+                    own_o = own if o == pid else _own_of(pack_dir, o)
                     pos, hit = _positions(own_o, tkeys[m])
                     assert bool(hit.all()), "referenced community unowned"
                     tcd[m] = ocd_o[pos]

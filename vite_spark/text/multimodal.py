@@ -126,6 +126,143 @@ def bmp_media_from_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def wav_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PCM16 WAV payloads derived from the documents
+    table — the driver fixture for the native AUDIO decode path: each doc
+    becomes a (doc_id%2+1)-channel, 8 kHz, (doc_id%400+16)-sample WAV
+    whose constant sample value is the first 2 bytes of sha256(text) as a
+    little-endian signed int16. Every derived quantity (sample rate,
+    channels, sample count, duration, byte size, mean/rms amplitude) is
+    SQL-expressible, so the DuckDB oracle value-checks the real decode
+    end-to-end: a fmt-chunk misread flips channels/rate, a data-chunk
+    walk bug flips n_samples, an endianness/sign bug flips the
+    amplitudes."""
+
+    def batch_fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from vite_spark.text.codecs import encode_wav
+
+        for pdf in batches:
+            payloads, dur = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.sha256((text or "").encode()).digest()
+                ch = int(doc_id) % 2 + 1
+                n = int(doc_id) % 400 + 16
+                val = int.from_bytes(h[0:2], "little", signed=True)
+                s = np.full((n, ch), val, np.int16)
+                payloads.append(encode_wav(s, 8000))
+                dur.append(n / 8000.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                    "meta_width": pd.array([None] * len(pdf), dtype="Int64"),
+                    "meta_height": pd.array([None] * len(pdf), dtype="Int64"),
+                    "meta_duration_s": pd.array(dur, dtype="Float64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batch_fn, schema=MEDIA_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("channels", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("mean_amp", DoubleType(), True),
+        StructField("rms_amp", DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Arrow-batched audio feature extraction over binary payloads.
+
+    REAL for PCM16 WAV (text/codecs.py decode_wav): sample rate, channel
+    count, sample count, duration and amplitude statistics come from the
+    decoded samples. Non-WAV payloads raise unless fake=True, where a
+    deterministic sha256-seeded stub stands in (same contract as
+    extract_features)."""
+
+    def batch_fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from vite_spark.text.codecs import decode_wav, is_wav
+
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(lambda b: len(b) if b is not None else 0)
+            sr_l, ch_l, ns_l, dur_l, mean_l, rms_l = [], [], [], [], [], []
+            for b in pdf["payload"]:
+                decoded = None
+                if is_wav(b):
+                    try:
+                        decoded = decode_wav(b)
+                    except ValueError:
+                        decoded = None
+                if decoded is not None:
+                    # REAL decode — no rounding: /2^15 is IEEE-exact, so
+                    # the amplitudes (and the correctly-rounded division/
+                    # sqrt) are bit-identical to the SQL oracle's, which
+                    # ROUND(x, 6) would not be (decimal-tie handling
+                    # differs across engines)
+                    s, sr = decoded
+                    x = s.astype(np.float64) / 32768.0
+                    sr_l.append(sr)
+                    ch_l.append(s.shape[1])
+                    ns_l.append(s.shape[0])
+                    dur_l.append(s.shape[0] / sr)
+                    mean_l.append(float(x.mean()) if x.size else 0.0)
+                    rms_l.append(
+                        float(np.sqrt((x * x).mean())) if x.size else 0.0
+                    )
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "only PCM 16-bit WAV decodes natively "
+                        "(text/codecs.py); other audio formats need codec "
+                        "libraries not present in this environment — pass "
+                        "fake=True for the deterministic stub"
+                    )
+                h = hashlib.sha256(b or b"").digest()
+                sr_l.append(8000)
+                ch_l.append(h[0] % 2 + 1)
+                ns_l.append(int.from_bytes(h[1:3], "big") % 4096 + 1)
+                dur_l.append(round(ns_l[-1] / 8000.0, 6))
+                mean_l.append(round(h[3] / 255.0 - 0.5, 6))
+                rms_l.append(round(h[4] / 255.0, 6))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "sample_rate": pd.array(sr_l, dtype="Int64"),
+                    "channels": pd.array(ch_l, dtype="Int64"),
+                    "n_samples": pd.array(ns_l, dtype="Int64"),
+                    "duration_s": pd.array(dur_l, dtype="Float64"),
+                    "mean_amp": pd.array(mean_l, dtype="Float64"),
+                    "rms_amp": pd.array(rms_l, dtype="Float64"),
+                }
+            )
+
+    return media.mapInPandas(batch_fn, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def extract_features(media: DataFrame, fake: bool = False, n_features: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
