@@ -360,8 +360,11 @@ def csr_advance_sharded(spark, pack_dir: str, nparts: int, step: int):
     Seconds of extra job latency, ~nparts× less duplicated merge work."""
 
     def run(pdf_iter):
+        import time as _t
+
         import pandas as pd
 
+        timing = bool(os.environ.get("VITE_SHARDED_TIMING"))
         for pdf in pdf_iter:
             for pid in pdf["pid"]:
                 pid = int(pid)
@@ -369,8 +372,16 @@ def csr_advance_sharded(spark, pack_dir: str, nparts: int, step: int):
                 if len(own) == 0:
                     yield pd.DataFrame({"pid": [pid], "nc": [0]})
                     continue
+                t0 = _t.perf_counter()
                 ocd, _ocs = _owner_aggs_at(pack_dir, nparts, pid, step - 1,
                                            save=True)
+                if timing:
+                    import json as _json
+
+                    with open(os.path.join(
+                            pack_dir, f"tma_{step}_{pid}.json"), "w") as fh:
+                        _json.dump({"adv": round(_t.perf_counter() - t0, 3)},
+                                   fh)
                 old = step - 4
                 if old >= 1:
                     try:
@@ -383,6 +394,18 @@ def csr_advance_sharded(spark, pack_dir: str, nparts: int, step: int):
     return _pid_frame(spark, nparts).mapInPandas(
         run, schema="pid int, nc long"
     )
+
+
+# Sweep chunking: rows per sweep sub-call (split at src boundaries, so
+# results are bit-identical to one whole-partition call). Bounds the
+# task's transient working set to ~100 MB regardless of partition size —
+# which (a) keeps per-task memory flat for arbitrarily large partitions
+# on a real cluster, and (b) on this VM class caps the once-per-worker
+# fresh-page footprint whose first touch is pathologically slow
+# (~21-43 MB/s measured, host-side serialized — the same physics as the
+# csr.py _ARENA note) and previously bled a nworkers-proportional cold
+# cost into supersteps 1-2.
+SWEEP_CHUNK_ROWS = 1 << 20
 
 
 def sweep_partition_sharded(
@@ -400,7 +423,44 @@ def sweep_partition_sharded(
     """One Louvain sweep over a packed partition against SHARDED state —
     the exact louvain.cpp:2220-2279 algebra of csr._decide_grouped with
     community aggregates resolved through the tracked (referenced-set)
-    maps instead of O(nv) arrays. Returns (ids, cc, new_comm, e_cc)."""
+    maps instead of O(nv) arrays. Returns (ids, cc, new_comm, e_cc).
+
+    Internally processed in SWEEP_CHUNK_ROWS chunks cut at src
+    boundaries (per-src decisions are independent, so chunking is
+    result-invariant; pytest-pinned)."""
+    n = len(dstl)
+    if n <= SWEEP_CHUNK_ROWS:
+        return _sweep_chunk_sharded(dstl, srcl, w, own, own_pos,
+                                    vdeg_own, selfw_own, st, nv_dense, const)
+    outs = []
+    lo = 0
+    while lo < n:
+        hi = min(lo + SWEEP_CHUNK_ROWS, n)
+        if hi < n:
+            # advance hi to the FIRST row of srcl[hi] so no src straddles
+            hi = int(np.searchsorted(srcl, srcl[hi], side="left"))
+            if hi <= lo:            # one src larger than the chunk size
+                hi = int(np.searchsorted(srcl, srcl[lo], side="right"))
+        outs.append(_sweep_chunk_sharded(
+            dstl[lo:hi], srcl[lo:hi], w[lo:hi], own, own_pos,
+            vdeg_own, selfw_own, st, nv_dense, const,
+        ))
+        lo = hi
+    return tuple(np.concatenate([o[i] for o in outs]) for i in range(4))
+
+
+def _sweep_chunk_sharded(
+    dstl: np.ndarray,
+    srcl: np.ndarray,
+    w: np.ndarray,
+    own: np.ndarray,
+    own_pos: np.ndarray,
+    vdeg_own: np.ndarray,
+    selfw_own: np.ndarray,
+    st: dict,
+    nv_dense: int,
+    const: float,
+):
     curr, tkeys, tcd, tcs = st["curr"], st["tkeys"], st["tcd"], st["tcs"]
     n = len(dstl)
     nvl = np.int64(nv_dense)
@@ -515,10 +575,22 @@ def csr_superstep_sharded(
     owners_of, rdrs_of = routing
 
     def run(pdf_iter):
+        import time as _t
+
         import pandas as pd
 
+        timing = bool(os.environ.get("VITE_SHARDED_TIMING"))
         for pdf in pdf_iter:
             for pid in pdf["pid"]:
+                tm: dict = {}
+                _tl = _t.perf_counter()
+
+                def _mark(name):
+                    nonlocal _tl
+                    now = _t.perf_counter()
+                    tm[name] = round(tm.get(name, 0.0) + now - _tl, 3)
+                    _tl = now
+
                 pid = int(pid)
                 own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"))
                 if len(own) == 0:
@@ -560,10 +632,12 @@ def csr_superstep_sharded(
                         except OSError:
                             pass
 
+                _mark("curr")
                 # --- 2) own community aggregates at S_{step-1} (pure
                 # load for step ≥ 2: the advance job persisted the file) ---
                 ocd, ocs = _owner_aggs_at(pack_dir, nparts, pid, step - 1)
                 a_part = float((ocd ** 2).sum())
+                _mark("own_aggs")
 
                 # --- 3) tracked aggregates for the referenced set ---
                 tkeys = np.unique(curr)
@@ -585,6 +659,7 @@ def csr_superstep_sharded(
                     tcd[m] = ocd_o[pos]
                     tcs[m] = ocs_o[pos]
                 st = {"curr": curr, "tkeys": tkeys, "tcd": tcd, "tcs": tcs}
+                _mark("tracked")
 
                 # --- 4) sweep ---
                 et = _load_et(pack_dir, pid, step - 1, own) if early_term else None
@@ -612,6 +687,7 @@ def csr_superstep_sharded(
                     ids = np.empty(0, np.int64)
                     cc = new_comm = ids
                     e_cc = np.empty(0)
+                _mark("sweep")
 
                 # --- 5) outputs ---
                 mvd = new_comm != cc
@@ -652,6 +728,17 @@ def csr_superstep_sharded(
                             keys=fkeys[m], dcd=fcd[m], dcs=fcs[m],
                         )
 
+                _mark("outputs")
+                if timing:
+                    import json as _json
+
+                    from vite_spark.kernels.csr import _ARENA
+
+                    tm["wpid"] = os.getpid()
+                    tm["arena_keys"] = len(_ARENA)
+                    with open(os.path.join(
+                            pack_dir, f"tm_{step}_{pid}.json"), "w") as fh:
+                        _json.dump(tm, fh)
                 e_part = float(e_cc.sum())
                 if early_term:
                     e_part += float(et["frozen_cw"][~et["active"]].sum())
