@@ -271,6 +271,45 @@ def build_routes(spark, pack_dir: str, nparts: int):
             rdrs_of[q].append(r_pid)
     for q in rdrs_of:
         rdrs_of[q].sort()
+
+    # Second tiny job: per WRITER, invert its req files into a CSR
+    # reader-list over its owned indices (rdrw_{q}: indptr + reader ids).
+    # Sweep-time routing is then O(Σ fanout(mover)) gather+radix instead
+    # of one searchsorted of the movers into every reader's req set
+    # (O(nparts · moved · log) per task — measured ~2 s/task at 24M
+    # vertices, the dominant outputs cost of the big early supersteps).
+    def invert(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            for pid in pdf["pid"]:
+                pid = int(pid)
+                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"))
+                if len(own) == 0:
+                    yield pd.DataFrame({"pid": [pid], "fanout": [0]})
+                    continue
+                idx_parts, rdr_parts = [], []
+                for r in rdrs_of.get(pid, ()):
+                    req = np.load(
+                        os.path.join(pack_dir, f"req_{pid}_{r}.npy")
+                    )
+                    idx_parts.append(req)
+                    rdr_parts.append(np.full(len(req), r, np.int32))
+                idx = np.concatenate(idx_parts) if idx_parts else np.empty(0, np.int32)
+                rdr = np.concatenate(rdr_parts) if rdr_parts else np.empty(0, np.int32)
+                order = np.argsort(idx, kind="stable")
+                counts = np.bincount(idx, minlength=len(own))
+                indptr = np.zeros(len(own) + 1, np.int64)
+                np.cumsum(counts, out=indptr[1:])
+                _atomic_savez(
+                    os.path.join(pack_dir, f"rdrw_{pid}.npz"),
+                    indptr=indptr, rdr=rdr[order],
+                )
+                yield pd.DataFrame({"pid": [pid], "fanout": [len(rdr)]})
+
+    _pid_frame(spark, nparts).mapInPandas(
+        invert, schema="pid int, fanout long"
+    ).collect()
     return owners_of, rdrs_of
 
 
@@ -375,6 +414,16 @@ def csr_advance_sharded(spark, pack_dir: str, nparts: int, step: int):
                 t0 = _t.perf_counter()
                 ocd, _ocs = _owner_aggs_at(pack_dir, nparts, pid, step - 1,
                                            save=True)
+                # consume-and-delete, one step delayed: flow partials for
+                # owner pid are merged exactly once (into ost_{j}), by
+                # this job — the advance at step k deletes step k-2's
+                if step >= 3:
+                    for q in range(nparts):
+                        try:
+                            os.remove(os.path.join(
+                                pack_dir, f"flw_{step - 2}_{q}_{pid}.npz"))
+                        except OSError:
+                            pass
                 if timing:
                     import json as _json
 
@@ -631,6 +680,23 @@ def csr_superstep_sharded(
                                 pack_dir, f"cur_{old}_{pid}.npy"))
                         except OSError:
                             pass
+                    # consume-and-delete, one step delayed (retry-safe:
+                    # a step-k retry still finds its step-(k-1) inbound):
+                    # cross-partition move files are read exactly once —
+                    # by this reader — so step k deletes step k-2's.
+                    # SELF files (q == pid) are kept: the labels job
+                    # replays them. Keeps scratch at O(2 steps) instead
+                    # of O(phase) — fresh-page creation is the scarce
+                    # resource on this VM class.
+                    if step >= 3:
+                        for q in owners_of.get(pid, ()):
+                            if q == pid:
+                                continue
+                            try:
+                                os.remove(os.path.join(
+                                    pack_dir, f"mvu_{step - 2}_{q}_{pid}.npy"))
+                            except OSError:
+                                pass
 
                 _mark("curr")
                 # --- 2) own community aggregates at S_{step-1} (pure
@@ -694,17 +760,33 @@ def csr_superstep_sharded(
                 mids = ids[mvd]
                 mnew = new_comm[mvd]
                 mold = cc[mvd]
-                midx = np.searchsorted(own, mids).astype(np.int32)
-                vd = vdeg_own[midx.astype(np.int64)]
-                for r in rdrs_of.get(pid, ()):
-                    req = np.load(
-                        os.path.join(pack_dir, f"req_{pid}_{r}.npy")
-                    )
-                    pos, m = _positions(req, midx)
-                    if m.any():
+                midx = np.searchsorted(own, mids)
+                vd = vdeg_own[midx]
+                # reader routing via the pack-time CSR reader lists:
+                # gather each mover's reader slice, radix-group by reader
+                with np.load(os.path.join(pack_dir, f"rdrw_{pid}.npz")) as z:
+                    indptr, rdr = z["indptr"], z["rdr"]
+                counts = indptr[midx + 1] - indptr[midx]
+                total = int(counts.sum())
+                if total:
+                    cum = np.cumsum(counts)
+                    out_idx = (np.arange(total, dtype=np.int64)
+                               - np.repeat(cum - counts, counts)
+                               + np.repeat(indptr[midx], counts))
+                    rdrs = rdr[out_idx]
+                    order = np.argsort(rdrs, kind="stable")
+                    rs = rdrs[order]
+                    rm = np.repeat(mids, counts)[order]
+                    rn = np.repeat(mnew, counts)[order]
+                    b0s = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
+                    b1s = np.r_[b0s[1:], total]
+                    for b0, b1 in zip(b0s, b1s):
                         _atomic_save(
-                            os.path.join(pack_dir, f"mvu_{step}_{pid}_{r}.npy"),
-                            np.vstack([mids[m], mnew[m]]),
+                            os.path.join(
+                                pack_dir,
+                                f"mvu_{step}_{pid}_{int(rs[b0])}.npy",
+                            ),
+                            np.vstack([rm[b0:b1], rn[b0:b1]]),
                         )
                 if len(mids):
                     fraw = np.concatenate([mnew, mold])
