@@ -94,6 +94,46 @@ def test_sharded_key_no_int32_overflow():
     assert np.allclose(e0, e1)
 
 
+def test_sharded_ids_beyond_old_key_domain():
+    """The tracked-index sweep key (srcl·ntrk + idx) is partition-local,
+    so global ids may exceed the OLD srcl·nv_dense key's 2^63 bound
+    entirely: ids ~ 4.6e18 (nown·nv_dense ≈ 2.9e20 ≫ 2^63) must still
+    produce decisions identical to the same graph at small ids."""
+    nv_small, half = 64, 2
+    s, d, w = _ring(nv_small, half)
+    shift = 4_600_000_000_000_000_000        # ids ~ 0.5 · int64 max
+
+    def run(base):
+        sb, db = s + base, d + base
+        first = np.r_[True, sb[1:] != sb[:-1]]
+        srcl = (np.cumsum(first) - 1).astype(np.int32)
+        own = sb[np.flatnonzero(first)]
+        ux = np.union1d(own, db)
+        dstl = np.searchsorted(ux, db).astype(np.int32)
+        vdeg = np.zeros(len(own))
+        np.add.at(vdeg, srcl.astype(np.int64), w)
+        st = {
+            "curr": ux.copy(),
+            "tkeys": ux.copy(),
+            "tcd": vdeg[np.searchsorted(own, ux)],
+            "tcs": np.ones(len(ux), np.int64),
+        }
+        nv_dense = int(base + nv_small)
+        if base:
+            assert len(own) * nv_dense >= 2**63   # beyond the old guard
+        ids, cc, new_comm, e_cc = sweep_partition_sharded(
+            dstl, srcl, w, own, np.searchsorted(ux, own), vdeg,
+            np.zeros(len(own)), st, nv_dense, 1.0 / w.sum(),
+        )
+        return ids - base, new_comm - base, e_cc
+
+    i0, n0, e0 = run(0)
+    i1, n1, e1 = run(shift)
+    assert np.array_equal(i0, i1)
+    assert np.array_equal(n0, n1)
+    assert np.allclose(e0, e1)
+
+
 def test_sharded_key_near_int64_max():
     """The boundary-condition pattern pin (r3 VERDICT next#3): a sharded
     sweep whose grouping key srcl*nv_dense + c_dst lands just BELOW 2^63
@@ -122,8 +162,12 @@ def test_sharded_key_near_int64_max():
         }
         nv_dense = int(base + nv_small)
         if base:
-            assert len(own) * nv_dense < 2**63      # the guard's domain
-            assert len(own) * nv_dense > 2**62      # ... but barely
+            # this lands just inside the OLD global-id key's domain; the
+            # tracked-index key is partition-local so the margin no
+            # longer matters, but the boundary remains the sharpest
+            # place to catch a narrow intermediate re-entering the path
+            assert len(own) * nv_dense < 2**63
+            assert len(own) * nv_dense > 2**62
         ids, cc, new_comm, e_cc = sweep_partition_sharded(
             dstl, srcl, w, own, np.searchsorted(ux, own), vdeg,
             np.zeros(len(own)), st, nv_dense, 1.0 / w.sum(),

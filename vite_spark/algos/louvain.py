@@ -333,9 +333,11 @@ def _csr_phase(
     shuffle-join superstep):
     - local master (pack files need one filesystem; on a multi-executor
       cluster the join path provides the same semantics)
-    - grouping-key width: max_own_per_partition · (max_id+1) < 2^63
-      (mirror path pre-checks the conservative (max_id+1)²; sharded
-      validates the exact bound from pack stats)
+    - grouping-key width: mirror path pre-checks the conservative
+      (max_id+1)² < 2^63; the sharded path's tracked-index key is
+      partition-local (srcl·ntrk + idx, ntrk ≤ |U_p|), so only the
+      memory-bounded per-partition sizes constrain it — any global id
+      width fits
     """
     import shutil
     import tempfile
@@ -434,8 +436,13 @@ def _csr_phase(
         if sharded:
             if info is None:
                 info = pack_csr_partitions_sharded(edges, pack_dir, nparts)
-            if info["max_nown"] * nv_dense >= 2**63:
-                return None   # grouping key would overflow → join path
+            if info["max_nown"] * (info["max_nux"] + 1) >= 2**63:
+                # tracked-index grouping key (srcl·ntrk + idx) is
+                # PARTITION-local: ntrk ≤ nux, so this bound depends only
+                # on per-partition sizes (both memory-bounded), never on
+                # the global id width — unreachable in practice, kept as
+                # a formal guard → join path
+                return None
             if not info["w_integer"] and not cfg.csr_force_sharded:
                 # non-integer weights: the sharded kernel's per-writer
                 # flow pre-aggregation changes float summation ORDER vs
@@ -543,10 +550,17 @@ def _csr_phase(
             # moves travel worker-to-worker via per-(step, pid) files; the
             # driver's job result is nparts scalar sentinel rows only
             if sharded:
-                if k >= 2:
-                    # owner-state advance job first: merges superstep-
-                    # (k-1) flow partials once per owner behind a job
-                    # barrier, so the sweep's aggregate pulls are loads
+                # owner-state advance is normally FUSED into the sweep
+                # job (each partition's task is the unique writer of its
+                # own ost file; racing readers recompute bit-identically
+                # from the (o, k-2) cache + flow partials) — but after a
+                # MOVE-HEAVY superstep that racing recompute replays
+                # O(nworkers × flow volume), so the driver pays the
+                # advance job's ~2 s fixed cost only when the sentinel
+                # move count says the duplicated merge work would cost
+                # more (measured at 24M vertices: 81 s fused vs ~12 s
+                # with the barrier on the first post-bulk-move step).
+                if k >= 2 and moveds[k - 1] > max(nv // 50, 1):
                     csr_advance_sharded(spark, pack_dir, nparts, k).collect()
                 sent = csr_superstep_sharded(
                     spark, pack_dir, nparts, nv_dense, const, k,

@@ -316,12 +316,18 @@ def build_routes(spark, pack_dir: str, nparts: int):
 # Per-worker cache of owner aggregate states (pack_dir, owner, step) →
 # (ocd, ocs). Every reader referencing an owner at the same step computes
 # bit-identical arrays (fixed writer merge order), so sharing is safe;
-# treat cached arrays as read-only. Policy: keep ALL owners of the
-# NEWEST (pack_dir, step) seen — a sweep task touches every owner its
-# referenced set spans, and the next task on this worker touches largely
-# the same owners, so evicting within a step (the v2.0 small-FIFO
-# mistake) rereads O(nparts · nv/p) bytes per task instead of per worker.
+# treat cached arrays as read-only. Policy: keep a TWO-step window
+# {j, j-1} of the newest (pack_dir, j) queried — j because the next task
+# on this worker touches largely the same owners (evicting within a step
+# was the v2.0 small-FIFO mistake: O(nparts · nv/p) rereads per task),
+# and j-1 because with the owner advance fused into the sweep job a
+# reader often needs (o, j) BEFORE owner o's task has saved it — with
+# (o, j-1) cached the recompute is one in-memory partial apply instead
+# of a file chain. Entry cap bounds worker memory on huge fan-out
+# graphs (beyond it, oldest-step entries go first and readers fall back
+# to file loads — the Ω(Σ|referenced|) floor the module docstring names).
 _OST_CACHE: dict = {}
+_OST_CACHE_MAX = 256
 
 # Per-worker cache of the static sorted owned-id arrays (pack_dir, o) →
 # own_o: the tracked-aggregate pull slices against every owner its
@@ -346,12 +352,13 @@ def _owner_aggs_at(pack_dir: str, nparts: int, o: int, j: int,
                    save: bool = False):
     """(ocd, ocs) over partition o's OWNED community ids at state S_j —
     the localCinfo shard (louvain.cpp:2534-2547). S_0 = singleton init
-    (vdeg, 1). For j ≥ 1: the saved `ost_{j}_{o}` if present (the advance
-    job of superstep j+1 guarantees it before any sweep task runs), else
-    recomputed from `ost_{j-1}_{o}` + superstep-j flow partials merged in
-    fixed writer order — deterministic, so every materialization is
-    bit-identical and save=True (the advance job) can persist it
-    race-free."""
+    (vdeg, 1). For j ≥ 1: the saved `ost_{j}_{o}` if present (partition
+    o's superstep-(j+1) sweep task persists it — the fused owner
+    advance), else recomputed from `ost_{j-1}_{o}` + superstep-j flow
+    partials merged in fixed writer order — deterministic, so every
+    materialization is bit-identical and the owner's save=True persist
+    is race-free. The recomputation is at most one level deep: the
+    previous superstep's job barrier guarantees `ost_{j-1}` on disk."""
     if j == 0:
         vdeg = np.load(os.path.join(pack_dir, f"vdeg_{o}.npy"))
         return vdeg.copy(), np.ones(len(vdeg), np.int64)
@@ -380,30 +387,34 @@ def _owner_aggs_at(pack_dir: str, nparts: int, o: int, j: int,
         out = (ocd, ocs)
         if save:
             _atomic_savez(path, ocd=out[0], ocs=out[1])
-    stale = [k2 for k2 in _OST_CACHE if (k2[0], k2[2]) != (pack_dir, j)]
+    stale = [k2 for k2 in _OST_CACHE
+             if k2[0] != pack_dir or k2[2] not in (j, j - 1)]
     for k2 in stale:
         _OST_CACHE.pop(k2, None)
+    if len(_OST_CACHE) >= _OST_CACHE_MAX:
+        older = [k2 for k2 in _OST_CACHE if k2[2] == j - 1]
+        for k2 in older[: len(_OST_CACHE) - _OST_CACHE_MAX + 1]:
+            _OST_CACHE.pop(k2, None)
     _OST_CACHE[key] = out
     return out
 
 
 def csr_advance_sharded(spark, pack_dir: str, nparts: int, step: int):
-    """The per-superstep OWNER state advance (updateRemoteCommunities'
-    owner-side apply, louvain.cpp:2978-3111), run as its own tiny job
-    BEFORE superstep ``step``'s sweep: each partition merges its inbound
-    superstep-(step-1) flow partials and persists `ost_{step-1}` — so
-    every sweep task then just LOADS owner aggregates off the page cache
-    instead of nparts tasks × nworkers racing to recompute the same
-    merges (the measured v2.0 hot spot at 24M vertices: each owner's
-    merge was redone up to nworkers times and thrashed the old cache).
-    Seconds of extra job latency, ~nparts× less duplicated merge work."""
+    """Optional OWNER-state advance (updateRemoteCommunities' owner-side
+    apply, louvain.cpp:2978-3111) as its own tiny job BEFORE superstep
+    ``step``'s sweep. The sweep tasks can do this themselves (fused path:
+    each task persists its own ost, racing readers recompute from the
+    (o, step-2) cache + flow partials), but after a MOVE-HEAVY superstep
+    the racing recompute replays O(nworkers × total flow volume) — at 24M
+    vertices a measured 81 s superstep vs ~12 s with the barrier. The
+    driver therefore schedules this job adaptively: only when the
+    previous superstep's move count (known from its sentinel rows) is
+    large enough that ~nworkers× duplicated merge work exceeds the job's
+    ~2 s fixed cost; quiet supersteps stay fused and skip it."""
 
     def run(pdf_iter):
-        import time as _t
-
         import pandas as pd
 
-        timing = bool(os.environ.get("VITE_SHARDED_TIMING"))
         for pdf in pdf_iter:
             for pid in pdf["pid"]:
                 pid = int(pid)
@@ -411,33 +422,8 @@ def csr_advance_sharded(spark, pack_dir: str, nparts: int, step: int):
                 if len(own) == 0:
                     yield pd.DataFrame({"pid": [pid], "nc": [0]})
                     continue
-                t0 = _t.perf_counter()
                 ocd, _ocs = _owner_aggs_at(pack_dir, nparts, pid, step - 1,
                                            save=True)
-                # consume-and-delete, one step delayed: flow partials for
-                # owner pid are merged exactly once (into ost_{j}), by
-                # this job — the advance at step k deletes step k-2's
-                if step >= 3:
-                    for q in range(nparts):
-                        try:
-                            os.remove(os.path.join(
-                                pack_dir, f"flw_{step - 2}_{q}_{pid}.npz"))
-                        except OSError:
-                            pass
-                if timing:
-                    import json as _json
-
-                    with open(os.path.join(
-                            pack_dir, f"tma_{step}_{pid}.json"), "w") as fh:
-                        _json.dump({"adv": round(_t.perf_counter() - t0, 3)},
-                                   fh)
-                old = step - 4
-                if old >= 1:
-                    try:
-                        os.remove(os.path.join(
-                            pack_dir, f"ost_{old}_{pid}.npz"))
-                    except OSError:
-                        pass
                 yield pd.DataFrame({"pid": [pid], "nc": [len(ocd)]})
 
     return _pid_frame(spark, nparts).mapInPandas(
@@ -466,21 +452,36 @@ def sweep_partition_sharded(
     vdeg_own: np.ndarray,
     selfw_own: np.ndarray,
     st: dict,                # sharded state at the sweep input
-    nv_dense: int,
-    const: float,
+    nv_dense: int,           # unused (kept: frozen call signature) — the
+    const: float,            # tracked-index key is partition-local now
 ):
     """One Louvain sweep over a packed partition against SHARDED state —
     the exact louvain.cpp:2220-2279 algebra of csr._decide_grouped with
     community aggregates resolved through the tracked (referenced-set)
     maps instead of O(nv) arrays. Returns (ids, cc, new_comm, e_cc).
 
+    Tracked-index form: all hot per-row arrays are int32 indices into the
+    sorted ``tkeys`` (referenced-community) array — half the gather/radix
+    traffic of the previous global-id form, no per-chunk searchsorteds,
+    and the grouping key srcl·ntrk + idx is PARTITION-LOCAL, so no global
+    id width can overflow it (the old srcl·nv_dense key capped the kernel
+    at max_nown·nv_dense < 2^63). Bit-exact vs the global-id form:
+    ``tkeys`` is sorted, so min-tracked-index tie-break ≡ min-global-id
+    (louvain.cpp:2260 minimum-label rule), and the stable grouping sort
+    produces identical segment orders, hence identical float sums.
+
     Internally processed in SWEEP_CHUNK_ROWS chunks cut at src
     boundaries (per-src decisions are independent, so chunking is
     result-invariant; pytest-pinned)."""
+    cidx = st.get("cidx")
+    if cidx is None:
+        # curr values ⊆ tkeys by construction (tkeys = unique(curr))
+        cidx = np.searchsorted(st["tkeys"], st["curr"]).astype(np.int32)
+        st["cidx"] = cidx
     n = len(dstl)
     if n <= SWEEP_CHUNK_ROWS:
         return _sweep_chunk_sharded(dstl, srcl, w, own, own_pos,
-                                    vdeg_own, selfw_own, st, nv_dense, const)
+                                    vdeg_own, selfw_own, st, const)
     outs = []
     lo = 0
     while lo < n:
@@ -492,7 +493,7 @@ def sweep_partition_sharded(
                 hi = int(np.searchsorted(srcl, srcl[lo], side="right"))
         outs.append(_sweep_chunk_sharded(
             dstl[lo:hi], srcl[lo:hi], w[lo:hi], own, own_pos,
-            vdeg_own, selfw_own, st, nv_dense, const,
+            vdeg_own, selfw_own, st, const,
         ))
         lo = hi
     return tuple(np.concatenate([o[i] for o in outs]) for i in range(4))
@@ -507,64 +508,54 @@ def _sweep_chunk_sharded(
     vdeg_own: np.ndarray,
     selfw_own: np.ndarray,
     st: dict,
-    nv_dense: int,
     const: float,
 ):
-    curr, tkeys, tcd, tcs = st["curr"], st["tkeys"], st["tcd"], st["tcs"]
+    tkeys, tcd, tcs, cidx = st["tkeys"], st["tcd"], st["tcs"], st["cidx"]
     n = len(dstl)
-    nvl = np.int64(nv_dense)
+    ntrk = np.int64(len(tkeys))
 
-    c_dst = _buf("sh_c_dst", n, np.int64)
-    np.take(curr, dstl, out=c_dst)
+    c_dst = _buf("sh_c_dst", n, np.int32)
+    np.take(cidx, dstl, out=c_dst)
     key = _buf("sh_key", n, np.int64)
     # upcast int32 srcl BEFORE multiplying (int32-loop overflow hazard —
     # see the same comment in csr.sweep_partition_np)
     key[:] = srcl
-    key *= nvl
+    key *= ntrk
     key += c_dst
-    order = _grouping_order(srcl, c_dst, key, int(nvl), len(own))
+    order = _grouping_order(srcl, c_dst, key, int(ntrk), len(own))
     ks = _take(key, order, "sh_ks")
     ws = _take(w, order, "sh_ws")
     start = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
     e_vc = np.add.reduceat(ws, start)
     gk = ks[start]
-    g_srcidx = gk // nvl
-    g_comm = gk % nvl
+    g_srcidx = gk // ntrk
+    g_ci = gk % ntrk                             # tracked community index
     new_seg = np.r_[True, g_srcidx[1:] != g_srcidx[:-1]]
 
     seg_srcl = g_srcidx[new_seg]                 # per segment: own index
     ids = own[seg_srcl]
-    cc = curr[own_pos[seg_srcl]]                 # global community ids
+    cc_i = cidx[own_pos[seg_srcl]].astype(np.int64)
+    cc = tkeys[cc_i]                             # global community ids
     vdeg_ids = vdeg_own[seg_srcl]
     selfw_ids = selfw_own[seg_srcl]
 
     seg_id = np.cumsum(new_seg) - 1
     n_seg = len(ids)
     e_cc = np.zeros(n_seg)
-    own_mask = g_comm == cc[seg_id]
+    own_mask = g_ci == cc_i[seg_id]
     e_cc[seg_id[own_mask]] = e_vc[own_mask]
     eix = e_cc - selfw_ids
-
-    tcc, m_cc = _positions(tkeys, cc)
-    assert bool(m_cc.all()), "own community not tracked"
-    ax = tcd[tcc] - vdeg_ids
+    ax = tcd[cc_i] - vdeg_ids
 
     cand = ~own_mask
     cs_seg = seg_id[cand]
-    ccomm = g_comm[cand]
-    tcan, m_can = _positions(tkeys, ccomm)
-    if not bool(m_can.all()):
-        bad = np.unique(ccomm[~m_can])
-        raise AssertionError(
-            f"candidate community not tracked: {len(bad)} distinct "
-            f"(e.g. {bad[:8].tolist()}), tracked={len(tkeys)}"
-        )
+    ci_cand = g_ci[cand]
     gain = (
         2.0 * (e_vc[cand] - eix[cs_seg])
-        - 2.0 * vdeg_ids[cs_seg] * (tcd[tcan] - ax[cs_seg]) * const
+        - 2.0 * vdeg_ids[cs_seg] * (tcd[ci_cand] - ax[cs_seg]) * const
     )
     pos_m = gain > 0.0
-    cs_seg, ccomm, gain = cs_seg[pos_m], ccomm[pos_m], gain[pos_m]
+    cs_seg, ci_cand, gain = cs_seg[pos_m], ci_cand[pos_m], gain[pos_m]
 
     new_comm = cc.copy()
     if cs_seg.size:
@@ -574,15 +565,16 @@ def _sweep_chunk_sharded(
         max_g = np.maximum.reduceat(gain, bounds)
         row_max = np.repeat(max_g, np.diff(np.r_[bounds, len(gain)]))
         at_max = gain == row_max
-        comm_masked = np.where(at_max, ccomm, np.iinfo(np.int64).max)
-        c_best = np.minimum.reduceat(comm_masked, bounds)
-        tb, _ = _positions(tkeys, c_best)
+        # tkeys sorted ⇒ argmin over tracked indices ≡ argmin over global
+        # community ids — the same minimum-label tie-break
+        ci_masked = np.where(at_max, ci_cand, np.iinfo(np.int64).max)
+        ci_best = np.minimum.reduceat(ci_masked, bounds)
         keep = ~(
-            (tcs[tb] == 1)
-            & (tcs[tcc[segs]] == 1)
-            & (c_best > cc[segs])
+            (tcs[ci_best] == 1)
+            & (tcs[cc_i[segs]] == 1)
+            & (ci_best > cc_i[segs])
         )
-        new_comm[segs[keep]] = c_best[keep]
+        new_comm[segs[keep]] = tkeys[ci_best[keep]]
     return ids, cc, new_comm, e_cc
 
 
@@ -607,11 +599,13 @@ def csr_superstep_sharded(
 
     Task procedure for partition p at step k (``routing`` = (owners_of,
     rdrs_of) from build_routes):
-      1. curr over U_p at S_{k-1}: saved `cur_{k-2}_{p}` (identity at
+      1. (ocd, ocs) for own community ids at S_{k-1} via _owner_aggs_at
+         (merge inbound flow partials over the saved S_{k-2}); saved as
+         `ost_{k-1}_{p}` FIRST so concurrent readers find it — this task
+         is the unique writer. a_part = Σ ocd².
+      2. curr over U_p at S_{k-1}: saved `cur_{k-2}_{p}` (identity at
          k ≤ 2) advanced by the inbound reader-routed move files
          `mvu_{k-1}_{q}_{p}`, q ∈ owners_of[p]. Saved as `cur_{k-1}_{p}`.
-      2. (ocd, ocs) for own community ids at S_{k-1} via _owner_aggs_at;
-         saved as `ost_{k-1}_{p}` for next-step readers. a_part = Σ ocd².
       3. Referenced set R = image(curr); per distinct owner of R, pull
          that owner's S_{k-1} aggregates (_owner_aggs_at — file or
          deterministic recompute) and slice → tracked (tkeys, tcd, tcs).
@@ -631,7 +625,7 @@ def csr_superstep_sharded(
         timing = bool(os.environ.get("VITE_SHARDED_TIMING"))
         for pdf in pdf_iter:
             for pid in pdf["pid"]:
-                tm: dict = {}
+                tm: dict = {"ts0": round(_t.time(), 3)}
                 _tl = _t.perf_counter()
 
                 def _mark(name):
@@ -651,7 +645,41 @@ def csr_superstep_sharded(
                 ux = np.load(os.path.join(pack_dir, f"ux_{pid}.npy"))
                 starts, bpids = _load_bounds(pack_dir)
 
-                # --- 1) curr over U_p at S_{step-1} ---
+                # --- 1) own community aggregates at S_{step-1}, FIRST
+                # thing in the task: this task is the unique writer of
+                # its own ost file (fused owner advance — the
+                # updateRemoteCommunities owner-side apply,
+                # louvain.cpp:2978-3111, without a separate job), and
+                # saving before any other work maximizes how many
+                # concurrent readers find the file instead of
+                # recomputing. Readers that race ahead recompute the
+                # same arrays bit-identically from the (o, step-2) cache
+                # entry or ost_{step-2} + flow partials (one level deep,
+                # both persisted behind the previous job barrier). ---
+                ocd, ocs = _owner_aggs_at(pack_dir, nparts, pid, step - 1,
+                                          save=True)
+                a_part = float((ocd ** 2).sum())
+                # consume-and-delete, one step delayed: inbound flow
+                # partials for this owner are merged into ost_{j} exactly
+                # once — step k's merge (above) needs flw_{k-1} and the
+                # SAVED ost_{k-2}, so flw_{k-2} files are dead here
+                if step >= 3:
+                    for q in range(nparts):
+                        try:
+                            os.remove(os.path.join(
+                                pack_dir, f"flw_{step - 2}_{q}_{pid}.npz"))
+                        except OSError:
+                            pass
+                old = step - 4
+                if old >= 1:
+                    try:
+                        os.remove(os.path.join(
+                            pack_dir, f"ost_{old}_{pid}.npz"))
+                    except OSError:
+                        pass
+                _mark("own_aggs")
+
+                # --- 2) curr over U_p at S_{step-1} ---
                 if step <= 2:
                     curr = ux.copy()
                 else:
@@ -699,14 +727,11 @@ def csr_superstep_sharded(
                                 pass
 
                 _mark("curr")
-                # --- 2) own community aggregates at S_{step-1} (pure
-                # load for step ≥ 2: the advance job persisted the file) ---
-                ocd, ocs = _owner_aggs_at(pack_dir, nparts, pid, step - 1)
-                a_part = float((ocd ** 2).sum())
-                _mark("own_aggs")
 
                 # --- 3) tracked aggregates for the referenced set ---
-                tkeys = np.unique(curr)
+                # return_inverse gives the tracked-index map the sweep
+                # keys on (cidx: U_p → index into tkeys) at no extra cost
+                tkeys, cidx = np.unique(curr, return_inverse=True)
                 ow = _owner_of(tkeys, starts, bpids)
                 tcd = np.empty(len(tkeys))
                 tcs = np.empty(len(tkeys), np.int64)
@@ -724,7 +749,8 @@ def csr_superstep_sharded(
                     assert bool(hit.all()), "referenced community unowned"
                     tcd[m] = ocd_o[pos]
                     tcs[m] = ocs_o[pos]
-                st = {"curr": curr, "tkeys": tkeys, "tcd": tcd, "tcs": tcs}
+                st = {"curr": curr, "tkeys": tkeys, "tcd": tcd, "tcs": tcs,
+                      "cidx": cidx.astype(np.int32)}
                 _mark("tracked")
 
                 # --- 4) sweep ---
@@ -816,6 +842,7 @@ def csr_superstep_sharded(
 
                     from vite_spark.kernels.csr import _ARENA
 
+                    tm["ts1"] = round(_t.time(), 3)
                     tm["wpid"] = os.getpid()
                     tm["arena_keys"] = len(_ARENA)
                     with open(os.path.join(
