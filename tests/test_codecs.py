@@ -241,3 +241,115 @@ def test_extract_audio_features_real_path_no_spark():
     assert float(np.sqrt((x * x).mean())) == abs(v) / 32768.0
     assert s.shape == (n, ch)
     assert len(payload) == 44 + 2 * ch * n
+
+
+# --- PPM (netpbm P6) --------------------------------------------------------
+
+def test_ppm_decode_matches_spec_literal():
+    """Hand-built P6 from the netpbm spec (NOT via encode_ppm): header
+    comments, multi-whitespace token separators, raw top-down raster."""
+    from vite_spark.text.codecs import decode_ppm
+
+    rgb = np.array(
+        [[[255, 0, 0], [0, 255, 0]],
+         [[0, 0, 255], [9, 8, 7]]], dtype=np.uint8
+    )
+    payload = (b"P6 # magic then comment\n"
+               b"  2\t# width\n"
+               b"2\n# a full-line comment\n255\n" + rgb.tobytes())
+    got = decode_ppm(payload)
+    assert got.shape == (2, 2, 3)
+    assert (got == rgb).all()
+
+
+def test_ppm_roundtrip_arbitrary_sizes():
+    from vite_spark.text.codecs import decode_ppm, encode_ppm, is_ppm
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (2, 3), (5, 4), (17, 31), (13, 23)]:
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        payload = encode_ppm(rgb)
+        assert is_ppm(payload)
+        # canonical header: exact byte-size contract the oracle recomputes
+        assert len(payload) == 9 + len(str(w)) + len(str(h)) + 3 * w * h
+        out = decode_ppm(payload)
+        assert out.shape == (h, w, 3)
+        assert (out == rgb).all()
+
+
+def test_ppm_rejects_bad_payloads_loudly():
+    from vite_spark.text.codecs import decode_ppm, encode_ppm, is_ppm
+
+    with pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"P5\n2 2\n255\n" + bytes(12))      # greymap magic
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))    # 2-byte samples
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(encode_ppm(np.zeros((4, 4, 3), np.uint8))[:-1])
+    with pytest.raises(ValueError, match="non-numeric"):
+        decode_ppm(b"P6\nab cd\n255\n" + bytes(12))
+    assert not is_ppm(b"P6")                           # too short
+    assert not is_ppm(b"P6x 2 2 255 ...")              # no ws after magic
+    # text payload starting with 'P6 ': header parse fails loudly inside
+    # decode, which _try_decode converts to the stub fallthrough
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6 is a nice format, truly " * 4)
+
+
+def test_ppm_real_path_on_spark(spark):
+    """extract_features + resize_media take the REAL path for P6 payloads
+    and re-encode resizes in the input format (PPM in -> PPM out)."""
+    import pandas as pd
+
+    from vite_spark.text.codecs import decode_ppm, encode_ppm
+    from vite_spark.text.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_media,
+    )
+
+    rgb = np.zeros((3, 5, 3), np.uint8)
+    rgb[..., 1] = 120   # constant green channel
+    ppm = encode_ppm(rgb)
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1],
+            "kind": ["image"],
+            "payload": [ppm],
+            "mime": ["image/x-portable-pixmap"],
+            "meta_width": pd.array([None], dtype="Int64"),
+            "meta_height": pd.array([None], dtype="Int64"),
+            "meta_duration_s": pd.array([None], dtype="Float64"),
+        }
+    )
+    media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    row = extract_features(media).collect()[0]      # fake=False: real path
+    assert (row["width"], row["height"]) == (5, 3)
+    assert row["n_bytes"] == len(ppm)
+    assert row["features"][1] == round(120 / 255.0, 6)
+    assert row["features"][0] == 0.0 and row["features"][2] == 0.0
+
+    rrow = resize_media(media, 4, 2).collect()[0]
+    out = bytes(rrow["payload"])
+    assert out[:2] == b"P6"                         # format preserved
+    assert decode_ppm(out).shape == (2, 4, 3)
+    assert rrow["resized_sha"] == hashlib.sha256(out).hexdigest()
+
+
+def test_ppm_media_from_docs_contract(spark):
+    """Driver-fixture contract: dims/pixel formulas match what the DuckDB
+    oracle recomputes (queries.SQL_MULTIMODAL_PPM)."""
+    import pandas as pd
+
+    from vite_spark.text.codecs import decode_ppm
+    from vite_spark.text.multimodal import ppm_media_from_docs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 7, 40], "text": ["alpha", "beta", "gamma"]})
+    )
+    out = {r["media_id"]: r for r in ppm_media_from_docs(docs).collect()}
+    for doc_id, text in [(0, "alpha"), (7, "beta"), (40, "gamma")]:
+        rgb = decode_ppm(bytes(out[doc_id]["payload"]))
+        assert rgb.shape == (doc_id % 13 + 1, doc_id % 23 + 1, 3)
+        h = hashlib.sha256(text.encode()).digest()
+        assert (rgb == np.frombuffer(h[3:6], np.uint8)).all()

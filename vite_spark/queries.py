@@ -908,6 +908,27 @@ def q_multimodal_bmp_features(spark, sf_dir):
     )
 
 
+def q_multimodal_ppm_features(spark, sf_dir):
+    """REAL image decode #2 (netpbm P6), driver-checked: deterministic
+    binary PPMs built from the documents table
+    (text/multimodal.ppm_media_from_docs) are decoded by the vendored
+    pure-NumPy P6 parser — no fake path — and the header-token dims, the
+    exact encoded byte size (ASCII header incl. per-value token lengths +
+    3wh raster), and pixel channel means are value-matched against the
+    SQL recomputation. A header-grammar bug flips width/height/n_bytes, a
+    raster-offset bug flips the means."""
+    from vite_spark.text.multimodal import extract_features, ppm_media_from_docs
+
+    media = ppm_media_from_docs(_docs(spark, sf_dir))
+    f = extract_features(media)   # fake=False: the REAL decode path
+    return f.select(
+        "media_id", "width", "height", "n_bytes",
+        F.col("features")[0].alias("mean_r"),
+        F.col("features")[1].alias("mean_g"),
+        F.col("features")[2].alias("mean_b"),
+    )
+
+
 def q_multimodal_wav_features(spark, sf_dir):
     """REAL audio decode, driver-checked: deterministic PCM16 WAVs built
     from the documents table (text/multimodal.wav_media_from_docs) are
@@ -953,6 +974,25 @@ SELECT doc_id AS media_id,
        ROUND({_hexbyte('hx', 1)} / 255.0, 6) AS mean_r,
        ROUND({_hexbyte('hx', 3)} / 255.0, 6) AS mean_g,
        ROUND({_hexbyte('hx', 5)} / 255.0, 6) AS mean_b
+FROM d"""
+
+
+# dims/file-size/means recomputed from the ppm_media_from_docs contract:
+# W = doc_id%23+1, H = doc_id%13+1, constant pixel = sha256(text)[3:6],
+# P6 size = 'P6\n{w} {h}\n255\n' header (9 + decimal token lengths) + 3wh
+SQL_MULTIMODAL_PPM = f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+d AS (SELECT doc_id, hx,
+             doc_id % 23 + 1 AS w, doc_id % 13 + 1 AS hh
+      FROM h)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(hh AS BIGINT) AS height,
+       CAST(9 + LENGTH(CAST(w AS VARCHAR)) + LENGTH(CAST(hh AS VARCHAR))
+              + 3 * w * hh AS BIGINT) AS n_bytes,
+       ROUND({_hexbyte('hx', 7)} / 255.0, 6) AS mean_r,
+       ROUND({_hexbyte('hx', 9)} / 255.0, 6) AS mean_g,
+       ROUND({_hexbyte('hx', 11)} / 255.0, 6) AS mean_b
 FROM d"""
 
 
@@ -1242,6 +1282,9 @@ def registry() -> dict[str, tuple]:
         # REAL BMP / WAV decode (vendored pure-NumPy codecs, no fake path)
         "multimodal_bmp_features": (
             q_multimodal_bmp_features, SQL_MULTIMODAL_BMP,
+        ),
+        "multimodal_ppm_features": (
+            q_multimodal_ppm_features, SQL_MULTIMODAL_PPM,
         ),
         "multimodal_wav_features": (
             q_multimodal_wav_features, SQL_MULTIMODAL_WAV,

@@ -1,11 +1,12 @@
-"""Minimal pure-NumPy media codecs: uncompressed 24-bit BMP (BI_RGB) and
-16-bit PCM WAV (RIFF/WAVE).
+"""Minimal pure-NumPy media codecs: uncompressed 24-bit BMP (BI_RGB),
+binary PPM (netpbm P6), and 16-bit PCM WAV (RIFF/WAVE).
 
-The container has no codec libraries, but BMP and canonical PCM WAV are
-public, trivially parseable formats (Windows GDI spec; RIFF/WAVE spec),
-so the multimodal pipeline's image AND audio decode can be REAL for these
-payloads — r2 VERDICT missing#2, r3 VERDICT next#7 — while compressed
-formats (JPEG/PNG/MP3/video containers) stay honestly stubbed.
+The container has no codec libraries, but BMP, P6 PPM, and canonical PCM
+WAV are public, trivially parseable formats (Windows GDI spec; netpbm
+spec; RIFF/WAVE spec), so the multimodal pipeline's image AND audio
+decode can be REAL for these payloads — r2 VERDICT missing#2, r3 VERDICT
+next#7 — while compressed formats (JPEG/PNG/MP3/video containers) stay
+honestly stubbed.
 
 Layout (all little-endian):
   offset 0   2s  magic 'BM'
@@ -161,6 +162,82 @@ def decode_wav(payload: bytes):
     n = len(data) // (2 * ch)
     s = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
     return s, int(sample_rate)
+
+
+# --- PPM (netpbm P6, binary RGB) ----------------------------------------
+#
+# Canonical layout (the netpbm spec): ASCII header of three tokens —
+# magic 'P6', width, height, maxval — separated by whitespace runs, any
+# of which may carry '#...\n' comments; ONE whitespace byte after maxval;
+# then width*height raw RGB triples, rows top-down. Only maxval ≤ 255
+# (1 byte/sample) is supported here; 2-byte maxvals are rejected loudly.
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → canonical binary P6 bytes
+    ('P6\\n{w} {h}\\n255\\n' + raw top-down RGB rows)."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {rgb.shape}")
+    h, w = rgb.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + np.ascontiguousarray(rgb).tobytes()
+
+
+def is_ppm(payload: bytes | None) -> bool:
+    return (payload is not None and len(payload) >= 11
+            and payload[:2] == b"P6" and payload[2:3] in b" \t\n\r\x0b\x0c")
+
+
+def _ppm_tokens(payload: bytes, n: int):
+    """First ``n`` header tokens after the magic, per the netpbm grammar
+    (whitespace-separated, '#' starts a comment through end-of-line).
+    Returns (tokens, offset_one_past_the_single_whitespace_after_last)."""
+    ws = b" \t\n\r\x0b\x0c"
+    pos = 2                      # past 'P6'
+    toks = []
+    while len(toks) < n:
+        while pos < len(payload) and payload[pos:pos + 1] in ws:
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("unterminated PPM header comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos:pos + 1] not in ws:
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        toks.append(payload[start:pos])
+    # exactly ONE whitespace byte separates maxval from the raster
+    if pos >= len(payload) or payload[pos:pos + 1] not in ws:
+        raise ValueError("PPM header not terminated by whitespace")
+    return toks, pos + 1
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 bytes → (H, W, 3) uint8 RGB array.
+
+    Parses the full header grammar (comments, arbitrary whitespace);
+    rejects non-P6 magics, maxval ≠ 1 byte, and truncated rasters loudly
+    rather than guessing."""
+    if not is_ppm(payload):
+        raise ValueError("not a P6 PPM payload")
+    toks, off = _ppm_tokens(payload, 3)
+    try:
+        w, h, maxval = (int(t) for t in toks)
+    except ValueError:
+        raise ValueError(f"non-numeric PPM header tokens {toks!r}") from None
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
+    if not 0 < maxval < 256:
+        raise ValueError(f"only 1-byte PPM samples supported (maxval={maxval})")
+    need = off + 3 * w * h
+    if len(payload) < need:
+        raise ValueError(f"truncated PPM: {len(payload)} bytes, need {need}")
+    px = np.frombuffer(payload, dtype=np.uint8, count=3 * w * h, offset=off)
+    return np.ascontiguousarray(px.reshape(h, w, 3))
 
 
 def resize_nearest(rgb: np.ndarray, width: int, height: int) -> np.ndarray:

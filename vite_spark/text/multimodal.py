@@ -1,10 +1,11 @@
 """Multimodal column plumbing (image/audio/video as opaque binary).
 
-IMAGE decode is REAL for uncompressed 24-bit BMP payloads — a public,
-dependency-free format parsed by the vendored pure-NumPy codec
-(text/codecs.py) — so `extract_features` / `resize_media` run an actual
-decode → pixel-op → re-encode pipeline on BMP bytes (r2 VERDICT
-missing#2). Other codecs (JPEG/PNG/audio/video containers) remain
+IMAGE decode is REAL for uncompressed 24-bit BMP and binary P6 PPM
+payloads — public, dependency-free formats parsed by the vendored
+pure-NumPy codecs (text/codecs.py) — so `extract_features` /
+`resize_media` run an actual decode → pixel-op → re-encode pipeline on
+those bytes (r2 VERDICT missing#2). Other codecs (JPEG/PNG/audio/video
+containers) remain
 STUBBED: no codec libraries in this container; they raise
 NotImplementedError unless `fake=True`, in which case a deterministic
 fake decoder (content-hash seeded dimensions/features) stands in so the
@@ -50,19 +51,26 @@ FEATURES_SCHEMA = StructType(
 
 
 def _try_decode(payload):
-    """Decode ``payload`` as BMP if (and only if) it fully parses; None
-    otherwise. An arbitrary text/binary payload that merely STARTS with
-    'BM' must fall through to the stub path, not crash the batch — a
-    valid 24-bit BMP needs bpp=24 and 4 NUL compression bytes at fixed
-    offsets, which UTF-8 text can never contain, so the try is exact."""
-    from vite_spark.text.codecs import decode_bmp, is_bmp
+    """Decode ``payload`` with the first native image codec that fully
+    parses it — ('bmp'|'ppm', rgb array) — or None. An arbitrary
+    text/binary payload that merely STARTS with a magic must fall through
+    to the stub path, not crash the batch: a valid 24-bit BMP needs
+    bpp=24 and 4 NUL compression bytes at fixed offsets, and a valid P6
+    needs three numeric header tokens plus an exact-length raster —
+    neither of which plain UTF-8 text can satisfy — so the try is exact."""
+    from vite_spark.text.codecs import decode_bmp, decode_ppm, is_bmp, is_ppm
 
-    if not is_bmp(payload):
-        return None
-    try:
-        return decode_bmp(payload)
-    except ValueError:
-        return None
+    if is_bmp(payload):
+        try:
+            return "bmp", decode_bmp(payload)
+        except ValueError:
+            return None
+    if is_ppm(payload):
+        try:
+            return "ppm", decode_ppm(payload)
+        except ValueError:
+            return None
+    return None
 
 
 def docs_as_media(docs: DataFrame) -> DataFrame:
@@ -114,6 +122,54 @@ def bmp_media_from_docs(docs: DataFrame) -> DataFrame:
                     "kind": "image",
                     "payload": payloads,
                     "mime": "image/bmp",
+                    "meta_width": pd.array(mw, dtype="Int64"),
+                    "meta_height": pd.array(mh, dtype="Int64"),
+                    "meta_duration_s": pd.array([None] * len(pdf),
+                                                dtype="Float64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batch_fn, schema=MEDIA_SCHEMA
+    )
+
+
+def ppm_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL binary-P6 payloads derived from the documents
+    table — the second-format driver fixture for the native image decode
+    path (deliberately different dims/pixel formulas than the BMP
+    fixture, so a format-specific header or raster bug cannot alias):
+    each doc becomes a (doc_id%23+1) × (doc_id%13+1) constant-color P6
+    whose pixel is bytes 3..5 of sha256(text). Dims, the exact encoded
+    byte size (header token lengths + 3wh raster), and channel means are
+    all SQL-expressible, so the DuckDB oracle value-checks the decode
+    end-to-end."""
+
+    def batch_fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from vite_spark.text.codecs import encode_ppm
+
+        for pdf in batches:
+            payloads, mw, mh = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.sha256((text or "").encode()).digest()
+                w = int(doc_id) % 23 + 1
+                ht = int(doc_id) % 13 + 1
+                rgb = np.empty((ht, w, 3), np.uint8)
+                rgb[...] = (h[3], h[4], h[5])
+                payloads.append(encode_ppm(rgb))
+                mw.append(w)
+                mh.append(ht)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/x-portable-pixmap",
                     "meta_width": pd.array(mw, dtype="Int64"),
                     "meta_height": pd.array(mh, dtype="Int64"),
                     "meta_duration_s": pd.array([None] * len(pdf),
@@ -282,9 +338,10 @@ def extract_features(media: DataFrame, fake: bool = False, n_features: int = 8) 
             n_bytes = pdf["payload"].map(lambda b: len(b) if b is not None else 0)
             feats, widths, heights = [], [], []
             for b in pdf["payload"]:
-                rgb = _try_decode(b)
-                if rgb is not None:
+                dec = _try_decode(b)
+                if dec is not None:
                     # REAL decode: dimensions and features from the pixels
+                    _fmt, rgb = dec
                     heights.append(int(rgb.shape[0]))
                     widths.append(int(rgb.shape[1]))
                     means = rgb.reshape(-1, 3).mean(axis=0) / 255.0
@@ -295,10 +352,10 @@ def extract_features(media: DataFrame, fake: bool = False, n_features: int = 8) 
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "only uncompressed 24-bit BMP decodes natively "
-                        "(text/codecs.py); other formats need codec "
-                        "libraries not present in this environment — pass "
-                        "fake=True for the deterministic stub"
+                        "only uncompressed 24-bit BMP / P6 PPM decode "
+                        "natively (text/codecs.py); other formats need "
+                        "codec libraries not present in this environment "
+                        "— pass fake=True for the deterministic stub"
                     )
                 h = hashlib.sha256(b or b"").digest()
                 widths.append(int.from_bytes(h[0:2], "big") % 4096 + 1)
@@ -337,9 +394,9 @@ def resize_media(
 ) -> DataFrame:
     """Arrow-batched decode→resample→re-encode over binary payloads.
 
-    REAL for BMP payloads: decode (text/codecs.py), deterministic
-    nearest-neighbor resample, re-encode as BMP; resized_sha =
-    sha256(re-encoded bytes).
+    REAL for BMP and P6 PPM payloads: decode (text/codecs.py),
+    deterministic nearest-neighbor resample, re-encode in the INPUT
+    format; resized_sha = sha256(re-encoded bytes).
     STUB (fake=True) for undecodable payloads: the re-encoded payload is
     the utf-8 of sha256(sha256(payload).hex + "|WxH") — deterministic,
     cross-engine reproducible (the resized_sha column is
@@ -351,23 +408,25 @@ def resize_media(
 
         import pandas as pd
 
-        from vite_spark.text.codecs import encode_bmp, resize_nearest
+        from vite_spark.text.codecs import encode_bmp, encode_ppm, resize_nearest
 
         for pdf in batches:
             payloads, shas = [], []
             for b in pdf["payload"]:
-                rgb = _try_decode(b)
-                if rgb is not None:
-                    out = encode_bmp(resize_nearest(rgb, width, height))
+                dec = _try_decode(b)
+                if dec is not None:
+                    fmt, rgb = dec
+                    enc = encode_bmp if fmt == "bmp" else encode_ppm
+                    out = enc(resize_nearest(rgb, width, height))
                     payloads.append(out)
                     shas.append(hashlib.sha256(out).hexdigest())
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "only uncompressed 24-bit BMP resizes natively "
-                        "(text/codecs.py); other formats need codec "
-                        "libraries not present in this environment — pass "
-                        "fake=True for the deterministic stub"
+                        "only uncompressed 24-bit BMP / P6 PPM resize "
+                        "natively (text/codecs.py); other formats need "
+                        "codec libraries not present in this environment "
+                        "— pass fake=True for the deterministic stub"
                     )
                 h = hashlib.sha256(b or b"").hexdigest()
                 sha = hashlib.sha256(f"{h}|{width}x{height}".encode()).hexdigest()
