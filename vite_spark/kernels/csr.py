@@ -65,38 +65,26 @@ def _take(src: np.ndarray, idx: np.ndarray, name: str) -> np.ndarray:
     return out
 
 
-def _grouping_order(srcl: np.ndarray, c_dst: np.ndarray, key: np.ndarray,
-                    nvl: int, nv_local: int) -> np.ndarray:
-    """Stable order grouping rows by (src_local, c_dst) — the L4 counter's
-    sort. Adaptive:
+def _radix_order(srcl: np.ndarray, c_dst: np.ndarray,
+                 nvl: int, nv_local: int) -> np.ndarray:
+    """LSD radix grouping order by (src_local, c_dst) via a chain of
+    uint16 STABLE argsorts (numpy uses O(n) counting radix only for
+    ≤16-bit ints; int64 stable is comparison timsort): c_dst low half,
+    c_dst high half, then src_local low/high — each pass ~25 ms / 2M rows
+    vs ~280 ms for one random int64 argsort. Precondition (caller-checked):
+    nvl < 2^32 and nv_local < 2^32, else the uint16 truncation would
+    silently mis-group (r2 ADVICE).
 
-    - nearly-sorted key (the common case after the first sweeps: the pack
-      is (src, dst)-sorted and converged labels correlate with dst) →
-      ONE int64 stable argsort; numpy's timsort detects the runs and is
-      ~10x faster than on random keys.
-    - otherwise → LSD radix via a chain of uint16 STABLE argsorts (numpy
-      uses O(n) radix only for ≤16-bit ints; int64 stable is comparison
-      timsort): c_dst low half, c_dst high half, then src_local low/high —
-      each pass ~25 ms / 2M rows vs ~280 ms for one random int64 argsort.
-    """
-    n = len(key)
-    if n < (1 << 16):
-        return np.argsort(key, kind="stable")
-    if nvl >= (1 << 32) or nv_local >= (1 << 32):
-        # radix precondition (r2 ADVICE): the LSD passes below cover only
-        # bits 0..31 of c_dst / srcl — beyond 2^32 ids the uint16
-        # truncation would silently mis-group the counter. The comparison
-        # timsort is slower but correct for any id width.
-        return np.argsort(key, kind="stable")
-    sample = key[::127]
-    desc = int(np.count_nonzero(sample[:-1] > sample[1:]))
-    if desc * 32 < len(sample):
-        return np.argsort(key, kind="stable")
-
+    The shift/mask passes run in the INPUT array's integer loop (int64 for
+    the mirror's c_dst, int32 for the sharded tracked index / packed srcl)
+    and same-kind-cast the ≤16-bit results into the int32 scratch — the
+    r3 int32-loop hazard needs a scalar OPERAND that fits a narrower
+    loop *with an int32 array input*; here the array input fixes the loop
+    width, so >>16 of values in [2^31, 2^32) is computed in int64, never
+    sign-wrapped."""
+    n = len(srcl)
     lo = _buf("rad_lo", n, np.uint16)
-    tmp = _buf("rad_tmp", n, np.int64)
-    sl = _buf("rad_sl", n, np.int64)
-    sl[:] = srcl                                  # int32 → int64 once
+    tmp = _buf("rad_tmp32", n, np.int32)
 
     np.bitwise_and(c_dst, 0xFFFF, out=tmp)
     lo[:] = tmp
@@ -108,16 +96,75 @@ def _grouping_order(srcl: np.ndarray, c_dst: np.ndarray, key: np.ndarray,
         order = _take(order, np.argsort(lo, kind="stable"),
                       f"rad_ord{flip}")
         flip ^= 1
-    np.bitwise_and(sl, 0xFFFF, out=tmp)           # pass 3: src_local low
+    np.bitwise_and(srcl, 0xFFFF, out=tmp)         # pass 3: src_local low
     lo[:] = _take(tmp, order, "rad_perm")
     order = _take(order, np.argsort(lo, kind="stable"), f"rad_ord{flip}")
     flip ^= 1
     if nv_local > (1 << 16):                      # pass 4: src_local high
-        np.right_shift(sl, 16, out=tmp)
+        np.right_shift(srcl, 16, out=tmp)
         lo[:] = _take(tmp, order, "rad_perm")
         order = _take(order, np.argsort(lo, kind="stable"),
                       f"rad_ord{flip}")
     return order
+
+
+def _grouped_segments(srcl: np.ndarray, c_dst: np.ndarray,
+                      nvl: int, nv_local: int):
+    """Stable grouping of rows by (src_local, c_dst) — the L4 counter's
+    sort — WITHOUT materializing the int64 composite key on the hot path.
+
+    v1 built key = srcl·nvl + c_dst always (3 passes, ~48B/row), gathered
+    it (16B/row), segment-compared it (16B/row) and divided it back per
+    segment (int64 div, and n_seg ≈ n on early supersteps) — ~80B/row of
+    DRAM traffic whose only information content is the (srcl, c_dst) int32
+    pair. On the 24M-vertex sharded run the sweep is bandwidth-bound at 16
+    workers (BENCH.md host physics), so that overhead is paid at the
+    contended margin. Now the radix path orders off the int32 halves
+    directly, and segments come from pair inequality on two int32 gathers.
+
+    Adaptive exactly as before (bit-identical order, pytest parity):
+
+    - nearly-sorted (the common case after the first sweeps: the pack is
+      (src, dst)-sorted and converged labels correlate with dst) → ONE
+      int64 stable argsort of the composite key (built only on this
+      branch; timsort detects the runs, ~10x faster than random) —
+      descent is sampled on the lexicographic PAIR, which equals key
+      descent since key is monotone in (srcl, c_dst).
+    - otherwise → _radix_order uint16 LSD chain (requires ids < 2^32;
+      wider ids fall back to the key argsort, r2 ADVICE).
+
+    Returns (order, start, g_srcidx, g_comm): the grouping permutation,
+    segment-start row indices (into the ordered rows), and each segment's
+    (src_local, c_dst) — native int32/int-input dtypes, callers index
+    float/int64 arrays with them directly.
+    """
+    n = len(srcl)
+    order = None
+    if n >= (1 << 16) and nvl < (1 << 32) and nv_local < (1 << 32):
+        ss_s, cs_s = srcl[::127], c_dst[::127]
+        desc = int(np.count_nonzero(
+            (ss_s[:-1] > ss_s[1:])
+            | ((ss_s[:-1] == ss_s[1:]) & (cs_s[:-1] > cs_s[1:]))
+        ))
+        if desc * 32 >= len(ss_s):
+            order = _radix_order(srcl, c_dst, nvl, nv_local)
+    if order is None:
+        key = _buf("key", n, np.int64)
+        # upcast BEFORE the multiply: NumPy 1.x value-based casting routes
+        # np.multiply(int32_arr, int64_scalar, out=int64) through the
+        # INT32 loop, silently overflowing once max(srcl)·nvl ≥ 2^31 —
+        # i.e. on any benchmark-scale graph (caught in r3; pinned by
+        # tests/test_kernel_overflow.py)
+        key[:] = srcl
+        key *= np.int64(nvl)
+        key += c_dst
+        order = np.argsort(key, kind="stable")
+    ss = _take(srcl, order, "gs_ss")
+    cs = _take(c_dst, order, "gs_cs")
+    start = np.flatnonzero(
+        np.r_[True, (ss[1:] != ss[:-1]) | (cs[1:] != cs[:-1])]
+    )
+    return order, start, ss[start], cs[start]
 
 
 def _decide_grouped(
@@ -204,24 +251,11 @@ def sweep_partition_np(
     np.take(curr, dst, out=c_dst)
     nvl = np.int64(len(curr))
     if srcl is not None:
-        key = _buf("key", n, np.int64)
-        # upcast int32 srcl BEFORE the multiply: NumPy 1.x value-based
-        # casting routes np.multiply(int32_arr, int64_scalar, out=int64)
-        # through the INT32 loop, silently overflowing once
-        # max(srcl)·nvl ≥ 2^31 — i.e. on any benchmark-scale graph
-        # (caught in r3; pinned by test_packed_key_no_int32_overflow)
-        key[:] = srcl
-        key *= nvl
-        key += c_dst
-        order = _grouping_order(srcl, c_dst, key, int(nvl),
-                                int(len(own_ids)))
-        ks = _take(key, order, "ks")
+        order, start, g_srcidx, g_comm = _grouped_segments(
+            srcl, c_dst, int(nvl), int(len(own_ids))
+        )
         ws = _take(w, order, "ws")
-        start = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
         e_vc = np.add.reduceat(ws, start)
-        gk = ks[start]
-        g_srcidx = gk // nvl
-        g_comm = gk % nvl
         new_seg = np.r_[True, g_srcidx[1:] != g_srcidx[:-1]]
         ids = own_ids[g_srcidx[new_seg]]
     else:

@@ -79,7 +79,7 @@ from vite_spark.kernels.csr import (
     _advance_et,
     _atomic_save,
     _buf,
-    _grouping_order,
+    _grouped_segments,
     _load_et,
     _pid_frame,
     _save_et,
@@ -516,20 +516,13 @@ def _sweep_chunk_sharded(
 
     c_dst = _buf("sh_c_dst", n, np.int32)
     np.take(cidx, dstl, out=c_dst)
-    key = _buf("sh_key", n, np.int64)
-    # upcast int32 srcl BEFORE multiplying (int32-loop overflow hazard —
-    # see the same comment in csr.sweep_partition_np)
-    key[:] = srcl
-    key *= ntrk
-    key += c_dst
-    order = _grouping_order(srcl, c_dst, key, int(ntrk), len(own))
-    ks = _take(key, order, "sh_ks")
+    # all-int32 grouping: order + segments straight off the (srcl, c_dst)
+    # pair — no int64 composite key on the hot path (see _grouped_segments)
+    order, start, g_srcidx, g_ci = _grouped_segments(
+        srcl, c_dst, int(ntrk), len(own)
+    )
     ws = _take(w, order, "sh_ws")
-    start = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
     e_vc = np.add.reduceat(ws, start)
-    gk = ks[start]
-    g_srcidx = gk // ntrk
-    g_ci = gk % ntrk                             # tracked community index
     new_seg = np.r_[True, g_srcidx[1:] != g_srcidx[:-1]]
 
     seg_srcl = g_srcidx[new_seg]                 # per segment: own index
