@@ -405,7 +405,8 @@ def _csr_phase(
                 {int(k): v for k, v in man["rdrs_of"].items()},
             )
             for f in os.listdir(pack_dir):
-                if f.startswith(("mvu_", "flw_", "cur_", "ost_", "et_")):
+                if f.startswith(("mvu_", "mvd_", "flw_", "cur_", "ost_",
+                                 "et_", "tm_")):
                     try:
                         os.remove(os.path.join(pack_dir, f))
                     except OSError:

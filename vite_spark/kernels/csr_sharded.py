@@ -348,6 +348,36 @@ def _own_of(pack_dir: str, o: int) -> np.ndarray:
     return arr
 
 
+# Per-worker cache of the static req_{q}_{r} interest sets (immutable per
+# phase): the dense-advance apply gathers through them every superstep.
+_REQ_CACHE: dict = {}
+
+
+def _req_of(pack_dir: str, q: int, r: int) -> np.ndarray:
+    key = (pack_dir, q, r)
+    arr = _REQ_CACHE.get(key)
+    if arr is None:
+        if _REQ_CACHE and next(iter(_REQ_CACHE))[0] != pack_dir:
+            _REQ_CACHE.clear()
+        arr = np.load(os.path.join(pack_dir, f"req_{q}_{r}.npy"))
+        _REQ_CACHE[key] = arr
+    return arr
+
+
+def _ux_owner_span(ux: np.ndarray, starts: np.ndarray, bpids: np.ndarray,
+                   q: int):
+    """[lo, hi) row span of owner q's vertices inside sorted ``ux`` — q
+    owns the contiguous id range [starts[i], starts[i+1]) and bpids is
+    ascending (range partition ids are ordered), so the q-owned universe
+    vertices are one contiguous ux run, ascending by id — the same order
+    as the req_{q}_{r} indices built from it in build_routes."""
+    i = int(np.searchsorted(bpids, q))
+    lo = int(np.searchsorted(ux, starts[i]))
+    hi = (int(np.searchsorted(ux, starts[i + 1]))
+          if i + 1 < len(starts) else len(ux))
+    return lo, hi
+
+
 def _owner_aggs_at(pack_dir: str, nparts: int, o: int, j: int,
                    save: bool = False):
     """(ocd, ocs) over partition o's OWNED community ids at state S_j —
@@ -373,15 +403,17 @@ def _owner_aggs_at(pack_dir: str, nparts: int, o: int, j: int,
     else:
         ocd, ocs = _owner_aggs_at(pack_dir, nparts, o, j - 1)
         ocd, ocs = ocd.copy(), ocs.copy()
-        own_o = _own_of(pack_dir, o)
         for q in range(nparts):
             f = os.path.join(pack_dir, f"flw_{j}_{q}_{o}.npz")
             if not os.path.exists(f):
                 continue
             with np.load(f) as z:
-                keys, dcd, dcs = z["keys"], z["dcd"], z["dcs"]
-            pos, m = _positions(own_o, keys)
-            assert bool(m.all()), "flow partial keys not owned by target"
+                pos, dcd, dcs = z["pos"], z["dcd"], z["dcs"]
+            # pos = writer-computed int32 positions into own_o (validity
+            # asserted writer-side against the tracked maps); fixed writer
+            # order q = 0..nparts-1 keeps every materialization bit-equal
+            assert len(pos) == 0 or int(pos[-1]) < len(ocd), \
+                "flow partial position out of owner range"
             np.add.at(ocd, pos, dcd)
             np.add.at(ocs, pos, dcs)
         out = (ocd, ocs)
@@ -681,6 +713,22 @@ def csr_superstep_sharded(
                     )
                 if step >= 2:
                     for q in owners_of[pid]:
+                        fd = os.path.join(
+                            pack_dir, f"mvd_{step - 1}_{q}.npy"
+                        )
+                        if os.path.exists(fd):
+                            # dense-writer advance: q's full post-move
+                            # own-labels; this reader's q-owned universe
+                            # vertices are the CONTIGUOUS ux run covering
+                            # q's range, in the same order as its req
+                            # indices (both ascending by vertex id)
+                            lo, hi = _ux_owner_span(ux, starts, bpids, q)
+                            req = _req_of(pack_dir, q, pid)
+                            assert hi - lo == len(req), \
+                                "req/universe span mismatch"
+                            dense = np.load(fd, mmap_mode="r")
+                            curr[lo:hi] = dense[req]
+                            continue
                         f = os.path.join(
                             pack_dir, f"mvu_{step - 1}_{q}_{pid}.npy"
                         )
@@ -728,6 +776,7 @@ def csr_superstep_sharded(
                 ow = _owner_of(tkeys, starts, bpids)
                 tcd = np.empty(len(tkeys))
                 tcs = np.empty(len(tkeys), np.int64)
+                tpos = np.empty(len(tkeys), np.int32)
                 for o in np.unique(ow):
                     m = ow == o
                     o = int(o)
@@ -742,6 +791,7 @@ def csr_superstep_sharded(
                     assert bool(hit.all()), "referenced community unowned"
                     tcd[m] = ocd_o[pos]
                     tcs[m] = ocs_o[pos]
+                    tpos[m] = pos
                 st = {"curr": curr, "tkeys": tkeys, "tcd": tcd, "tcs": tcs,
                       "cidx": cidx.astype(np.int32)}
                 _mark("tracked")
@@ -781,52 +831,91 @@ def csr_superstep_sharded(
                 mold = cc[mvd]
                 midx = np.searchsorted(own, mids)
                 vd = vdeg_own[midx]
-                # reader routing via the pack-time CSR reader lists:
-                # gather each mover's reader slice, radix-group by reader
+                # Move advertisement — adaptive, by exchanged bytes.
+                # Vite's fillRemoteCommunities ships the full requested
+                # sets every iteration; per-mover routed records are OUR
+                # optimization for quiet supersteps. On move-heavy ones
+                # (step 1-2: nearly every vertex moves) the record stream
+                # (16B × Σ fanout(mover)) costs more than the whole
+                # own-label array (8B × nown) — and fresh exchange pages
+                # are host-serialized on this VM class (BENCH.md host
+                # physics), so the byte count IS the superstep wall.
+                # Dense: ONE post-move own-label array per writer;
+                # readers slice it through their static req sets.
                 with np.load(os.path.join(pack_dir, f"rdrw_{pid}.npz")) as z:
-                    indptr, rdr = z["indptr"], z["rdr"]
-                counts = indptr[midx + 1] - indptr[midx]
-                total = int(counts.sum())
-                if total:
-                    cum = np.cumsum(counts)
-                    out_idx = (np.arange(total, dtype=np.int64)
-                               - np.repeat(cum - counts, counts)
-                               + np.repeat(indptr[midx], counts))
-                    rdrs = rdr[out_idx]
-                    order = np.argsort(rdrs, kind="stable")
-                    rs = rdrs[order]
-                    rm = np.repeat(mids, counts)[order]
-                    rn = np.repeat(mnew, counts)[order]
-                    b0s = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
-                    b1s = np.r_[b0s[1:], total]
-                    for b0, b1 in zip(b0s, b1s):
-                        _atomic_save(
-                            os.path.join(
-                                pack_dir,
-                                f"mvu_{step}_{pid}_{int(rs[b0])}.npy",
-                            ),
-                            np.vstack([rm[b0:b1], rn[b0:b1]]),
-                        )
+                    indptr = z["indptr"]
+                    counts = indptr[midx + 1] - indptr[midx]
+                    total = int(counts.sum())
+                    dense_mode = total * 2 > len(own)
+                    if total and not dense_mode:
+                        rdr = z["rdr"]
+                        cum = np.cumsum(counts)
+                        out_idx = (np.arange(total, dtype=np.int64)
+                                   - np.repeat(cum - counts, counts)
+                                   + np.repeat(indptr[midx], counts))
+                        rdrs = rdr[out_idx]
+                        order = np.argsort(rdrs, kind="stable")
+                        rs = rdrs[order]
+                        rm = np.repeat(mids, counts)[order]
+                        rn = np.repeat(mnew, counts)[order]
+                        b0s = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
+                        b1s = np.r_[b0s[1:], total]
+                        for b0, b1 in zip(b0s, b1s):
+                            _atomic_save(
+                                os.path.join(
+                                    pack_dir,
+                                    f"mvu_{step}_{pid}_{int(rs[b0])}.npy",
+                                ),
+                                np.vstack([rm[b0:b1], rn[b0:b1]]),
+                            )
+                if dense_mode:
+                    own_new = curr[own_pos].copy()
+                    own_new[midx] = mnew
+                    _atomic_save(
+                        os.path.join(pack_dir, f"mvd_{step}_{pid}.npy"),
+                        own_new,
+                    )
+                    # NO deletion of older dense/self files here, even
+                    # though this snapshot supersedes them for replay cuts
+                    # ≥ step: the one-job-late phase protocol may DISCARD
+                    # the trailing superstep(s) and cut labels at an
+                    # earlier j, which still needs the older history (same
+                    # reason self mvu files are kept). Dense steps are the
+                    # few move-heavy early ones, so the lingering cost is
+                    # O(few) own-size files per partition per phase.
                 if len(mids):
+                    # per-community (Δdegree, Δsize) flow partials, sharded
+                    # by the community's owner. Every flow key is TRACKED
+                    # (mold ⊆ image(curr) = tkeys; mnew ⊆ candidate set ⊆
+                    # tkeys), so owner and position-in-owner come free from
+                    # the tracked maps built in step 3 — records carry the
+                    # int32 owner-local position instead of the int64
+                    # global key (16B vs 24B per record; the bytes are the
+                    # wall on move-heavy supersteps) and the owner-side
+                    # merge needs no searchsorted. bincount ≡ add.at
+                    # bit-exactly (same input-order accumulation), ~10x
+                    # faster.
                     fraw = np.concatenate([mnew, mold])
                     draw = np.concatenate([vd, -vd])
-                    sraw = np.concatenate([
-                        np.ones(len(mnew), np.int64),
-                        -np.ones(len(mold), np.int64),
-                    ])
+                    nm = len(mnew)
                     fkeys, inv = np.unique(fraw, return_inverse=True)
-                    fcd = np.zeros(len(fkeys))
-                    fcs = np.zeros(len(fkeys), np.int64)
-                    np.add.at(fcd, inv, draw)
-                    np.add.at(fcs, inv, sraw)
-                    fow = _owner_of(fkeys, starts, bpids)
+                    fcd = np.bincount(inv, weights=draw,
+                                      minlength=len(fkeys))
+                    fcs = (np.bincount(inv[:nm], minlength=len(fkeys))
+                           - np.bincount(inv[nm:], minlength=len(fkeys)))
+                    ti = np.searchsorted(tkeys, fkeys)
+                    assert bool((tkeys[ti] == fkeys).all()), \
+                        "flow key not tracked"
+                    fow = ow[ti]
+                    fpos = tpos[ti]
                     for o in np.unique(fow):
                         m = fow == o
                         _atomic_savez(
                             os.path.join(
                                 pack_dir, f"flw_{step}_{pid}_{int(o)}.npz"
                             ),
-                            keys=fkeys[m], dcd=fcd[m], dcs=fcs[m],
+                            pos=fpos[m], dcd=fcd[m],
+                            dcs=fcs[m].astype(np.int32),
                         )
 
                 _mark("outputs")
@@ -861,11 +950,13 @@ def csr_superstep_sharded(
 
 
 def csr_labels_sharded(spark, pack_dir: str, nparts: int, n_deltas: int):
-    """(id, comm) for owned vertices after supersteps 1..n_deltas: replay
-    the partition's OWN move files (`mvu_{j}_{p}_{p}` — own ⊆ U_p, so the
-    self-routed file carries exactly the partition's movers) from the
-    identity — O(own moves) work, O(nv/p) memory, fully distributed (the
-    driver never holds labels)."""
+    """(id, comm) for owned vertices after supersteps 1..n_deltas: start
+    from the NEWEST dense own-label snapshot (`mvd_{j}_{p}` — a dense
+    step's writer output IS the post-move own state, and it superseded
+    all older self-history when written), then replay the later OWN move
+    files (`mvu_{j}_{p}_{p}` — own ⊆ U_p, so the self-routed file carries
+    exactly the partition's movers). O(own moves) work, O(nv/p) memory,
+    fully distributed (the driver never holds labels)."""
 
     def run(pdf_iter):
         import pandas as pd
@@ -877,7 +968,14 @@ def csr_labels_sharded(spark, pack_dir: str, nparts: int, n_deltas: int):
                 if len(own) == 0:
                     continue
                 curr = own.copy()
-                for j in range(1, n_deltas + 1):
+                j0 = 1
+                for j in range(n_deltas, 0, -1):
+                    fd = os.path.join(pack_dir, f"mvd_{j}_{pid}.npy")
+                    if os.path.exists(fd):
+                        curr = np.load(fd).copy()
+                        j0 = j + 1
+                        break
+                for j in range(j0, n_deltas + 1):
                     f = os.path.join(pack_dir, f"mvu_{j}_{pid}_{pid}.npy")
                     if not os.path.exists(f):
                         continue
