@@ -23,14 +23,22 @@ redesign):
   inverse map (writer → readers) is assembled on the driver from nparts
   tiny rows.
 
-- **Reader-routed move records** (fillRemoteCommunities' vertex-community
-  round, louvain.cpp:2583-2954): each sweep task splits its (mid, mnew)
-  moves by which readers reference mid — `mvu_{step}_{writer}_{reader}` —
-  so a reader replays O(its referenced moves), never the global stream.
-  v1 re-read the FULL global move stream per partition per superstep
-  (O(nparts·moved) bytes; measured 50× the mirror's per-edge cost at 24M
-  vertices); v2 total move traffic is Σ_v fanout(v), the multicast lower
-  bound.
+- **Adaptive move advertisement** (fillRemoteCommunities' vertex-community
+  round, louvain.cpp:2583-2954). Quiet supersteps: each sweep task splits
+  its (mid, mnew) moves by which readers reference mid —
+  `mvu_{step}_{writer}_{reader}` — so a reader replays O(its referenced
+  moves), never the global stream. v1 re-read the FULL global move stream
+  per partition per superstep (O(nparts·moved) bytes; measured 50× the
+  mirror's per-edge cost at 24M vertices); v2 cut that to Σ_v fanout(v),
+  the multicast lower bound. Move-HEAVY supersteps (v3): when the record
+  stream would out-byte the state itself (Σ fanout(mover) · 2 > nown),
+  the writer ships ONE dense post-move own-label array (`mvd_{step}_{w}`)
+  and readers slice it through their static req sets — which is Vite's
+  actual shape (it ships the full requested sets every iteration; the
+  deltas are our refinement, used only where smaller). Fresh exchange
+  pages are host-serialized on this VM class, so exchanged bytes are the
+  superstep wall on early supersteps; dense cut outputs task-time 309→8.5 s
+  (superstep 1, 16 workers, 24M vertices).
 
 - **Owner-authoritative community aggregates** (localCinfo +
   updateRemoteCommunities, louvain.cpp:2978-3111): each sweep task also
@@ -284,7 +292,8 @@ def build_routes(spark, pack_dir: str, nparts: int):
         for pdf in pdf_iter:
             for pid in pdf["pid"]:
                 pid = int(pid)
-                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"))
+                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"),
+                              mmap_mode="r")
                 if len(own) == 0:
                     yield pd.DataFrame({"pid": [pid], "fanout": [0]})
                     continue
@@ -301,10 +310,13 @@ def build_routes(spark, pack_dir: str, nparts: int):
                 counts = np.bincount(idx, minlength=len(own))
                 indptr = np.zeros(len(own) + 1, np.int64)
                 np.cumsum(counts, out=indptr[1:])
-                _atomic_savez(
-                    os.path.join(pack_dir, f"rdrw_{pid}.npz"),
-                    indptr=indptr, rdr=rdr[order],
-                )
+                # two plain .npy files (not one npz): supersteps mmap them
+                # read-only, so the reader-list CSR lives once in the tmpfs
+                # page cache instead of being re-allocated per task per step
+                _atomic_save(
+                    os.path.join(pack_dir, f"rdri_{pid}.npy"), indptr)
+                _atomic_save(
+                    os.path.join(pack_dir, f"rdrr_{pid}.npy"), rdr[order])
                 yield pd.DataFrame({"pid": [pid], "fanout": [len(rdr)]})
 
     _pid_frame(spark, nparts).mapInPandas(
@@ -343,7 +355,8 @@ def _own_of(pack_dir: str, o: int) -> np.ndarray:
     if arr is None:
         if _OWN_CACHE and next(iter(_OWN_CACHE))[0] != pack_dir:
             _OWN_CACHE.clear()
-        arr = np.load(os.path.join(pack_dir, f"own_{o}.npy"))
+        # read-only mmap: one page-cache copy shared by every worker
+        arr = np.load(os.path.join(pack_dir, f"own_{o}.npy"), mmap_mode="r")
         _OWN_CACHE[key] = arr
     return arr
 
@@ -359,7 +372,8 @@ def _req_of(pack_dir: str, q: int, r: int) -> np.ndarray:
     if arr is None:
         if _REQ_CACHE and next(iter(_REQ_CACHE))[0] != pack_dir:
             _REQ_CACHE.clear()
-        arr = np.load(os.path.join(pack_dir, f"req_{q}_{r}.npy"))
+        arr = np.load(os.path.join(pack_dir, f"req_{q}_{r}.npy"),
+                      mmap_mode="r")
         _REQ_CACHE[key] = arr
     return arr
 
@@ -396,10 +410,21 @@ def _owner_aggs_at(pack_dir: str, nparts: int, o: int, j: int,
     hit = _OST_CACHE.get(key)
     if hit is not None:
         return hit
-    path = os.path.join(pack_dir, f"ost_{j}_{o}.npz")
+    path = os.path.join(pack_dir, f"ost_{j}_{o}.npy")
     if os.path.exists(path):
-        with np.load(path) as z:
-            out = (z["ocd"].copy(), z["ocs"].copy())
+        # READ-ONLY MMAP, not a load: the owner states are the big
+        # all-to-all pull of the superstep (every worker references most
+        # owners on low-locality graphs — 16 workers × nparts × nv/p
+        # bytes), and tmpfs mmap maps the ONE page-cache copy into every
+        # worker instead of privately re-allocating it per worker per
+        # step. Fresh anonymous pages are host-serialized on this VM
+        # class (~25-55 MB/s first touch, BENCH.md host physics), so the
+        # private copies were a measured superstep-wall term, not an
+        # optimization nicety. Format: one (2, n) float64 array — row 0
+        # ocd, row 1 ocs BIT-CAST (int64⇄float64 view, values untouched)
+        # so a single atomic-rename file carries both halves.
+        m = np.load(path, mmap_mode="r")
+        out = (m[0], m[1].view(np.int64))
     else:
         ocd, ocs = _owner_aggs_at(pack_dir, nparts, o, j - 1)
         ocd, ocs = ocd.copy(), ocs.copy()
@@ -418,7 +443,10 @@ def _owner_aggs_at(pack_dir: str, nparts: int, o: int, j: int,
             np.add.at(ocs, pos, dcs)
         out = (ocd, ocs)
         if save:
-            _atomic_savez(path, ocd=out[0], ocs=out[1])
+            packed = np.empty((2, len(ocd)))
+            packed[0] = ocd
+            packed[1] = ocs.view(np.float64)
+            _atomic_save(path, packed)
     stale = [k2 for k2 in _OST_CACHE
              if k2[0] != pack_dir or k2[2] not in (j, j - 1)]
     for k2 in stale:
@@ -450,7 +478,8 @@ def csr_advance_sharded(spark, pack_dir: str, nparts: int, step: int):
         for pdf in pdf_iter:
             for pid in pdf["pid"]:
                 pid = int(pid)
-                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"))
+                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"),
+                              mmap_mode="r")
                 if len(own) == 0:
                     yield pd.DataFrame({"pid": [pid], "nc": [0]})
                     continue
@@ -660,14 +689,16 @@ def csr_superstep_sharded(
                     _tl = now
 
                 pid = int(pid)
-                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"))
+                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"),
+                              mmap_mode="r")
                 if len(own) == 0:
                     yield pd.DataFrame({
                         "pid": [pid], "e_part": [0.0], "a_part": [0.0],
                         "moved": [np.int64(0)], "frozen": [np.int64(0)],
                     })
                     continue
-                ux = np.load(os.path.join(pack_dir, f"ux_{pid}.npy"))
+                ux = np.load(os.path.join(pack_dir, f"ux_{pid}.npy"),
+                             mmap_mode="r")
                 starts, bpids = _load_bounds(pack_dir)
 
                 # --- 1) own community aggregates at S_{step-1}, FIRST
@@ -699,7 +730,7 @@ def csr_superstep_sharded(
                 if old >= 1:
                     try:
                         os.remove(os.path.join(
-                            pack_dir, f"ost_{old}_{pid}.npz"))
+                            pack_dir, f"ost_{old}_{pid}.npy"))
                     except OSError:
                         pass
                 _mark("own_aggs")
@@ -804,8 +835,10 @@ def csr_superstep_sharded(
                                mmap_mode="r")
                 w = np.load(os.path.join(pack_dir, f"w_{pid}.npy"),
                             mmap_mode="r")
-                vdeg_own = np.load(os.path.join(pack_dir, f"vdeg_{pid}.npy"))
-                selfw_own = np.load(os.path.join(pack_dir, f"selfw_{pid}.npy"))
+                vdeg_own = np.load(os.path.join(
+                    pack_dir, f"vdeg_{pid}.npy"), mmap_mode="r")
+                selfw_own = np.load(os.path.join(
+                    pack_dir, f"selfw_{pid}.npy"), mmap_mode="r")
                 own_pos = np.searchsorted(ux, own)
                 n_frozen = 0
                 if early_term:
@@ -842,32 +875,33 @@ def csr_superstep_sharded(
                 # physics), so the byte count IS the superstep wall.
                 # Dense: ONE post-move own-label array per writer;
                 # readers slice it through their static req sets.
-                with np.load(os.path.join(pack_dir, f"rdrw_{pid}.npz")) as z:
-                    indptr = z["indptr"]
-                    counts = indptr[midx + 1] - indptr[midx]
-                    total = int(counts.sum())
-                    dense_mode = total * 2 > len(own)
-                    if total and not dense_mode:
-                        rdr = z["rdr"]
-                        cum = np.cumsum(counts)
-                        out_idx = (np.arange(total, dtype=np.int64)
-                                   - np.repeat(cum - counts, counts)
-                                   + np.repeat(indptr[midx], counts))
-                        rdrs = rdr[out_idx]
-                        order = np.argsort(rdrs, kind="stable")
-                        rs = rdrs[order]
-                        rm = np.repeat(mids, counts)[order]
-                        rn = np.repeat(mnew, counts)[order]
-                        b0s = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
-                        b1s = np.r_[b0s[1:], total]
-                        for b0, b1 in zip(b0s, b1s):
-                            _atomic_save(
-                                os.path.join(
-                                    pack_dir,
-                                    f"mvu_{step}_{pid}_{int(rs[b0])}.npy",
-                                ),
-                                np.vstack([rm[b0:b1], rn[b0:b1]]),
-                            )
+                indptr = np.load(os.path.join(
+                    pack_dir, f"rdri_{pid}.npy"), mmap_mode="r")
+                counts = indptr[midx + 1] - indptr[midx]
+                total = int(counts.sum())
+                dense_mode = total * 2 > len(own)
+                if total and not dense_mode:
+                    rdr = np.load(os.path.join(
+                        pack_dir, f"rdrr_{pid}.npy"), mmap_mode="r")
+                    cum = np.cumsum(counts)
+                    out_idx = (np.arange(total, dtype=np.int64)
+                               - np.repeat(cum - counts, counts)
+                               + np.repeat(indptr[midx], counts))
+                    rdrs = rdr[out_idx]
+                    order = np.argsort(rdrs, kind="stable")
+                    rs = rdrs[order]
+                    rm = np.repeat(mids, counts)[order]
+                    rn = np.repeat(mnew, counts)[order]
+                    b0s = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
+                    b1s = np.r_[b0s[1:], total]
+                    for b0, b1 in zip(b0s, b1s):
+                        _atomic_save(
+                            os.path.join(
+                                pack_dir,
+                                f"mvu_{step}_{pid}_{int(rs[b0])}.npy",
+                            ),
+                            np.vstack([rm[b0:b1], rn[b0:b1]]),
+                        )
                 if dense_mode:
                     own_new = curr[own_pos].copy()
                     own_new[midx] = mnew
@@ -964,7 +998,8 @@ def csr_labels_sharded(spark, pack_dir: str, nparts: int, n_deltas: int):
         for pdf in pdf_iter:
             for pid in pdf["pid"]:
                 pid = int(pid)
-                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"))
+                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"),
+                              mmap_mode="r")
                 if len(own) == 0:
                     continue
                 curr = own.copy()
