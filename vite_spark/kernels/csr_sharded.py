@@ -70,11 +70,14 @@ differently. The pack therefore reports `w_integer`, and the caller
 unless the sharded kernel is explicitly forced (r3 ADVICE item 1).
 
 Remaining scale note (honest): a reader whose referenced set spans many
-owners loads those owners' full O(nv/p) `ost` arrays to slice them. For
-graphs with locality (the common case under range partitioning) that is a
-handful of owners; a locality-free graph degrades toward O(nv) bytes per
-reader per superstep — the same Ω(Σ|referenced sets|) lower bound Vite's
-fillRemoteCommunities reply volume has (louvain.cpp:2806-2902).
+owners slices those owners' O(nv/p) `ost` arrays. The arrays are
+READ-ONLY MMAPS of the one tmpfs page-cache copy (shared across every
+worker on the host; the gather touches only referenced pages), so the
+single-box cost is Σ touched pages, not nworkers × nparts × nv/p private
+copies — but across REAL cluster nodes the pull is still network bytes,
+degrading toward O(nv) per reader per superstep on a locality-free graph:
+the same Ω(Σ|referenced sets|) lower bound Vite's fillRemoteCommunities
+reply volume has (louvain.cpp:2806-2902).
 """
 
 from __future__ import annotations
