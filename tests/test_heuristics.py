@@ -100,12 +100,14 @@ def test_et_abort_on_packed_path(spark, kernel):
     assert np.array_equal(_labels(pres.assignment, nv), o_labels)
 
 
-@pytest.mark.parametrize("kernel", ["join", "packed"])
+@pytest.mark.parametrize("kernel", ["join", "packed", "sharded"])
 def test_colored_engine_matches_oracle(spark, kernel):
     # karate-scale: the distributed colored path chains ~4 joins per color
     # bucket per superstep — parity is scale-free, so test it small.
     # kernel="packed" forces the per-color-bucket PACKED loop
-    # (kernels/csr.py colored block, r2 VERDICT next#6).
+    # (kernels/csr.py colored block, r2 VERDICT next#6); kernel="sharded"
+    # forces the bucketed SHARDED kernel (linear bucket-step protocol,
+    # kernels/csr_sharded.py — r3 VERDICT next#6).
     s, d, w, nv = fx.karate()
     edges = fx.to_spark_edges(spark, (s, d, w, nv))
     colors_df, _ = multi_hash_coloring(spark, edges)
@@ -118,7 +120,44 @@ def test_colored_engine_matches_oracle(spark, kernel):
     pres = louvain_phase(
         spark, edges, threshold=1e-6,
         cfg=EngineConfig(local_phase_max_edges=0, max_total_iterations=4,
-                         use_csr_kernel=kernel == "packed"),
+                         use_csr_kernel=kernel != "join",
+                         csr_force_sharded=kernel == "sharded"),
+        colors=colors_df,
+    )
+    assert pres.iters == o_iters
+    assert pres.q == pytest.approx(o_q, abs=1e-6)
+    assert np.array_equal(_labels(pres.assignment, nv), o_labels)
+
+
+@pytest.mark.parametrize("kernel", ["join", "packed", "sharded"])
+@pytest.mark.parametrize("et", [1, 2, 3, 4])
+def test_colored_et_engine_matches_oracle(spark, kernel, et):
+    """colored+ET (r3 VERDICT next#6): the packed per-color-bucket loop
+    with bucket-chained ET state, the bucketed sharded kernel, and the
+    shuffle-join combination all match the oracle's per-iteration
+    semantics exactly. planted_partition runs long enough for freezes
+    (iters > 2) to actually fire; the join kernel is pinned on one mode
+    only (it chains ~4 joins per bucket per iteration — parity is scale-
+    and mode-free, the packed runs cover the ET-mode algebra); sharded
+    runs modes 1 and 4 (one freeze family + one decay-with-abort)."""
+    if kernel == "join" and et != 1:
+        pytest.skip("join colored+ET pinned on mode 1; modes share algebra")
+    if kernel == "sharded" and et not in (1, 4):
+        pytest.skip("sharded colored+ET pinned on modes 1/4")
+    s, d, w, nv, _ = fx.planted_partition()
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+    colors_df, _ = multi_hash_coloring(spark, edges)
+    cp = colors_df.toPandas().sort_values("id")
+    col_arr = np.full(nv, -1, dtype=np.int64)
+    col_arr[cp["id"].to_numpy()] = cp["color"].to_numpy()
+
+    o_labels, o_q, o_iters = louvain_oracle_phase(
+        s, d, w, nv, colors=col_arr, early_term=et, max_iters=6)
+    pres = louvain_phase(
+        spark, edges, threshold=1e-6,
+        cfg=EngineConfig(local_phase_max_edges=0, max_total_iterations=6,
+                         early_term=et, use_csr_kernel=kernel != "join",
+                         csr_force_sharded=kernel == "sharded"),
         colors=colors_df,
     )
     assert pres.iters == o_iters

@@ -800,18 +800,30 @@ def csr_superstep_colored(
     bi: int,
     n_buckets: int,
     bucket_color: int,
+    early_term: int = 0,
 ) -> DataFrame:
     """Bucket ``bi`` of colored iteration ``step``: sweep only own
     vertices of ``bucket_color`` against (iteration-start curr, refreshed
     cd/cs), write mvc_{step}_{bi}_{pid}.npy. Bucket-0 sentinels carry the
     a-term partial at S_{step-1} (the one-job-late modularity protocol,
-    as in the plain packed superstep)."""
+    as in the plain packed superstep).
+
+    With ``early_term`` the colored+ET combination runs packed (r3 VERDICT
+    next#6): ET state is owner-local like the plain path, chained per
+    BUCKET (linear counter step·n_buckets+bi — each active vertex belongs
+    to exactly one bucket, so its ET record advances exactly once per
+    iteration, the oracle's per-iteration update). Frozen src rows are
+    skipped inside their own bucket; the whole partition's frozen
+    clusterWeight and frozen count ride the bucket-0 sentinel once per
+    iteration (the oracle adds frozen_cw[~active] once per e_term, and
+    the t3/t4 abort checks the pre-iteration frozen count)."""
 
     def run(pdf_iter):
         import os
 
         import pandas as pd
 
+        lin = (step - 1) * n_buckets + bi  # ET chain position before this bucket
         for pdf in pdf_iter:
             for pid in pdf["pid"]:
                 pid = int(pid)
@@ -821,6 +833,15 @@ def csr_superstep_colored(
                 a_part = (
                     float((st["cd"][own] ** 2).sum()) if bi == 0 else 0.0
                 )
+                et = (
+                    _load_et(pack_dir, pid, lin, own) if early_term else None
+                )
+                e_part = 0.0
+                n_frozen = 0
+                if early_term and bi == 0:
+                    inactive = ~et["active"]
+                    n_frozen = int(inactive.sum())
+                    e_part += float(et["frozen_cw"][inactive].sum())
                 col = np.load(os.path.join(pack_dir, f"col_{pid}.npy"))
                 srcl = np.load(os.path.join(pack_dir, f"srcl_{pid}.npy"),
                                mmap_mode="r")
@@ -831,33 +852,41 @@ def csr_superstep_colored(
                 rows = col[srcl] == bucket_color if len(col) else (
                     np.zeros(0, dtype=bool)
                 )
-                if not rows.any():
+                if early_term and rows.any():
+                    rows &= et["active"][srcl]  # skip frozen src rows
+                moved = np.int64(0)
+                if rows.any():
+                    ids, cc, new_comm, e_cc = sweep_partition_np(
+                        None, dst[rows], w[rows],
+                        st["curr"], st["vdeg"], st["self_w"], st["cd"],
+                        st["cs"], const, srcl=srcl[rows], own_ids=own,
+                    )
+                    mvd = new_comm != cc
+                    _atomic_save(
+                        os.path.join(pack_dir, f"mvc_{step}_{bi}_{pid}.npy"),
+                        np.vstack([ids[mvd], new_comm[mvd]]),
+                    )
+                    e_part += float(e_cc.sum())
+                    moved = np.int64(mvd.sum())
+                    if early_term:
+                        swept = np.searchsorted(own, ids)
+                        et = _advance_et(et, step, early_term, cc, new_comm,
+                                         e_cc, swept)
+                else:
                     _atomic_save(
                         os.path.join(pack_dir, f"mvc_{step}_{bi}_{pid}.npy"),
                         np.empty((2, 0), np.int64),
                     )
-                    yield pd.DataFrame({
-                        "pid": [pid], "e_part": [0.0], "a_part": [a_part],
-                        "moved": [np.int64(0)],
-                    })
-                    continue
-                ids, cc, new_comm, e_cc = sweep_partition_np(
-                    None, dst[rows], w[rows],
-                    st["curr"], st["vdeg"], st["self_w"], st["cd"],
-                    st["cs"], const, srcl=srcl[rows], own_ids=own,
-                )
-                mvd = new_comm != cc
-                _atomic_save(
-                    os.path.join(pack_dir, f"mvc_{step}_{bi}_{pid}.npy"),
-                    np.vstack([ids[mvd], new_comm[mvd]]),
-                )
+                if early_term:
+                    _save_et(pack_dir, pid, lin + 1, et)
                 yield pd.DataFrame({
-                    "pid": [pid], "e_part": [float(e_cc.sum())],
-                    "a_part": [a_part], "moved": [np.int64(mvd.sum())],
+                    "pid": [pid], "e_part": [e_part], "a_part": [a_part],
+                    "moved": [moved], "frozen": [np.int64(n_frozen)],
                 })
 
     return _pid_frame(spark, nparts).mapInPandas(
-        run, schema="pid int, e_part double, a_part double, moved long"
+        run,
+        schema="pid int, e_part double, a_part double, moved long, frozen long",
     )
 
 

@@ -328,6 +328,85 @@ def build_routes(spark, pack_dir: str, nparts: int):
     return owners_of, rdrs_of
 
 
+def pack_colors_sharded(colors_df, pack_dir: str, nparts: int) -> bool:
+    """colr_{pid}.npy: per-partition colors aligned with own_{pid}, for
+    the RANGE-partitioned sharded pack (the hash-aligned placement trick
+    of csr.pack_colors cannot work here — RangePartitioner bounds are
+    sample-dependent, so re-ranging the colors table lands rows on
+    different partitions). Two tiny jobs instead, the same routed-exchange
+    shape as the move advertisement: writers split their color rows by
+    owner range (searchsorted over bounds.npz) into colw_{writer}_{owner}
+    files; each owner merges its inbound, sorts by id, and verifies exact
+    alignment with its own array.
+
+    Returns True when every partition aligned; False (no executor crash)
+    when the caller-supplied colors table omits a vertex with edges or
+    carries extras — the caller falls back to the shuffle-join colored
+    path, like every other _csr_phase precondition failure."""
+
+    def write(pdf_iter):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        wpid = TaskContext.get().partitionId()
+        parts = [p for p in pdf_iter if len(p)]
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+            ids = pdf["id"].to_numpy(np.int64)
+            col = pdf["color"].to_numpy(np.int64)
+        else:
+            ids = np.empty(0, np.int64)
+            col = np.empty(0, np.int64)
+        n_out = 0
+        if len(ids):
+            starts, bpids = _load_bounds(pack_dir)
+            ow = _owner_of(ids, starts, bpids)
+            for o in np.unique(ow):
+                m = ow == o
+                _atomic_savez(
+                    os.path.join(pack_dir, f"colw_{wpid}_{int(o)}.npz"),
+                    ids=ids[m], col=col[m],
+                )
+                n_out += 1
+        yield pd.DataFrame({"pid": [wpid], "n": [n_out]})
+
+    colors_df.repartition(nparts, "id").mapInPandas(
+        write, schema="pid int, n long"
+    ).collect()
+
+    def merge(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            for pid in pdf["pid"]:
+                pid = int(pid)
+                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"))
+                ids_parts, col_parts = [], []
+                for w in range(nparts):
+                    f = os.path.join(pack_dir, f"colw_{w}_{pid}.npz")
+                    if not os.path.exists(f):
+                        continue
+                    with np.load(f) as z:
+                        ids_parts.append(z["ids"])
+                        col_parts.append(z["col"])
+                ids = (np.concatenate(ids_parts) if ids_parts
+                       else np.empty(0, np.int64))
+                col = (np.concatenate(col_parts) if col_parts
+                       else np.empty(0, np.int64))
+                order = np.argsort(ids, kind="stable")
+                ids, col = ids[order], col[order]
+                ok = np.array_equal(ids, own)
+                if ok:
+                    _atomic_save(
+                        os.path.join(pack_dir, f"colr_{pid}.npy"), col)
+                yield pd.DataFrame({"pid": [pid], "ok": [ok]})
+
+    res = _pid_frame(colors_df.sparkSession, nparts).mapInPandas(
+        merge, schema="pid int, ok boolean"
+    ).collect()
+    return all(r["ok"] for r in res)
+
+
 # Per-worker cache of owner aggregate states (pack_dir, owner, step) →
 # (ocd, ocs). Every reader referencing an owner at the same step computes
 # bit-identical arrays (fixed writer merge order), so sharing is safe;
@@ -644,8 +723,27 @@ def csr_superstep_sharded(
     step: int,
     routing: tuple[dict, dict],
     early_term: int = 0,
+    bucket: tuple | None = None,
 ):
     """Superstep ``step`` (1-based) with sharded per-partition state.
+
+    ``bucket = (k_iter, bi, n_buckets, bucket_color)`` runs this job as
+    color bucket ``bi`` of colored iteration ``k_iter`` (the colored
+    Gauss-Seidel-by-color variant on the SHARDED kernel — r3 VERDICT
+    next#6); ``step`` is then the LINEAR bucket counter
+    (k_iter-1)·n_buckets + bi + 1, under which the owner-aggregate chain
+    (ost/flw files), the ET chain, and the labels replay are UNCHANGED —
+    flows advance aggregates per bucket exactly as the oracle refreshes
+    cd/cs between buckets. Only assignments differ from the plain
+    protocol: curr stays iteration-start (Jacobi) within an iteration, so
+    bucket 0 advances curr by ALL of the previous iteration's inbound
+    move files at once and saves it for the iteration's later buckets;
+    sweeps filter rows to own vertices of ``bucket_color``. a_part,
+    frozen counts, and the frozen-clusterWeight e-term ride bucket-0
+    sentinels once per iteration. The dense-writer advance is disabled
+    under colors (a bucket's own-label snapshot would omit the same
+    iteration's earlier-bucket moves); bucket moves travel as routed
+    records only.
 
     Protocol identical to csr.csr_superstep_packed (one scalar sentinel
     row per partition; a_part = Σ ocd² over OWNED community ids at
@@ -673,6 +771,10 @@ def csr_superstep_sharded(
          `flw_{k}_{p}_{o}` flow partials, ET state, one sentinel row.
     """
     owners_of, rdrs_of = routing
+    # unified curr protocol: plain mode is the colored protocol at
+    # (k_iter, bi, nb) = (step, 0, 1) — one bucket per iteration
+    k_iter, bi, nb = (step, 0, 1) if bucket is None else bucket[:3]
+    bucket_color = None if bucket is None else bucket[3]
 
     def run(pdf_iter):
         import time as _t
@@ -717,7 +819,7 @@ def csr_superstep_sharded(
                 # both persisted behind the previous job barrier). ---
                 ocd, ocs = _owner_aggs_at(pack_dir, nparts, pid, step - 1,
                                           save=True)
-                a_part = float((ocd ** 2).sum())
+                a_part = float((ocd ** 2).sum()) if bi == 0 else 0.0
                 # consume-and-delete, one step delayed: inbound flow
                 # partials for this owner are merged into ost_{j} exactly
                 # once — step k's merge (above) needs flw_{k-1} and the
@@ -738,68 +840,78 @@ def csr_superstep_sharded(
                         pass
                 _mark("own_aggs")
 
-                # --- 2) curr over U_p at S_{step-1} ---
-                if step <= 2:
+                # --- 2) curr over U_p: the iteration-start state (plain
+                # mode IS the colored protocol at nb=1 — one bucket per
+                # iteration; buckets > 0 reload what bucket 0 advanced,
+                # so curr stays Jacobi within a colored iteration) ---
+                it_end = (k_iter - 1) * nb  # linear step closing iteration k_iter-1
+                if bi > 0:
+                    curr = (ux.copy() if k_iter == 1 else np.load(
+                        os.path.join(pack_dir, f"cur_{it_end}_{pid}.npy")))
+                elif k_iter <= 2:
                     curr = ux.copy()
                 else:
                     curr = np.load(
-                        os.path.join(pack_dir, f"cur_{step - 2}_{pid}.npy")
+                        os.path.join(pack_dir, f"cur_{it_end - nb}_{pid}.npy")
                     )
-                if step >= 2:
+                if bi == 0 and k_iter >= 2:
                     for q in owners_of[pid]:
-                        fd = os.path.join(
-                            pack_dir, f"mvd_{step - 1}_{q}.npy"
-                        )
-                        if os.path.exists(fd):
-                            # dense-writer advance: q's full post-move
-                            # own-labels; this reader's q-owned universe
-                            # vertices are the CONTIGUOUS ux run covering
-                            # q's range, in the same order as its req
-                            # indices (both ascending by vertex id)
-                            lo, hi = _ux_owner_span(ux, starts, bpids, q)
-                            req = _req_of(pack_dir, q, pid)
-                            assert hi - lo == len(req), \
-                                "req/universe span mismatch"
-                            dense = np.load(fd, mmap_mode="r")
-                            curr[lo:hi] = dense[req]
-                            continue
-                        f = os.path.join(
-                            pack_dir, f"mvu_{step - 1}_{q}_{pid}.npy"
-                        )
-                        if not os.path.exists(f):
-                            continue
-                        mv = np.load(f)
-                        pos, m = _positions(ux, mv[0])
-                        assert bool(m.all()), "routed move not in universe"
-                        curr[pos] = mv[1]
+                        for t in range(it_end - nb + 1, it_end + 1):
+                            fd = os.path.join(
+                                pack_dir, f"mvd_{t}_{q}.npy"
+                            )
+                            if os.path.exists(fd):
+                                # dense-writer advance: q's full post-move
+                                # own-labels; this reader's q-owned universe
+                                # vertices are the CONTIGUOUS ux run covering
+                                # q's range, in the same order as its req
+                                # indices (both ascending by vertex id)
+                                lo, hi = _ux_owner_span(ux, starts, bpids, q)
+                                req = _req_of(pack_dir, q, pid)
+                                assert hi - lo == len(req), \
+                                    "req/universe span mismatch"
+                                dense = np.load(fd, mmap_mode="r")
+                                curr[lo:hi] = dense[req]
+                                continue
+                            f = os.path.join(
+                                pack_dir, f"mvu_{t}_{q}_{pid}.npy"
+                            )
+                            if not os.path.exists(f):
+                                continue
+                            mv = np.load(f)
+                            pos, m = _positions(ux, mv[0])
+                            assert bool(m.all()), "routed move not in universe"
+                            curr[pos] = mv[1]
                     _atomic_save(
-                        os.path.join(pack_dir, f"cur_{step - 1}_{pid}.npy"),
+                        os.path.join(pack_dir, f"cur_{it_end}_{pid}.npy"),
                         curr,
                     )
-                    old = step - 4
+                    old = it_end - 3 * nb
                     if old >= 1:
                         try:
                             os.remove(os.path.join(
                                 pack_dir, f"cur_{old}_{pid}.npy"))
                         except OSError:
                             pass
-                    # consume-and-delete, one step delayed (retry-safe:
-                    # a step-k retry still finds its step-(k-1) inbound):
-                    # cross-partition move files are read exactly once —
-                    # by this reader — so step k deletes step k-2's.
-                    # SELF files (q == pid) are kept: the labels job
-                    # replays them. Keeps scratch at O(2 steps) instead
-                    # of O(phase) — fresh-page creation is the scarce
-                    # resource on this VM class.
-                    if step >= 3:
+                    # consume-and-delete, one iteration delayed (retry-
+                    # safe: an iteration-k retry still finds its inbound
+                    # window): cross-partition move files are read exactly
+                    # once — by this reader — so iteration k deletes
+                    # iteration k-2's window. SELF files (q == pid) are
+                    # kept: the labels job replays them. Keeps scratch at
+                    # O(2 iterations) instead of O(phase) — fresh-page
+                    # creation is the scarce resource on this VM class.
+                    if k_iter >= 3:
                         for q in owners_of.get(pid, ()):
                             if q == pid:
                                 continue
-                            try:
-                                os.remove(os.path.join(
-                                    pack_dir, f"mvu_{step - 2}_{q}_{pid}.npy"))
-                            except OSError:
-                                pass
+                            for t in range(it_end - 2 * nb + 1,
+                                           it_end - nb + 1):
+                                try:
+                                    os.remove(os.path.join(
+                                        pack_dir, f"mvu_{t}_{q}_{pid}.npy"))
+                                except OSError:
+                                    pass
 
                 _mark("curr")
 
@@ -844,11 +956,22 @@ def csr_superstep_sharded(
                     pack_dir, f"selfw_{pid}.npy"), mmap_mode="r")
                 own_pos = np.searchsorted(ux, own)
                 n_frozen = 0
+                rows = None
+                if bucket is not None:
+                    colr = np.load(os.path.join(
+                        pack_dir, f"colr_{pid}.npy"), mmap_mode="r")
+                    rows = (colr[srcl] == bucket_color if len(srcl)
+                            else np.zeros(0, dtype=bool))
                 if early_term:
-                    n_frozen = int((~et["active"]).sum())
-                    if n_frozen:
-                        rows = et["active"][srcl]   # skip frozen src rows
-                        srcl, dstl, w = srcl[rows], dstl[rows], w[rows]
+                    inactive = ~et["active"]
+                    if bi == 0:
+                        n_frozen = int(inactive.sum())
+                    if inactive.any():
+                        # skip frozen src rows
+                        act_rows = et["active"][srcl]
+                        rows = act_rows if rows is None else rows & act_rows
+                if rows is not None:
+                    srcl, dstl, w = srcl[rows], dstl[rows], w[rows]
                 if len(dstl):
                     ids, cc, new_comm, e_cc = sweep_partition_sharded(
                         dstl, srcl, w, own, own_pos, vdeg_own, selfw_own,
@@ -882,7 +1005,10 @@ def csr_superstep_sharded(
                     pack_dir, f"rdri_{pid}.npy"), mmap_mode="r")
                 counts = indptr[midx + 1] - indptr[midx]
                 total = int(counts.sum())
-                dense_mode = total * 2 > len(own)
+                # dense snapshots are per-LINEAR-step post-move own labels;
+                # under colors they would omit the same iteration's
+                # earlier-bucket moves — routed records only
+                dense_mode = total * 2 > len(own) and bucket is None
                 if total and not dense_mode:
                     rdr = np.load(os.path.join(
                         pack_dir, f"rdrr_{pid}.npy"), mmap_mode="r")
@@ -969,9 +1095,14 @@ def csr_superstep_sharded(
                         _json.dump(tm, fh)
                 e_part = float(e_cc.sum())
                 if early_term:
-                    e_part += float(et["frozen_cw"][~et["active"]].sum())
+                    if bi == 0:
+                        # whole-partition frozen clusterWeight, once per
+                        # iteration (pre-advance state, the oracle order)
+                        e_part += float(et["frozen_cw"][~et["active"]].sum())
                     swept = np.searchsorted(own, ids)
-                    et = _advance_et(et, step, early_term, cc, new_comm,
+                    # freeze/decay gate runs on the ITERATION number
+                    # (plain mode: k_iter ≡ step)
+                    et = _advance_et(et, k_iter, early_term, cc, new_comm,
                                      e_cc, swept)
                     _save_et(pack_dir, pid, step, et)
                 yield pd.DataFrame({
