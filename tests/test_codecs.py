@@ -353,3 +353,141 @@ def test_ppm_media_from_docs_contract(spark):
         assert rgb.shape == (doc_id % 13 + 1, doc_id % 23 + 1, 3)
         h = hashlib.sha256(text.encode()).digest()
         assert (rgb == np.frombuffer(h[3:6], np.uint8)).all()
+
+
+# --- AVI (RIFF 'AVI ', raw-DIB frames) -----------------------------------
+
+
+def _reference_avi_1f_2x2() -> tuple[bytes, np.ndarray]:
+    """Hand-built single-frame 2x2 raw-DIB AVI from the RIFF/VfW spec
+    (NOT via encode_avi): avih + strl headers, one '00db' chunk with
+    bottom-up BGR padded rows, keyframe idx1."""
+    rgb = np.array(
+        [[[255, 0, 0], [0, 255, 0]],
+         [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )
+    pix = bytes(
+        [0xFF, 0x00, 0x00, 0xFF, 0xFF, 0xFF, 0x00, 0x00,   # bottom row BGR+pad
+         0x00, 0x00, 0xFF, 0x00, 0xFF, 0x00, 0x00, 0x00]   # top row BGR+pad
+    )
+    avih = b"avih" + struct.pack(
+        "<IIIIIIIIIII4I", 56, 200_000, len(pix) * 5, 0, 0x10, 1, 0, 1,
+        len(pix), 2, 2, 0, 0, 0, 0,
+    )
+    strh = b"strh" + struct.pack(
+        "<I4s4sIHHIIIIIIiI4h", 56, b"vids", b"DIB ", 0, 0, 0, 0,
+        1, 5, 0, 1, len(pix), -1, 0, 0, 0, 2, 2,
+    )
+    strf = b"strf" + struct.pack(
+        "<IIiiHHIIiiII", 40, 40, 2, 2, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
+    movi = b"movi" + b"00db" + struct.pack("<I", len(pix)) + pix
+    idx1 = b"idx1" + struct.pack("<I", 16) + b"00db" + struct.pack("<III", 0x10, 4, len(pix))
+    body = hdrl + b"LIST" + struct.pack("<I", len(movi)) + movi + idx1
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body, rgb
+
+
+def test_avi_decode_matches_spec_literal():
+    from vite_spark.text.codecs import decode_avi, is_avi
+
+    payload, expected = _reference_avi_1f_2x2()
+    assert is_avi(payload)
+    frames, fps = decode_avi(payload)
+    assert frames.shape == (1, 2, 2, 3)
+    assert (frames[0] == expected).all()
+    assert fps == 5.0
+
+
+def test_avi_roundtrip_arbitrary_sizes():
+    from vite_spark.text.codecs import decode_avi, encode_avi
+
+    rng = np.random.default_rng(11)
+    for n, h, w, fps in [(1, 1, 1, 25), (3, 5, 7, 5), (6, 11, 19, 30), (2, 4, 4, 1)]:
+        f = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        out, got_fps = decode_avi(encode_avi(f, fps))
+        assert out.shape == f.shape
+        assert (out == f).all()
+        assert got_fps == float(fps)
+
+
+def test_avi_encoded_size_formula():
+    """The DuckDB oracle recomputes the exact byte size: 232-byte fixed
+    RIFF scaffold + n*(8 + stride*h) movi chunks + 16n idx1 bytes
+    (stride is 4-byte aligned, so frame chunks are never odd-sized)."""
+    from vite_spark.text.codecs import encode_avi
+
+    for n, h, w in [(1, 1, 1), (3, 5, 7), (6, 11, 19)]:
+        f = np.zeros((n, h, w, 3), np.uint8)
+        stride = (3 * w + 3) & ~3
+        assert len(encode_avi(f, 5)) == 232 + n * (24 + stride * h)
+
+
+def test_avi_chunk_walk_skips_unknown_chunks():
+    from vite_spark.text.codecs import decode_avi, encode_avi
+
+    f = np.full((2, 3, 3, 3), 9, np.uint8)
+    payload = encode_avi(f, 10)
+    # splice an unknown odd-sized chunk right after the hdrl LIST
+    hdrl_end = payload.index(b"LIST", 12, 300)
+    (hsz,) = struct.unpack_from("<I", payload, hdrl_end + 4)
+    cut = hdrl_end + 8 + hsz
+    junk = b"JUNK" + struct.pack("<I", 5) + b"abcde\x00"   # padded to even
+    spliced = bytearray(payload[:cut] + junk + payload[cut:])
+    struct.pack_into("<I", spliced, 4, len(spliced) - 8)
+    out, fps = decode_avi(bytes(spliced))
+    assert (out == f).all() and fps == 10.0
+
+
+def test_avi_rejects_unsupported_loudly():
+    from vite_spark.text.codecs import decode_avi, encode_avi, is_avi
+
+    assert not is_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    assert not is_avi(None)
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi(b"nonsense")
+    payload = bytearray(encode_avi(np.zeros((1, 2, 2, 3), np.uint8), 5))
+    # flip strf biBitCount (offset: find 'strf', +8 hdr, +14 into struct)
+    off = payload.index(b"strf") + 8 + 14
+    struct.pack_into("<H", payload, off, 8)
+    with pytest.raises(ValueError, match="24-bit"):
+        decode_avi(bytes(payload))
+    # truncated frame chunk: cut past idx1 (24 bytes) into the 48-byte
+    # frame body so the '00db' chunk is shorter than its declared size
+    payload2 = encode_avi(np.zeros((1, 4, 4, 3), np.uint8), 5)
+    with pytest.raises(ValueError, match="truncated AVI frame"):
+        decode_avi(payload2[:-40])
+
+
+def test_avi_media_and_sampler_contract(spark):
+    """Driver-fixture contract end-to-end without the oracle: dims /
+    frame-count / pixel formulas and the even-sampling rule match what
+    the DuckDB oracle recomputes (queries.SQL_MULTIMODAL_AVI)."""
+    import pandas as pd
+
+    from vite_spark.text.multimodal import avi_media_from_docs, sample_avi_frames
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 5, 17, 40], "text": ["a", "b", "c", "d"]})
+    )
+    media = avi_media_from_docs(docs, fps=5)
+    rows = sample_avi_frames(media, max_frames=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["media_id"], []).append(r)
+    for doc_id, text in [(0, "a"), (5, "b"), (17, "c"), (40, "d")]:
+        nf = doc_id % 6 + 1
+        ns = min(nf, 4)
+        got = sorted(by_doc[doc_id], key=lambda r: r["frame_idx"])
+        assert len(got) == ns
+        h = hashlib.sha256(text.encode()).digest()
+        for j, r in enumerate(got):
+            k = j * nf // ns
+            assert r["frame_idx"] == k
+            assert r["ts_s"] == k / 5
+            assert (r["width"], r["height"]) == (doc_id % 19 + 2, doc_id % 11 + 2)
+            assert r["n_frames"] == nf
+            assert r["mean_r"] == round(h[6 + 3 * k] / 255.0, 6)
+            assert r["mean_g"] == round(h[7 + 3 * k] / 255.0, 6)
+            assert r["mean_b"] == round(h[8 + 3 * k] / 255.0, 6)

@@ -1064,6 +1064,67 @@ SELECT doc_id AS media_id,
 FROM f"""
 
 
+AVI_FPS = 5
+
+
+def q_multimodal_avi_frames(spark, sf_dir):
+    """REAL video decode, driver-checked: deterministic uncompressed
+    raw-DIB AVIs built from the documents table
+    (text/multimodal.avi_media_from_docs) are decoded by the vendored
+    pure-NumPy RIFF walker — no fake path — and the avih/strf-derived
+    dims, movi-walk frame count, even-sampling fan-out (j·n // ns source
+    indices), encoder-exact byte size (232-byte RIFF scaffold + per-frame
+    '00db' chunk + idx1 entry), timestamps, and per-frame channel means
+    are value-matched against the SQL recomputation. A header misread
+    flips dims/fps, a chunk-walk bug flips n_frames/n_bytes, a
+    row-order/BGR bug flips the means, a sampling-rule bug flips
+    frame_idx/ts_s."""
+    from vite_spark.text.multimodal import avi_media_from_docs, sample_avi_frames
+
+    media = avi_media_from_docs(_docs(spark, sf_dir), fps=AVI_FPS)
+    return sample_avi_frames(media, max_frames=MAX_FRAMES)
+
+
+# everything recomputed from the avi_media_from_docs contract:
+# W = doc_id%19+2, H = doc_id%11+2, n_frames = doc_id%6+1, 5 fps, frame k
+# constant pixel = sha256(text)[6+3k : 9+3k]; sampler takes
+# ns = min(n, MAX_FRAMES) frames at source indices j*n // ns; AVI size =
+# 232-byte fixed scaffold + n*(8 + stride*H  [00db chunk, stride already
+# 4-byte aligned so never odd] + 16 [idx1 entry])
+def _hexbyte_at(col: str, start_expr: str) -> str:
+    """Like _hexbyte but the 1-based hex position is a SQL expression
+    (needed when the digest byte read depends on another column)."""
+    return (
+        f"((strpos('0123456789abcdef', substr({col}, {start_expr}, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr({col}, ({start_expr}) + 1, 1)) - 1)"
+    )
+
+
+SQL_MULTIMODAL_AVI = f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+d AS (SELECT doc_id, hx,
+             doc_id % 19 + 2 AS w, doc_id % 11 + 2 AS hh,
+             doc_id % 6 + 1 AS n
+      FROM h),
+s AS (SELECT doc_id, hx, w, hh, n,
+             LEAST(n, {MAX_FRAMES}) AS ns
+      FROM d),
+f AS (SELECT doc_id, hx, w, hh, n,
+             (unnest(range(ns)) * n) // ns AS k
+      FROM s)
+SELECT doc_id AS media_id,
+       CAST(k AS BIGINT) AS frame_idx,
+       k / {AVI_FPS}.0 AS ts_s,
+       CAST(w AS BIGINT) AS width,
+       CAST(hh AS BIGINT) AS height,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(232 + n * (24 + ((3 * w + 3) // 4) * 4 * hh) AS BIGINT) AS n_bytes,
+       ROUND({_hexbyte_at('hx', '13 + 6 * k')} / 255.0, 6) AS mean_r,
+       ROUND({_hexbyte_at('hx', '15 + 6 * k')} / 255.0, 6) AS mean_g,
+       ROUND({_hexbyte_at('hx', '17 + 6 * k')} / 255.0, 6) AS mean_b
+FROM f"""
+
+
 IVF_CELLS, IVF_NPROBE, IVF_ITERS = 16, 2, 2
 
 
@@ -1279,7 +1340,8 @@ def registry() -> dict[str, tuple]:
         "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
         "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
         "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
-        # REAL BMP / WAV decode (vendored pure-NumPy codecs, no fake path)
+        # REAL BMP / PPM / WAV / AVI decode (vendored pure-NumPy codecs,
+        # no fake path)
         "multimodal_bmp_features": (
             q_multimodal_bmp_features, SQL_MULTIMODAL_BMP,
         ),
@@ -1288,5 +1350,8 @@ def registry() -> dict[str, tuple]:
         ),
         "multimodal_wav_features": (
             q_multimodal_wav_features, SQL_MULTIMODAL_WAV,
+        ),
+        "multimodal_avi_frames": (
+            q_multimodal_avi_frames, SQL_MULTIMODAL_AVI,
         ),
     }
