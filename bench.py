@@ -169,6 +169,23 @@ def superstep_throughput(spark, edges, iters: int = 5, warmup: int = 2,
     return sum(r["edges_processed"] for r in sup) / wall
 
 
+def pagerank_throughput(spark, edges, iters: int = 5, warmup: int = 1,
+                        metrics=None) -> float:
+    """edges/sec per PageRank iteration — the secondary scaling probe
+    (the north rule names PageRank/CC/LPA/triangles alongside Louvain;
+    this measures the engine's generic join+agg superstep shape, not the
+    packed-CSR kernel). tol=-1 forces exactly `iters` full iterations."""
+    from vite_spark.algos.pagerank import pagerank
+    from vite_spark.runtime.metrics import MetricsCollector
+
+    m = metrics if metrics is not None else MetricsCollector()
+    ne = edges.count()
+    pagerank(spark, edges, tol=-1.0, max_iter=iters, metrics=m)
+    sup = [r for r in m.rows if r.get("kind") == "pagerank_superstep"][warmup:]
+    wall = sum(r["wall_s"] for r in sup)
+    return ne * len(sup) / wall
+
+
 def synth_edges(spark, n_vertices: int = 200_000, avg_deg: int = 16,
                 seed: int = 42, parts: int = 64):
     """Deterministic synthetic edge table for the scaling run (seeded LCG
@@ -360,15 +377,22 @@ def scaling_worker(cores: int, nparts: int):
         # run spends its time in) are measured. SPARK_GRAFT_SCALING_ITERS
         # trims the per-rep cost for very large inputs.
         iters = int(os.environ.get("SPARK_GRAFT_SCALING_ITERS", "5"))
+        algo = os.environ.get("SPARK_GRAFT_SCALING_ALGO", "louvain")
         m = MetricsCollector()
-        eps = superstep_throughput(spark, edges, iters=iters, warmup=1,
-                                   metrics=m)
-        modes = sorted({r.get("mode", "join") for r in m.rows
-                        if r.get("kind") == "superstep"})
+        if algo == "pagerank":
+            eps = pagerank_throughput(spark, edges, iters=iters, warmup=1,
+                                      metrics=m)
+            kind, mode = "pagerank_superstep", "pagerank_join_agg"
+        else:
+            eps = superstep_throughput(spark, edges, iters=iters, warmup=1,
+                                       metrics=m)
+            kind = "superstep"
+            mode = "+".join(sorted({r.get("mode", "join") for r in m.rows
+                                    if r.get("kind") == "superstep"}))
         walls = [round(r["wall_s"], 2) for r in m.rows
-                 if r.get("kind") == "superstep"]
+                 if r.get("kind") == kind]
         print(json.dumps({"edges": ne, "edges_per_sec": round(eps, 1),
-                          "mode": "+".join(modes),
+                          "mode": mode,
                           "superstep_walls": walls}))
     finally:
         spark.stop()

@@ -42,3 +42,42 @@ def test_cli_louvain_binary_input(tmp_path):
 def test_cli_generate_and_triangles(tmp_path):
     res = _run(["-n", "128", "--cores", "4", "--algo", "triangles"])
     assert res["triangles"] > 0
+
+
+def test_cli_via_spark_submit_pyfiles(tmp_path):
+    """The north-rule deployment shape: ship the package as a zip via
+    ``spark-submit --py-files`` and run the same CLI from a 2-line driver
+    script whose directory does NOT contain the package — so the import
+    must resolve through the shipped zip, exactly as on a real cluster."""
+    import os
+    import shutil
+    import zipfile
+    from pathlib import Path
+
+    import vite_spark
+
+    pkg_dir = Path(vite_spark.__file__).parent
+    zpath = tmp_path / "vite_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for f in pkg_dir.rglob("*.py"):
+            z.write(f, Path("vite_spark") / f.relative_to(pkg_dir))
+    driver = tmp_path / "run_vite.py"
+    driver.write_text("from vite_spark.cli import main\nmain()\n")
+
+    s, d, w, nv = fx.karate()
+    binp = str(tmp_path / "karate.bin")
+    write_vite_binary(binp, s, d, w, nv)
+
+    spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit not on PATH"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--py-files", str(zpath),
+         str(driver), "-f", binp, "--cores", "4"],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd=str(tmp_path),   # NOT the repo root: the zip must supply the pkg
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert 0.35 < res["final_q"] < 0.42
+    assert res["levels"] >= 2

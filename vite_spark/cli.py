@@ -1,9 +1,16 @@
 """CLI entrypoint — the reference getopt surface (main.cpp:609-769) for
-spark-submit:
+spark-submit (a 2-line driver file importing ``main`` from the shipped
+zip, since spark-submit takes a script, not a module):
 
-    spark-submit --py-files vite_spark.zip -m vite_spark.cli \
+    $ cat run_vite.py
+    from vite_spark.cli import main
+    main()
+    $ spark-submit --master <url> --py-files vite_spark.zip run_vite.py \
         -f graph.bin [-b] [-c|-o] [-t 1..4] [-i] [-p] [-h 1e-6] \
         [-n NV [-e PCT]] [-s out.bin] [-g truth [-z]] [-o-dir OUT]
+
+(locally, ``python -m vite_spark.cli ...`` is equivalent;
+tests/test_cli.py smokes BOTH invocation paths, including the zip.)
 
 Flag parity: -f input (binary CSR | .txt edge list | parquet edge table |
 parquet repos table), -b edge-balanced read, -c coloring, -or vertex
