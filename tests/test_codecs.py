@@ -491,3 +491,194 @@ def test_avi_media_and_sampler_contract(spark):
             assert r["mean_r"] == round(h[6 + 3 * k] / 255.0, 6)
             assert r["mean_g"] == round(h[7 + 3 * k] / 255.0, 6)
             assert r["mean_b"] == round(h[8 + 3 * k] / 255.0, 6)
+
+
+# --- PNG (8-bit truecolor, stdlib-zlib deflate) ---------------------------
+
+
+def _reference_png_2x2() -> tuple[bytes, np.ndarray]:
+    """Hand-built 2x2 truecolor PNG from the W3C spec (NOT via
+    encode_png): signature, IHDR, one IDAT whose zlib stream holds two
+    filter-type-0 scanlines, IEND — CRCs computed per spec."""
+    import zlib
+
+    rgb = np.array(
+        [[[255, 0, 0], [0, 255, 0]],
+         [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )
+    scan = bytes([0, 255, 0, 0, 0, 255, 0,      # row 0: filter None + RGB RGB
+                  0, 0, 0, 255, 255, 255, 255])  # row 1
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(scan))
+               + chunk(b"IEND", b""))
+    return payload, rgb
+
+
+def test_png_decode_matches_spec_literal():
+    from vite_spark.text.codecs import decode_png, is_png
+
+    payload, expected = _reference_png_2x2()
+    assert is_png(payload)
+    got = decode_png(payload)
+    assert got.shape == (2, 2, 3)
+    assert (got == expected).all()
+
+
+def test_png_roundtrip_exercises_every_filter():
+    """encode_png cycles filters row%5, so any >=5-row image covers all
+    five reconstruction paths (None/Sub/Up/Average/Paeth); exact pixel
+    equality after the zlib roundtrip pins each of them."""
+    from vite_spark.text.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (2, 3), (5, 4), (17, 31), (8, 8), (6, 1), (1, 9)]:
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_png(encode_png(rgb))
+        assert out.shape == (h, w, 3)
+        assert (out == rgb).all()
+    # gradient content puts nontrivial deltas through Sub/Average/Paeth
+    g = (np.arange(9 * 13 * 3, dtype=np.int64) * 37 % 256).astype(np.uint8)
+    rgb = g.reshape(9, 13, 3)
+    assert (decode_png(encode_png(rgb)) == rgb).all()
+
+
+def test_png_each_filter_type_decodes():
+    """Single-filter streams built by hand (not via encode_png): every
+    scanline of one image carries the same filter type, so a bug in any
+    one reconstruction path fails its own case."""
+    import zlib
+
+    from vite_spark.text.codecs import decode_png
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    rows = rgb.reshape(4, 15).astype(np.int32)
+    zero = np.zeros(15, dtype=np.int32)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    for ft in range(5):
+        out = bytearray()
+        for r in range(4):
+            cur = rows[r]
+            prev = rows[r - 1] if r else zero
+            left = np.concatenate([zero[:3], cur[:-3]])
+            upleft = np.concatenate([zero[:3], prev[:-3]])
+            filt = [cur, cur - left, cur - prev, cur - (left + prev) // 2,
+                    cur - paeth(left, prev, upleft)][ft]
+            out.append(ft)
+            out += (filt % 256).astype(np.uint8).tobytes()
+        payload = (b"\x89PNG\r\n\x1a\n"
+                   + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 0))
+                   + chunk(b"IDAT", zlib.compress(bytes(out)))
+                   + chunk(b"IEND", b""))
+        assert (decode_png(payload) == rgb).all(), f"filter {ft}"
+
+
+def test_png_rejects_bad_payloads_loudly():
+    import zlib
+
+    from vite_spark.text.codecs import decode_png, encode_png, is_png
+
+    good = encode_png(np.full((3, 4, 3), 9, np.uint8))
+    assert not is_png(b"\x89PNG\r\n\x1a\nxx")          # shorter than IHDR
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all, just text bytes.....")
+    # corrupt IDAT byte -> CRC failure
+    bad = bytearray(good)
+    bad[41] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # 16-bit depth rejected
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+    p16 = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(7)))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="8-bit truecolor"):
+        decode_png(p16)
+    # deflate stream of the wrong decompressed length
+    pshort = (b"\x89PNG\r\n\x1a\n"
+              + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+              + chunk(b"IDAT", zlib.compress(bytes(5)))
+              + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="expected"):
+        decode_png(pshort)
+    # missing IEND
+    noend = good[: good.rindex(b"IEND") - 4]
+    with pytest.raises(ValueError, match="missing"):
+        decode_png(noend)
+
+
+def test_png_real_path_on_spark(spark):
+    """extract_features + resize_media take the REAL path for PNG
+    payloads and re-encode resizes in the input format (PNG in -> PNG
+    out): the whole inflate -> unfilter -> resample -> refilter ->
+    deflate pipeline, no fake branch."""
+    import pandas as pd
+
+    from vite_spark.text.codecs import decode_png, encode_png
+    from vite_spark.text.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_media,
+    )
+
+    rgb = np.zeros((6, 5, 3), np.uint8)
+    rgb[..., 2] = 200   # constant blue channel
+    png = encode_png(rgb)
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1],
+            "kind": ["image"],
+            "payload": [png],
+            "mime": ["image/png"],
+            "meta_width": pd.array([None], dtype="Int64"),
+            "meta_height": pd.array([None], dtype="Int64"),
+            "meta_duration_s": pd.array([None], dtype="Float64"),
+        }
+    )
+    media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    row = extract_features(media).collect()[0]      # fake=False: real path
+    assert (row["width"], row["height"]) == (5, 6)
+    assert row["n_bytes"] == len(png)
+    assert row["features"][2] == round(200 / 255.0, 6)
+    assert row["features"][0] == 0.0 and row["features"][1] == 0.0
+
+    rrow = resize_media(media, 4, 2).collect()[0]
+    out = bytes(rrow["payload"])
+    assert out[:8] == b"\x89PNG\r\n\x1a\n"           # format preserved
+    assert decode_png(out).shape == (2, 4, 3)
+    assert rrow["resized_sha"] == hashlib.sha256(out).hexdigest()
+
+
+def test_png_media_from_docs_contract(spark):
+    """Driver-fixture contract: dims/pixel formulas match what the DuckDB
+    oracle recomputes (queries.SQL_MULTIMODAL_PNG)."""
+    import pandas as pd
+
+    from vite_spark.text.codecs import decode_png
+    from vite_spark.text.multimodal import png_media_from_docs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 7, 44], "text": ["alpha", "beta", "gamma"]})
+    )
+    out = {r["media_id"]: r for r in png_media_from_docs(docs).collect()}
+    for doc_id, text in [(0, "alpha"), (7, "beta"), (44, "gamma")]:
+        rgb = decode_png(bytes(out[doc_id]["payload"]))
+        assert rgb.shape == (doc_id % 15 + 1, doc_id % 27 + 1, 3)
+        h = hashlib.sha256(text.encode()).digest()
+        assert (rgb == np.frombuffer(h[12:15], np.uint8)).all()

@@ -929,6 +929,30 @@ def q_multimodal_ppm_features(spark, sf_dir):
     )
 
 
+def q_multimodal_png_features(spark, sf_dir):
+    """REAL image decode #3 (8-bit truecolor PNG) — the first COMPRESSED
+    format on the native path, driver-checked: deterministic PNGs built
+    from the documents table (text/multimodal.png_media_from_docs, every
+    scanline filter exercised via the encoder's row%5 cycle) are decoded
+    by the vendored codec — stdlib-zlib inflate + per-filter scanline
+    reconstruction, no fake path — and the IHDR dims and pixel channel
+    means are value-matched against the SQL recomputation. A chunk-walk /
+    CRC bug kills the decode outright, an unfilter bug flips the means,
+    an IHDR misread flips width/height. (Encoded byte size is a property
+    of the compressor, not the image, so unlike BMP/PPM it is not an
+    output column.)"""
+    from vite_spark.text.multimodal import extract_features, png_media_from_docs
+
+    media = png_media_from_docs(_docs(spark, sf_dir))
+    f = extract_features(media)   # fake=False: the REAL decode path
+    return f.select(
+        "media_id", "width", "height",
+        F.col("features")[0].alias("mean_r"),
+        F.col("features")[1].alias("mean_g"),
+        F.col("features")[2].alias("mean_b"),
+    )
+
+
 def q_multimodal_wav_features(spark, sf_dir):
     """REAL audio decode, driver-checked: deterministic PCM16 WAVs built
     from the documents table (text/multimodal.wav_media_from_docs) are
@@ -993,6 +1017,24 @@ SELECT doc_id AS media_id,
        ROUND({_hexbyte('hx', 7)} / 255.0, 6) AS mean_r,
        ROUND({_hexbyte('hx', 9)} / 255.0, 6) AS mean_g,
        ROUND({_hexbyte('hx', 11)} / 255.0, 6) AS mean_b
+FROM d"""
+
+
+# dims/means recomputed from the png_media_from_docs contract:
+# W = doc_id%27+1, H = doc_id%15+1, constant pixel = sha256(text)[12:15];
+# byte size is deliberately absent (deflate output length is a property
+# of the compressor, not SQL-recomputable)
+SQL_MULTIMODAL_PNG = f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+d AS (SELECT doc_id, hx,
+             doc_id % 27 + 1 AS w, doc_id % 15 + 1 AS hh
+      FROM h)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(hh AS BIGINT) AS height,
+       ROUND({_hexbyte('hx', 25)} / 255.0, 6) AS mean_r,
+       ROUND({_hexbyte('hx', 27)} / 255.0, 6) AS mean_g,
+       ROUND({_hexbyte('hx', 29)} / 255.0, 6) AS mean_b
 FROM d"""
 
 
@@ -1342,6 +1384,9 @@ def registry() -> dict[str, tuple]:
         "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
         # REAL BMP / PPM / WAV / AVI decode (vendored pure-NumPy codecs,
         # no fake path)
+        "multimodal_png_features": (
+            q_multimodal_png_features, SQL_MULTIMODAL_PNG,
+        ),
         "multimodal_bmp_features": (
             q_multimodal_bmp_features, SQL_MULTIMODAL_BMP,
         ),

@@ -385,6 +385,181 @@ def decode_avi(payload: bytes):
     return out, float(fps)
 
 
+# --- PNG (8-bit truecolor, non-interlaced) --------------------------------
+#
+# PNG is a COMPRESSED format, but its only compression is DEFLATE, which
+# Python's stdlib ``zlib`` implements — so unlike JPEG/MP3/H.26x the
+# decode can be real with zero external codec libraries. Canonical layout
+# (the W3C PNG spec; all integers big-endian):
+#   offset 0: 8-byte signature 89 'PNG' 0d 0a 1a 0a
+#   then chunks of [u32 length][4s type][length bytes][u32 crc32 of
+#   type+data], notably:
+#     IHDR (13 bytes): u32 width, u32 height, u8 bit depth, u8 color type
+#       (2 = truecolor RGB), u8 compression (0 = deflate), u8 filter
+#       method (0), u8 interlace (0 = none)
+#     IDAT*: one zlib stream split across chunks; decompressed it is
+#       height scanlines of [1 filter byte][3·width filtered bytes],
+#       filter ∈ {0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth} per row
+#     IEND (0 bytes): terminator
+# The decoder validates every chunk CRC and accepts only the 8-bit
+# truecolor non-interlaced form, rejecting everything else loudly.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data)))
+
+
+def _paeth_pred(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (spec pseudo-code, filter type 4):
+    pick whichever of left/up/up-left is closest to a + b − c, with the
+    spec's tie order left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 8-bit truecolor non-interlaced PNG bytes.
+
+    The filter type cycles ``row % 5`` (None/Sub/Up/Average/Paeth), so any
+    image of ≥5 rows exercises every reconstruction path in decode_png;
+    the stream is stdlib ``zlib`` at level 9."""
+    import zlib
+
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3 or 0 in rgb.shape[:2]:
+        raise ValueError(f"expected non-empty (H, W, 3) RGB array, got {rgb.shape}")
+    h, w = rgb.shape[:2]
+    rows = rgb.reshape(h, 3 * w).astype(np.int32)
+    zero = np.zeros(3 * w, dtype=np.int32)
+    out = bytearray()
+    for r in range(h):
+        cur = rows[r]
+        prev = rows[r - 1] if r else zero
+        left = np.concatenate([zero[:3], cur[:-3]])
+        upleft = np.concatenate([zero[:3], prev[:-3]])
+        ft = r % 5
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            filt = cur - left
+        elif ft == 2:
+            filt = cur - prev
+        elif ft == 3:
+            filt = cur - (left + prev) // 2
+        else:
+            filt = cur - _paeth_pred(left, prev, upleft)
+        out.append(ft)
+        out += (filt % 256).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out), 9))
+            + _png_chunk(b"IEND", b""))
+
+
+def is_png(payload: bytes | None) -> bool:
+    # 33 = signature + the complete 25-byte IHDR chunk
+    return (payload is not None and len(payload) >= 33
+            and payload[:8] == _PNG_SIG)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit truecolor non-interlaced PNG bytes → (H, W, 3) uint8 RGB.
+
+    Real DEFLATE decode via stdlib zlib; validates every chunk CRC, walks
+    unknown ancillary chunks, reassembles the IDAT stream, and reverses
+    all five scanline filters. Rejects other bit depths / color types /
+    interlacing and corrupt streams loudly rather than guessing."""
+    import zlib
+
+    if not is_png(payload):
+        raise ValueError("not a PNG payload (missing 8-byte signature)")
+    pos, end = 8, len(payload)
+    ihdr = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 12 <= end and not seen_iend:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + length]
+        if len(data) < length:
+            raise ValueError(f"truncated PNG chunk {tag!r}")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + data) != crc:
+            raise ValueError(f"PNG chunk {tag!r} fails its CRC")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            seen_iend = True
+        pos += 12 + length
+    if ihdr is None or not idat or not seen_iend:
+        raise ValueError("PNG missing IHDR/IDAT/IEND chunk")
+    w, h, depth, color, comp, fmethod, interlace = ihdr
+    if depth != 8 or color != 2:
+        raise ValueError(
+            f"only 8-bit truecolor PNG supported (depth={depth}, color={color})"
+        )
+    if comp != 0 or fmethod != 0 or interlace != 0:
+        raise ValueError(
+            "only deflate/filter-0/non-interlaced PNG supported "
+            f"(compression={comp}, filter={fmethod}, interlace={interlace})"
+        )
+    if w <= 0 or h <= 0 or w > 1 << 24 or h > 1 << 24:
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG deflate stream: {e}") from None
+    stride = 3 * w
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG stream is {len(raw)} bytes, expected {h * (1 + stride)}"
+        )
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    filters = lines[:, 0]
+    if (filters > 4).any():
+        raise ValueError(f"invalid PNG filter type {int(filters.max())}")
+    out = np.zeros((h, stride), dtype=np.int32)
+    zero = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ft = int(filters[r])
+        cur = lines[r, 1:].astype(np.int32)
+        prev = out[r - 1] if r else zero
+        if ft == 0:
+            rec = cur
+        elif ft == 1:
+            # Sub is a per-lane prefix sum: recon[x] = raw[x] + recon[x−3]
+            rec = np.empty(stride, dtype=np.int64)
+            for o in range(3):
+                rec[o::3] = np.cumsum(cur[o::3])
+            rec = rec % 256
+        elif ft == 2:
+            rec = (cur + prev) % 256
+        else:
+            # Average/Paeth depend on the in-row left neighbor —
+            # inherently sequential across pixels; 3-lane vector steps
+            rec = np.zeros(stride, dtype=np.int32)
+            z3 = np.zeros(3, dtype=np.int32)
+            for x in range(0, stride, 3):
+                left = rec[x - 3: x] if x else z3
+                up = prev[x: x + 3]
+                upleft = prev[x - 3: x] if x else z3
+                if ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth_pred(left, up, upleft)
+                rec[x: x + 3] = (cur[x: x + 3] + pred) % 256
+        out[r] = rec
+    return np.ascontiguousarray(out.astype(np.uint8).reshape(h, w, 3))
+
+
 def resize_nearest(rgb: np.ndarray, width: int, height: int) -> np.ndarray:
     """Deterministic nearest-neighbor resample (pixel-center rule) —
     pure indexing, no interpolation libraries."""
