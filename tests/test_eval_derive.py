@@ -139,6 +139,27 @@ def test_lsh_ann_recall(spark):
     assert auto_bits(10**12) == 24
 
 
+def test_blocked_topk_equals_broadcast_topk(spark):
+    """cosine_topk_blocked (no driver collect; block-nested-loop cells +
+    window merge) returns EXACTLY the broadcast path's rows — including
+    rank and rounded cos_sim — on every block-grid shape, degenerate and
+    non-square included."""
+    from vite_spark.text.ann import cosine_topk, cosine_topk_blocked
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"])
+             for r in cosine_topk(emb, k=3).collect()}
+    for qb, ib in [(1, 1), (4, 4), (3, 7)]:
+        got = {(r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"])
+               for r in cosine_topk_blocked(
+                   emb, k=3, query_blocks=qb, index_blocks=ib).collect()}
+        assert got == exact, f"grid {qb}x{ib}"
+    # auto-sizing path (count-derived block grid) also matches
+    got = {(r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"])
+           for r in cosine_topk_blocked(emb, k=3, rows_per_block=128).collect()}
+    assert got == exact
+
+
 def test_ivf_ann_recall(spark):
     from vite_spark.text.ann import cosine_topk
     from vite_spark.text.ivf import ivf_assign, ivf_topk, ivf_train, _collect_centroids

@@ -757,6 +757,17 @@ def q_ann_topk(spark, sf_dir):
     return ann.cosine_topk(_emb(spark, sf_dir), k=TOPK)
 
 
+def q_ann_topk_blocked(spark, sf_dir):
+    """Exact top-k with NO driver collect (block-nested-loop cells,
+    cogrouped applyInPandas) — same oracle as ann_cosine_topk because the
+    per-cell pruning is lossless under the shared (cos 6dp desc, id asc)
+    order. Block counts pinned >1 so the driver run genuinely exercises
+    the multi-cell merge, not a degenerate 1×1 grid."""
+    return ann.cosine_topk_blocked(
+        _emb(spark, sf_dir), k=TOPK, query_blocks=4, index_blocks=4
+    )
+
+
 SQL_ANN_TOPK = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 p AS (
@@ -1367,6 +1378,7 @@ def registry() -> dict[str, tuple]:
         "simhash_near_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
         # similarity search
         "ann_cosine_topk": (q_ann_topk, SQL_ANN_TOPK),
+        "ann_cosine_topk_blocked": (q_ann_topk_blocked, SQL_ANN_TOPK),
         "cosine_near_pairs": (q_cosine_near_pairs, SQL_COSINE_NEAR_PAIRS),
         "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
         "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),

@@ -1,8 +1,11 @@
 """Similarity search over embedding columns (array<float>).
 
-- brute-force cosine top-k: exact baseline — cross join with JVM-side
-  zip_with/aggregate dot products (no Python). Quadratic; correct at any
-  scale where one side broadcasts.
+- brute-force cosine top-k: exact baseline, two physical strategies —
+  broadcast (cosine_topk: index side replicated to every executor,
+  right when it fits in memory) and blocked (cosine_topk_blocked:
+  block-nested-loop over (query-block × index-block) cells, no driver
+  collect, per-task memory bounded by the block sizes — the exact path
+  that still runs when neither side fits anywhere whole).
 - LSH-bucketed top-k: sign-of-projection buckets with deterministic
   integer hyperplanes; probes only same-bucket candidates (plus the
   multi-probe variants of flipping one bit) — the 100 TB path.
@@ -101,6 +104,97 @@ def cosine_topk(
     return emb.select("vec_id", vec_col).mapInPandas(
         topk_batches,
         schema="query_id long, neighbor_id long, rank long, cos_sim double",
+    )
+
+
+def cosine_topk_blocked(
+    emb: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    query_blocks: int | None = None,
+    index_blocks: int | None = None,
+    rows_per_block: int = 4096,
+) -> DataFrame:
+    """Exact brute-force top-k with NO driver collect — the blocked
+    (block-nested-loop) variant of cosine_topk for corpora whose index
+    side does not fit on the driver / in a broadcast.
+
+    Plan shape: both sides of the self-similarity are split into hash
+    blocks; queries replicate across index blocks, index rows replicate
+    across query blocks, and each (query-block, index-block) CELL is one
+    cogrouped applyInPandas task doing an Arrow-batched NumPy matmul and
+    keeping only its per-query top-k (by the same engine-portable
+    (cos rounded 6dp desc, neighbor_id asc) order as the global merge, so
+    per-cell pruning is lossless). A final per-query window merges the
+    ≤ index_blocks·k survivors. Per-task memory is O(n/QB + n/IB) rows,
+    shuffle is n·(QB + IB) rows — both tunable; no single process ever
+    holds the whole matrix, unlike the broadcast path.
+    Returns the same (query_id, neighbor_id, rank, cos_sim) schema and —
+    by construction — the same rows as cosine_topk.
+    """
+    import math
+
+    if query_blocks is None or index_blocks is None:
+        n = emb.count()
+        auto = max(1, math.ceil(n / rows_per_block))
+        query_blocks = query_blocks or auto
+        index_blocks = index_blocks or auto
+
+    base = emb.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
+    qrep = base.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("vq"),
+        F.pmod(F.col("vec_id"), F.lit(query_blocks)).cast("int").alias("qb"),
+        F.explode(
+            F.sequence(F.lit(0).cast("int"), F.lit(index_blocks - 1).cast("int"))
+        ).alias("ib"),
+    )
+    irep = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vi"),
+        F.pmod(F.col("vec_id"), F.lit(index_blocks)).cast("int").alias("ib"),
+        F.explode(
+            F.sequence(F.lit(0).cast("int"), F.lit(query_blocks - 1).cast("int"))
+        ).alias("qb"),
+    )
+
+    def cell_fn(qpdf, ipdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(qpdf) == 0 or len(ipdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64",
+                      "cos_sim": "float64"})
+        q_ids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        i_ids = ipdf["neighbor_id"].to_numpy(dtype=np.int64)
+        q = np.array([np.asarray(x, dtype=np.float64) for x in qpdf["vq"]])
+        m = np.array([np.asarray(x, dtype=np.float64) for x in ipdf["vi"]])
+        qn = np.sqrt((q * q).sum(axis=1))
+        mn = np.sqrt((m * m).sum(axis=1))
+        sims = np.round((q @ m.T) / (qn[:, None] * mn[None, :]), 6)
+        sims[q_ids[:, None] == i_ids[None, :]] = -np.inf   # exclude self
+        kk = min(k, sims.shape[1])
+        ordk = np.lexsort((np.broadcast_to(i_ids, sims.shape), -sims),
+                          axis=1)[:, :kk]
+        top = np.take_along_axis(sims, ordk, axis=1)
+        keep = np.isfinite(top).ravel()
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(q_ids, kk)[keep],
+                "neighbor_id": i_ids[ordk].ravel()[keep],
+                "cos_sim": top.ravel()[keep],
+            }
+        )
+
+    cells = qrep.groupBy("qb", "ib").cogroup(irep.groupBy("qb", "ib")).applyInPandas(
+        cell_fn, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cells.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+                "cos_sim")
     )
 
 
