@@ -77,6 +77,31 @@ def test_ground_truth_roundtrip(spark, tmp_path):
     assert open(out).read() == "5\n5\n7\n"
 
 
+def test_sharded_writer_concatenates_to_root_writer_output(spark, tmp_path):
+    """write_communities_sharded: cat(part-*) in lexicographic name order
+    is byte-equal to the root writer's single file — range partitioning
+    keeps global id order across shard boundaries, no driver collect."""
+    import os
+
+    from vite_spark.eval.compare import write_communities_sharded
+
+    rng_rows = [(i, (i * 7) % 5) for i in range(257)]
+    asg = spark.createDataFrame(rng_rows, "id long, comm long").repartition(8)
+
+    root = str(tmp_path / "root.communities")
+    write_communities(asg, root)
+
+    shard_dir = str(tmp_path / "sharded.communities")
+    write_communities_sharded(asg, shard_dir, num_files=4)
+    parts = sorted(
+        f for f in os.listdir(shard_dir)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    assert len(parts) > 1   # genuinely sharded, not one file
+    cat = b"".join(open(os.path.join(shard_dir, p), "rb").read() for p in parts)
+    assert cat == open(root, "rb").read()
+
+
 def test_repos_derivation_sha_gate(spark):
     rows = fx.repos_table(n_repos=10, rows_per_repo=6)
     repos = spark.createDataFrame(

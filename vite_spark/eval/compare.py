@@ -142,8 +142,31 @@ def load_ground_truth(spark, path: str, one_based: bool = False) -> DataFrame:
 
 def write_communities(assignment: DataFrame, path: str) -> None:
     """S16: one community id per line, line number = vertex id
-    (main.cpp:543-572)."""
+    (main.cpp:543-572 — the reference also gathers to rank 0 and writes
+    one file; this is the verification-scale mirror of that root writer).
+    For cluster-scale outputs use write_communities_sharded."""
     rows = assignment.orderBy("id").collect()
     with open(path, "w") as f:
         for r in rows:
             f.write(f"{r['comm']}\n")
+
+
+def write_communities_sharded(
+    assignment: DataFrame, path: str, num_files: int | None = None
+) -> None:
+    """S16 at scale: the same line-per-vertex text format with NO driver
+    collect — range-partitioned on vertex id and sorted within
+    partitions, so Spark's lexicographically-named part files
+    concatenate (``cat part-*``) to byte-exactly the root writer's
+    single file. Each executor streams its own id range straight to its
+    shard; the driver never holds a row."""
+    df = assignment.select(F.col("id").cast("long").alias("id"),
+                           F.col("comm").cast("long").alias("comm"))
+    n = num_files or max(1, df.rdd.getNumPartitions())
+    (
+        df.repartitionByRange(n, "id")
+        .sortWithinPartitions("id")
+        .select(F.col("comm").cast("string").alias("value"))
+        .write.mode("overwrite")
+        .text(path)
+    )
