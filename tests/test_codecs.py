@@ -682,3 +682,161 @@ def test_png_media_from_docs_contract(spark):
         assert rgb.shape == (doc_id % 15 + 1, doc_id % 27 + 1, 3)
         h = hashlib.sha256(text.encode()).digest()
         assert (rgb == np.frombuffer(h[12:15], np.uint8)).all()
+
+
+# --- GIF (GIF87a/89a, variable-width LZW) ---------------------------------
+
+
+def _reference_gif_2x2() -> tuple[bytes, np.ndarray]:
+    """Hand-built 2x2 GIF89a from the spec (NOT via encode_gif): 4-color
+    global table, LZW min code size 2 — the bitstream below is packed by
+    hand: CLEAR(4) px0(0) px1(1) at 3-bit width, then — after the
+    decoder's early width bump at table size 2^3−1 — px2(2) px3(3)
+    END(5) at 4-bit width, LSB-first."""
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 255]], np.uint8
+    )
+    rgb = palette[np.array([[0, 1], [2, 3]])]
+    # bit stream (LSB-first): 001 000 100 | 0100 1100 1010
+    # -> bytes 0x44, 0x64, 0x0A
+    lzw = bytes([0x44, 0x64, 0x0A])
+    payload = (b"GIF89a"
+               + struct.pack("<HHBBB", 2, 2, 0x80 | 1, 0, 0)   # GCT, 4 entries
+               + palette.tobytes()
+               + struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+               + bytes([2])                                    # min code size
+               + bytes([len(lzw)]) + lzw + b"\x00\x3b")
+    return payload, rgb
+
+
+def test_gif_decode_matches_spec_literal():
+    from vite_spark.text.codecs import decode_gif, is_gif
+
+    payload, expected = _reference_gif_2x2()
+    assert is_gif(payload)
+    got = decode_gif(payload)
+    assert got.shape == (2, 2, 3)
+    assert (got == expected).all()
+
+
+def test_gif_roundtrip_palette_growth_and_interlace():
+    """Roundtrips across palette sizes, both row orders, and content
+    repetitive enough to drive the LZW table through width growth — the
+    decoder's (2^width − 1) early-bump rule is wrong by exactly one code
+    if mis-implemented, which scrambles every pixel after the first bump."""
+    from vite_spark.text.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(13)
+    for h, w, ncol in [(1, 1, 1), (2, 3, 4), (5, 4, 16), (17, 31, 250),
+                       (8, 8, 2), (6, 1, 3), (1, 9, 5)]:
+        pal = np.unique(rng.integers(0, 256, (ncol, 3), dtype=np.uint8), axis=0)
+        rgb = pal[rng.integers(0, len(pal), (h, w))]
+        for interlace in (False, True):
+            out = decode_gif(encode_gif(rgb, interlace=interlace))
+            assert out.shape == rgb.shape
+            assert (out == rgb).all(), (h, w, ncol, interlace)
+    # 60k pixels of 256 colors: table hits the 4096 cap -> encoder CLEARs
+    pal = np.unique(rng.integers(0, 256, (256, 3), dtype=np.uint8), axis=0)
+    rgb = pal[rng.integers(0, len(pal), (200, 300))]
+    assert (decode_gif(encode_gif(rgb)) == rgb).all()
+
+
+def test_gif_rejects_bad_payloads_loudly():
+    from vite_spark.text.codecs import decode_gif, encode_gif, is_gif
+
+    good = encode_gif(np.full((3, 4, 3), 7, np.uint8))
+    assert not is_gif(b"GIF89a")                      # header alone too short
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"plain text that is certainly not a gif")
+    with pytest.raises(ValueError, match="256 distinct"):
+        i = np.arange(17 * 17, dtype=np.int64)
+        many = np.stack([i % 256, i // 256, np.zeros_like(i)], axis=1)
+        encode_gif(many.astype(np.uint8).reshape(17, 17, 3))  # 289 colors
+    # truncated LZW stream: cut deep into a long data sub-block
+    rng = np.random.default_rng(2)
+    pal = np.unique(rng.integers(0, 256, (64, 3), dtype=np.uint8), axis=0)
+    big = encode_gif(pal[rng.integers(0, len(pal), (40, 40))])
+    with pytest.raises(ValueError, match="truncated|ended"):
+        decode_gif(big[: len(big) // 2])
+    # no image descriptor: header + trailer only
+    hdr_only = good[:13 + 3 * 2] + b"\x3b"
+    with pytest.raises(ValueError, match="no image"):
+        decode_gif(hdr_only)
+
+
+def test_gif_decodes_external_reference_bytes():
+    """The canonical public 1x1 GIF (as emitted by standard real-world
+    encoders, complete with a graphic-control extension block) decodes —
+    independent evidence the LZW width rules match what actual GIF
+    writers produce, not just this repo's own encoder."""
+    import base64
+
+    from vite_spark.text.codecs import decode_gif
+
+    payload = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    out = decode_gif(payload)
+    assert out.shape == (1, 1, 3)
+    assert (out == np.zeros((1, 1, 3), np.uint8)).all()
+
+
+def test_gif_real_path_on_spark(spark):
+    """extract_features + resize_media take the REAL path for GIF
+    payloads and re-encode resizes in the input format (GIF in -> GIF
+    out): LZW decode -> palette indirection -> resample -> palette
+    rebuild -> LZW encode, no fake branch."""
+    import pandas as pd
+
+    from vite_spark.text.codecs import decode_gif, encode_gif
+    from vite_spark.text.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_media,
+    )
+
+    rgb = np.zeros((6, 5, 3), np.uint8)
+    rgb[..., 0] = 180   # constant red channel
+    gif = encode_gif(rgb)
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1],
+            "kind": ["image"],
+            "payload": [gif],
+            "mime": ["image/gif"],
+            "meta_width": pd.array([None], dtype="Int64"),
+            "meta_height": pd.array([None], dtype="Int64"),
+            "meta_duration_s": pd.array([None], dtype="Float64"),
+        }
+    )
+    media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    row = extract_features(media).collect()[0]      # fake=False: real path
+    assert (row["width"], row["height"]) == (5, 6)
+    assert row["n_bytes"] == len(gif)
+    assert row["features"][0] == round(180 / 255.0, 6)
+    assert row["features"][1] == 0.0 and row["features"][2] == 0.0
+
+    rrow = resize_media(media, 4, 2).collect()[0]
+    out = bytes(rrow["payload"])
+    assert out[:6] == b"GIF89a"                     # format preserved
+    assert decode_gif(out).shape == (2, 4, 3)
+    assert rrow["resized_sha"] == hashlib.sha256(out).hexdigest()
+
+
+def test_gif_media_from_docs_contract(spark):
+    """Driver-fixture contract: dims/pixel formulas match what the DuckDB
+    oracle recomputes (queries.SQL_MULTIMODAL_GIF)."""
+    import pandas as pd
+
+    from vite_spark.text.codecs import decode_gif
+    from vite_spark.text.multimodal import gif_media_from_docs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 7, 44], "text": ["alpha", "beta", "gamma"]})
+    )
+    out = {r["media_id"]: r for r in gif_media_from_docs(docs).collect()}
+    for doc_id, text in [(0, "alpha"), (7, "beta"), (44, "gamma")]:
+        rgb = decode_gif(bytes(out[doc_id]["payload"]))
+        assert rgb.shape == (doc_id % 9 + 1, doc_id % 21 + 1, 3)
+        h = hashlib.sha256(text.encode()).digest()
+        assert (rgb == np.frombuffer(h[15:18], np.uint8)).all()

@@ -964,6 +964,28 @@ def q_multimodal_png_features(spark, sf_dir):
     )
 
 
+def q_multimodal_gif_features(spark, sf_dir):
+    """REAL image decode #4 (GIF89a) — the second COMPRESSED format on
+    the native path, driver-checked: deterministic GIFs built from the
+    documents table (text/multimodal.gif_media_from_docs) are decoded by
+    the vendored codec — variable-width LZW implemented from the public
+    spec, color-table indirection, no fake path — and the screen-
+    descriptor dims and pixel channel means are value-matched against the
+    SQL recomputation. An LZW width-growth bug kills the decode outright,
+    a color-table bug flips the means, a descriptor misread flips
+    width/height."""
+    from vite_spark.text.multimodal import extract_features, gif_media_from_docs
+
+    media = gif_media_from_docs(_docs(spark, sf_dir))
+    f = extract_features(media)   # fake=False: the REAL decode path
+    return f.select(
+        "media_id", "width", "height",
+        F.col("features")[0].alias("mean_r"),
+        F.col("features")[1].alias("mean_g"),
+        F.col("features")[2].alias("mean_b"),
+    )
+
+
 def q_multimodal_wav_features(spark, sf_dir):
     """REAL audio decode, driver-checked: deterministic PCM16 WAVs built
     from the documents table (text/multimodal.wav_media_from_docs) are
@@ -1046,6 +1068,22 @@ SELECT doc_id AS media_id,
        ROUND({_hexbyte('hx', 25)} / 255.0, 6) AS mean_r,
        ROUND({_hexbyte('hx', 27)} / 255.0, 6) AS mean_g,
        ROUND({_hexbyte('hx', 29)} / 255.0, 6) AS mean_b
+FROM d"""
+
+
+# dims/means recomputed from the gif_media_from_docs contract:
+# W = doc_id%21+1, H = doc_id%9+1, constant pixel = sha256(text)[15:18]
+SQL_MULTIMODAL_GIF = f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+d AS (SELECT doc_id, hx,
+             doc_id % 21 + 1 AS w, doc_id % 9 + 1 AS hh
+      FROM h)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(hh AS BIGINT) AS height,
+       ROUND({_hexbyte('hx', 31)} / 255.0, 6) AS mean_r,
+       ROUND({_hexbyte('hx', 33)} / 255.0, 6) AS mean_g,
+       ROUND({_hexbyte('hx', 35)} / 255.0, 6) AS mean_b
 FROM d"""
 
 
@@ -1398,6 +1436,9 @@ def registry() -> dict[str, tuple]:
         # no fake path)
         "multimodal_png_features": (
             q_multimodal_png_features, SQL_MULTIMODAL_PNG,
+        ),
+        "multimodal_gif_features": (
+            q_multimodal_gif_features, SQL_MULTIMODAL_GIF,
         ),
         "multimodal_bmp_features": (
             q_multimodal_bmp_features, SQL_MULTIMODAL_BMP,

@@ -560,6 +560,245 @@ def decode_png(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(out.astype(np.uint8).reshape(h, w, 3))
 
 
+# --- GIF (GIF87a/GIF89a, LZW-compressed, palette-indexed) ------------------
+#
+# GIF is a COMPRESSED format whose codec — variable-width LZW — is fully
+# specified in the public GIF89a spec and small enough to implement
+# directly, so like PNG the decode is real with zero external libraries.
+# Canonical layout (all integers little-endian):
+#   offset 0: 6s signature 'GIF87a' or 'GIF89a'
+#   logical screen descriptor (7 bytes): u16 width, u16 height, packed
+#     (bit7 global-color-table flag, bits6-4 color resolution, bit3 sort,
+#      bits2-0 GCT size n → 2^(n+1) entries), u8 bg index, u8 aspect
+#   global color table: 3·2^(n+1) RGB bytes if the flag is set
+#   then blocks until the 0x3B trailer:
+#     0x21 extension: u8 label, then length-prefixed sub-blocks to a 0x00
+#     0x2C image descriptor: u16 left, top, width, height, packed (bit7
+#       local color table, bit6 interlace, bits2-0 LCT size), optional
+#       LCT, u8 LZW minimum code size, length-prefixed data sub-blocks
+# LZW: codes packed LSB-first; clear = 2^min, end = clear+1; code width
+# starts at min+1 and grows when the next free slot reaches 2^width,
+# capped at 12 bits (4096 entries, encoder emits CLEAR there).
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(height: int) -> np.ndarray:
+    return np.concatenate(
+        [np.arange(start, height, step) for start, step in _GIF_INTERLACE_PASSES]
+    ).astype(np.int64)
+
+
+def _lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
+    """Greedy longest-match GIF LZW with the spec's width-growth rule
+    (mirrors _lzw_decode exactly: width bumps when the next free slot
+    reaches 2^width; CLEAR emitted when the table fills at 4096)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = end + 1
+    emit(clear, width)
+    prefix = -1
+    for sym in map(int, indices):
+        if prefix < 0:
+            prefix = sym
+            continue
+        key = (prefix, sym)
+        if key in table:
+            prefix = table[key]
+            continue
+        emit(prefix, width)
+        table[key] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table.clear()
+            width = min_code + 1
+            next_code = end + 1
+        prefix = sym
+    if prefix >= 0:
+        emit(prefix, width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
+    """GIF LZW → index array of exactly ``n_pixels`` symbols, rejecting
+    out-of-range codes and short streams loudly."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = [(s,) for s in range(1 << min_code)] + [(), ()]
+    table = list(base)
+    width = min_code + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: tuple[int, ...] | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table) or code >= clear:
+                raise ValueError(f"invalid GIF LZW code {code} after clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond table size {len(table)}")
+        if n_out + len(entry) > n_pixels:
+            entry = entry[: n_pixels - n_out]
+        out[n_out: n_out + len(entry)] = entry
+        n_out += len(entry)
+        if n_out >= n_pixels:
+            break
+        if prev is not None and len(table) < 4096:
+            table.append(prev + (entry[0],))
+            # the decoder's table add lags the encoder's by one code, so
+            # the width bump fires one entry EARLY relative to the
+            # encoder's next_code == 2^width rule — the spec's famous
+            # (2^width − 1) asymmetry
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+    if n_out < n_pixels:
+        raise ValueError(
+            f"GIF LZW stream ended at {n_out} of {n_pixels} pixels"
+        )
+    return out
+
+
+def encode_gif(rgb: np.ndarray, interlace: bool = False) -> bytes:
+    """(H, W, 3) uint8 RGB with ≤256 distinct colors → single-frame
+    GIF89a bytes (global color table, real LZW compression, optional
+    interlaced row order)."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3 or 0 in rgb.shape[:2]:
+        raise ValueError(f"expected non-empty (H, W, 3) RGB array, got {rgb.shape}")
+    h, w = rgb.shape[:2]
+    flat = rgb.reshape(-1, 3)
+    palette, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs ≤256 distinct colors, image has {len(palette)}")
+    bits = max(1, int(len(palette) - 1).bit_length())
+    table = np.zeros((1 << bits, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    idx = inv.astype(np.uint8).reshape(h, w)
+    if interlace:
+        idx = idx[_gif_interlace_order(h)]
+    min_code = max(2, bits)
+    stream = _lzw_encode(idx.ravel(), min_code)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 7), 0, 0)
+    out += table.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(min_code)
+    for i in range(0, len(stream), 255):
+        blk = stream[i: i + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def is_gif(payload: bytes | None) -> bool:
+    return (payload is not None and len(payload) >= 14
+            and payload[:6] in (b"GIF87a", b"GIF89a"))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a bytes → (H, W, 3) uint8 RGB of the FIRST image frame.
+
+    Real variable-width LZW decode; walks extension blocks, honors
+    global/local color tables and interlaced row order; rejects corrupt
+    streams, missing tables, and out-of-range codes loudly."""
+    if not is_gif(payload):
+        raise ValueError("not a GIF payload (missing GIF87a/GIF89a signature)")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 7))
+        gct = np.frombuffer(payload, np.uint8, n, pos).reshape(-1, 3)
+        pos += n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:                      # trailer before any image
+            break
+        if block == 0x21:                      # extension: skip sub-blocks
+            pos += 1                           # label
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:
+            n = 3 * (2 << (ipacked & 7))
+            ct = np.frombuffer(payload, np.uint8, n, pos).reshape(-1, 3)
+            pos += n
+        if ct is None:
+            raise ValueError("GIF image has neither global nor local color table")
+        if w <= 0 or h <= 0:
+            raise ValueError(f"invalid GIF dimensions {w}x{h}")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"invalid GIF LZW minimum code size {min_code}")
+        data = bytearray()
+        while pos < len(payload) and payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1: pos + 1 + ln]
+            pos += 1 + ln
+        idx = _lzw_decode(bytes(data), min_code, w * h).reshape(h, w)
+        if (idx >= len(ct)).any():
+            raise ValueError("GIF pixel index beyond color table")
+        if ipacked & 0x40:                     # interlaced: invert pass order
+            order = _gif_interlace_order(h)
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        return np.ascontiguousarray(ct[idx])
+    raise ValueError("GIF contains no image descriptor")
+
+
 def resize_nearest(rgb: np.ndarray, width: int, height: int) -> np.ndarray:
     """Deterministic nearest-neighbor resample (pixel-center rule) —
     pure indexing, no interpolation libraries."""

@@ -1,8 +1,9 @@
 """Multimodal column plumbing (image/audio/video as opaque binary).
 
-IMAGE decode is REAL for uncompressed 24-bit BMP, binary P6 PPM, AND
-8-bit truecolor PNG (whose DEFLATE stream stdlib zlib decodes — a real
-compressed-format path with zero external libraries), AUDIO decode is
+IMAGE decode is REAL for uncompressed 24-bit BMP, binary P6 PPM, 8-bit
+truecolor PNG (whose DEFLATE stream stdlib zlib decodes), AND GIF87a/89a
+(variable-width LZW implemented from the public spec) — two real
+compressed-format paths with zero external libraries — AUDIO decode is
 REAL for PCM16 WAV, and VIDEO frame sampling is REAL for uncompressed
 raw-DIB AVI — public formats parsed by the vendored pure-NumPy codecs
 (text/codecs.py) — so `extract_features` / `resize_media` /
@@ -56,19 +57,22 @@ FEATURES_SCHEMA = StructType(
 
 def _try_decode(payload):
     """Decode ``payload`` with the first native image codec that fully
-    parses it — ('bmp'|'ppm'|'png', rgb array) — or None. An arbitrary
+    parses it — ('bmp'|'ppm'|'png'|'gif', rgb array) — or None. An arbitrary
     text/binary payload that merely STARTS with a magic must fall through
     to the stub path, not crash the batch: a valid 24-bit BMP needs
     bpp=24 and 4 NUL compression bytes at fixed offsets, a valid P6
     needs three numeric header tokens plus an exact-length raster, and a
     valid PNG needs per-chunk CRC32s plus a deflate stream of the exact
-    scanline length — none of which plain UTF-8 text can satisfy — so
-    the try is exact."""
+    scanline length, and a valid GIF needs an LZW stream that decodes to
+    exactly width·height in-palette indices — none of which plain UTF-8
+    text can satisfy — so the try is exact."""
     from vite_spark.text.codecs import (
         decode_bmp,
+        decode_gif,
         decode_png,
         decode_ppm,
         is_bmp,
+        is_gif,
         is_png,
         is_ppm,
     )
@@ -86,6 +90,11 @@ def _try_decode(payload):
     if is_png(payload):
         try:
             return "png", decode_png(payload)
+        except ValueError:
+            return None
+    if is_gif(payload):
+        try:
+            return "gif", decode_gif(payload)
         except ValueError:
             return None
     return None
@@ -188,6 +197,54 @@ def ppm_media_from_docs(docs: DataFrame) -> DataFrame:
                     "kind": "image",
                     "payload": payloads,
                     "mime": "image/x-portable-pixmap",
+                    "meta_width": pd.array(mw, dtype="Int64"),
+                    "meta_height": pd.array(mh, dtype="Int64"),
+                    "meta_duration_s": pd.array([None] * len(pdf),
+                                                dtype="Float64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batch_fn, schema=MEDIA_SCHEMA
+    )
+
+
+def gif_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL GIF payloads derived from the documents table —
+    the LZW-format driver fixture for the native image decode path
+    (distinct dims/pixel formulas from the BMP/PPM/PNG fixtures so a
+    format-specific bug cannot alias): each doc becomes a
+    (doc_id%21+1) × (doc_id%9+1) constant-color GIF89a whose pixel is
+    bytes 15..17 of sha256(text). Dims and channel means are
+    SQL-expressible, so the DuckDB oracle value-checks signature → color
+    table → LZW decode end-to-end (byte size is a property of the
+    compressor, not an output column — same policy as PNG)."""
+
+    def batch_fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from vite_spark.text.codecs import encode_gif
+
+        for pdf in batches:
+            payloads, mw, mh = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.sha256((text or "").encode()).digest()
+                w = int(doc_id) % 21 + 1
+                ht = int(doc_id) % 9 + 1
+                rgb = np.empty((ht, w, 3), np.uint8)
+                rgb[...] = (h[15], h[16], h[17])
+                payloads.append(encode_gif(rgb))
+                mw.append(w)
+                mh.append(ht)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/gif",
                     "meta_width": pd.array(mw, dtype="Int64"),
                     "meta_height": pd.array(mh, dtype="Int64"),
                     "meta_duration_s": pd.array([None] * len(pdf),
@@ -543,8 +600,8 @@ def extract_features(media: DataFrame, fake: bool = False, n_features: int = 8) 
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "only 24-bit BMP / P6 PPM / 8-bit truecolor PNG "
-                        "decode natively (text/codecs.py); other formats "
+                        "only 24-bit BMP / P6 PPM / PNG / GIF decode "
+                        "natively (text/codecs.py); other formats "
                         "need codec libraries not present in this "
                         "environment — pass fake=True for the "
                         "deterministic stub"
@@ -586,7 +643,7 @@ def resize_media(
 ) -> DataFrame:
     """Arrow-batched decode→resample→re-encode over binary payloads.
 
-    REAL for BMP, P6 PPM, and PNG payloads: decode (text/codecs.py),
+    REAL for BMP, P6 PPM, PNG, and GIF payloads: decode (text/codecs.py),
     deterministic nearest-neighbor resample, re-encode in the INPUT
     format; resized_sha = sha256(re-encoded bytes).
     STUB (fake=True) for undecodable payloads: the re-encoded payload is
@@ -602,12 +659,16 @@ def resize_media(
 
         from vite_spark.text.codecs import (
             encode_bmp,
+            encode_gif,
             encode_png,
             encode_ppm,
             resize_nearest,
         )
 
-        encoders = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png}
+        # gif stays losslessly re-encodable: nearest-neighbor resampling
+        # only ever selects existing pixels, so the palette can't grow
+        encoders = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png,
+                    "gif": encode_gif}
         for pdf in batches:
             payloads, shas = [], []
             for b in pdf["payload"]:
@@ -621,8 +682,8 @@ def resize_media(
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "only 24-bit BMP / P6 PPM / 8-bit truecolor PNG "
-                        "resize natively (text/codecs.py); other formats "
+                        "only 24-bit BMP / P6 PPM / PNG / GIF resize "
+                        "natively (text/codecs.py); other formats "
                         "need codec libraries not present in this "
                         "environment — pass fake=True for the "
                         "deterministic stub"
