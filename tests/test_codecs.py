@@ -608,7 +608,7 @@ def test_png_rejects_bad_payloads_loudly():
            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
            + chunk(b"IDAT", zlib.compress(bytes(7)))
            + chunk(b"IEND", b""))
-    with pytest.raises(ValueError, match="8-bit truecolor"):
+    with pytest.raises(ValueError, match="8-bit-depth"):
         decode_png(p16)
     # deflate stream of the wrong decompressed length
     pshort = (b"\x89PNG\r\n\x1a\n"
@@ -690,16 +690,16 @@ def test_png_media_from_docs_contract(spark):
 def _reference_gif_2x2() -> tuple[bytes, np.ndarray]:
     """Hand-built 2x2 GIF89a from the spec (NOT via encode_gif): 4-color
     global table, LZW min code size 2 — the bitstream below is packed by
-    hand: CLEAR(4) px0(0) px1(1) at 3-bit width, then — after the
-    decoder's early width bump at table size 2^3−1 — px2(2) px3(3)
-    END(5) at 4-bit width, LSB-first."""
+    hand: CLEAR(4) px0(0) px1(1) px2(2) at 3-bit width, then — after the
+    decoder's table reaches 2^3 entries — px3(3) END(5) at 4-bit width,
+    LSB-first."""
     palette = np.array(
         [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 255]], np.uint8
     )
     rgb = palette[np.array([[0, 1], [2, 3]])]
-    # bit stream (LSB-first): 001 000 100 | 0100 1100 1010
-    # -> bytes 0x44, 0x64, 0x0A
-    lzw = bytes([0x44, 0x64, 0x0A])
+    # codes/widths: 4@3 0@3 1@3 2@3 3@4 5@4; bits LSB-first per code:
+    # 001 000 100 010 1100 1010 -> bytes 0x44, 0x34, 0x05
+    lzw = bytes([0x44, 0x34, 0x05])
     payload = (b"GIF89a"
                + struct.pack("<HHBBB", 2, 2, 0x80 | 1, 0, 0)   # GCT, 4 entries
                + palette.tobytes()
@@ -722,8 +722,9 @@ def test_gif_decode_matches_spec_literal():
 def test_gif_roundtrip_palette_growth_and_interlace():
     """Roundtrips across palette sizes, both row orders, and content
     repetitive enough to drive the LZW table through width growth — the
-    decoder's (2^width − 1) early-bump rule is wrong by exactly one code
-    if mis-implemented, which scrambles every pixel after the first bump."""
+    encoder-widens-one-add-late / decoder-widens-at-2^width pairing is
+    wrong by exactly one code if mis-implemented, which scrambles every
+    pixel after the first bump."""
     from vite_spark.text.codecs import decode_gif, encode_gif
 
     rng = np.random.default_rng(13)
@@ -840,3 +841,221 @@ def test_gif_media_from_docs_contract(spark):
         assert rgb.shape == (doc_id % 9 + 1, doc_id % 21 + 1, 3)
         h = hashlib.sha256(text.encode()).digest()
         assert (rgb == np.frombuffer(h[15:18], np.uint8)).all()
+
+
+# --- JPEG (baseline JFIF, T.81 sequential DCT) -----------------------------
+
+_IMGDATA = ("/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+            "python3.11/test/imghdrdata")
+
+
+def test_jpeg_constant_roundtrips_exactly():
+    """Under all-ones quantization a constant block's DCT is a lone
+    integer DC coefficient, so gray AND RGB constants survive the whole
+    Huffman → dequant → IDCT pipeline bit-exactly — the property the
+    driver-oracle fixture (jpeg_media_from_docs) relies on."""
+    from vite_spark.text.jpeg import decode_jpeg, encode_jpeg, is_jpeg
+
+    for shape, val in [((5, 7), 143), ((16, 16), 0), ((9, 3), 255), ((1, 1), 77)]:
+        g = np.full(shape, val, np.uint8)
+        payload = encode_jpeg(g)
+        assert is_jpeg(payload)
+        out = decode_jpeg(payload)
+        assert out.shape == shape + (3,)
+        assert (out == val).all()
+    rgb = np.zeros((10, 13, 3), np.uint8)
+    rgb[...] = (200, 100, 50)
+    assert (decode_jpeg(encode_jpeg(rgb)) == rgb).all()
+
+
+def test_jpeg_random_content_bounded_error():
+    """q=1 keeps every quantized coefficient: the only loss is DCT float
+    rounding (±1 gray) plus the YCbCr integer roundtrip (±3 color) —
+    tight bounds that fail loudly on any Huffman/zigzag/IDCT bug, whose
+    signature is full-scale garbage, not off-by-a-few."""
+    from vite_spark.text.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(1)
+    g = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(g))
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+    assert (out[:, :, 0] == out[:, :, 1]).all()       # gray replicates
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(rgb))
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 4
+    # a real (non-trivial) quant table still yields a recognizable image
+    quant = np.clip(np.arange(64).reshape(8, 8) + 4, 1, 255)
+    out = decode_jpeg(encode_jpeg(g, quant=quant))
+    assert np.abs(out[:, :, 0].astype(float) - g.astype(float)).mean() < 40
+
+
+def test_jpeg_rejects_unsupported_loudly():
+    import struct as st
+
+    from vite_spark.text.jpeg import decode_jpeg, encode_jpeg, is_jpeg
+
+    assert not is_jpeg(b"\xff\xd8ab")
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"definitely not a jpeg payload here")
+    good = encode_jpeg(np.full((9, 9), 50, np.uint8))
+    # flip SOF0 -> SOF2 (progressive): marker byte right after the DHT-free
+    # prefix; find it structurally
+    bad = bytearray(good)
+    i = bad.find(b"\xff\xc0")
+    bad[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(good[:-12])
+    with pytest.raises(ValueError, match="quant table"):
+        encode_jpeg(np.zeros((4, 4), np.uint8), quant=np.zeros((8, 8), int))
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(_IMGDATA),
+                    reason="stdlib imghdr test images not present")
+def test_jpeg_decodes_real_world_file_against_ppm_truth():
+    """python.jpg (written by a real JPEG encoder: Annex-K Huffman
+    tables, 4:2:0 chroma subsampling) decodes to within JPEG loss of the
+    LOSSLESS python.ppm ground truth read by this repo's independent P6
+    parser — marker walk, real Huffman tables, subsampled-MCU layout and
+    upsampling all validated against bytes this repo did not produce."""
+    from vite_spark.text.codecs import decode_ppm
+    from vite_spark.text.jpeg import decode_jpeg
+
+    jpg = decode_jpeg(open(f"{_IMGDATA}/python.jpg", "rb").read())
+    ppm = decode_ppm(open(f"{_IMGDATA}/python.ppm", "rb").read())
+    assert jpg.shape == ppm.shape == (16, 16, 3)
+    err = np.abs(jpg.astype(int) - ppm.astype(int))
+    assert err.mean() < 15                  # JPEG loss, not decoder garbage
+    # per-channel global means stay within chroma-DC quantization reach
+    # (step ~17 at this file's quality), far from the ~85 a channel swap
+    # or IDCT bug produces
+    assert np.abs(jpg.mean(axis=(0, 1)) - ppm.mean(axis=(0, 1))).max() < 10
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(_IMGDATA),
+                    reason="stdlib imghdr test images not present")
+def test_png_palette_decodes_real_world_file_exactly():
+    """python.png (palette color type 3, written by a real PNG encoder)
+    decodes PIXEL-EXACTLY equal to the python.ppm ground truth — inflate,
+    unfilter, and PLTE indirection validated against independent bytes."""
+    from vite_spark.text.codecs import decode_png, decode_ppm
+
+    png = decode_png(open(f"{_IMGDATA}/python.png", "rb").read())
+    ppm = decode_ppm(open(f"{_IMGDATA}/python.ppm", "rb").read())
+    assert (png == ppm).all()
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(_IMGDATA),
+                    reason="stdlib imghdr test images not present")
+def test_gif_decodes_real_world_file():
+    """python.gif (real-world encoder, 64-color palette, LZW width growth
+    through 7→8 bits) decodes; its residual vs the PPM truth is the
+    file's own palette quantization, bounded and small on average."""
+    from vite_spark.text.codecs import decode_gif, decode_ppm
+
+    gif = decode_gif(open(f"{_IMGDATA}/python.gif", "rb").read())
+    ppm = decode_ppm(open(f"{_IMGDATA}/python.ppm", "rb").read())
+    assert gif.shape == (16, 16, 3)
+    assert np.abs(gif.astype(int) - ppm.astype(int)).mean() < 10
+
+
+def test_png_color_types_gray_palette_rgba():
+    """Hand-built color-type-0/3/6 PNGs (NOT via encode_png, which only
+    writes type 2) decode through the shared unfilter at each byte-per-
+    pixel width."""
+    import zlib
+
+    from vite_spark.text.codecs import decode_png
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # grayscale (type 0), one Sub-filtered row: raw deltas of 10 each
+    scan = bytes([1, 50, 10, 10, 10])
+    p = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 1, 8, 0, 0, 0, 0))
+         + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+    out = decode_png(p)
+    assert (out[0, :, 0] == [50, 60, 70, 80]).all()
+    assert (out[:, :, 0] == out[:, :, 1]).all()
+    # palette (type 3): 2 indices through a 3-entry PLTE
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    scan = bytes([0, 2, 0])
+    p = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+         + chunk(b"PLTE", plte)
+         + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+    out = decode_png(p)
+    assert (out[0, 0] == [0, 0, 255]).all() and (out[0, 1] == [255, 0, 0]).all()
+    # palette index beyond PLTE rejected
+    scan_bad = bytes([0, 7, 0])
+    p_bad = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+             + chunk(b"PLTE", plte)
+             + chunk(b"IDAT", zlib.compress(scan_bad)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(p_bad)
+    # RGBA (type 6): alpha dropped, Up filter at bpp=4
+    row0 = bytes([0, 10, 20, 30, 255, 40, 50, 60, 128])
+    row1 = bytes([2, 1, 1, 1, 0, 1, 1, 1, 0])
+    p = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+         + chunk(b"IDAT", zlib.compress(row0 + row1)) + chunk(b"IEND", b""))
+    out = decode_png(p)
+    assert (out[1, 0] == [11, 21, 31]).all() and (out[1, 1] == [41, 51, 61]).all()
+
+
+def test_jpeg_real_path_on_spark(spark):
+    """extract_features + resize_media take the REAL path for JPEG
+    payloads and re-encode resizes in the input format."""
+    import pandas as pd
+
+    from vite_spark.text.jpeg import decode_jpeg, encode_jpeg
+    from vite_spark.text.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_media,
+    )
+
+    g = np.full((6, 5), 210, np.uint8)
+    jpg = encode_jpeg(g)
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1],
+            "kind": ["image"],
+            "payload": [jpg],
+            "mime": ["image/jpeg"],
+            "meta_width": pd.array([None], dtype="Int64"),
+            "meta_height": pd.array([None], dtype="Int64"),
+            "meta_duration_s": pd.array([None], dtype="Float64"),
+        }
+    )
+    media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    row = extract_features(media).collect()[0]      # fake=False: real path
+    assert (row["width"], row["height"]) == (5, 6)
+    assert row["n_bytes"] == len(jpg)
+    assert row["features"][0] == round(210 / 255.0, 6)
+
+    rrow = resize_media(media, 4, 2).collect()[0]
+    out = bytes(rrow["payload"])
+    assert out[:2] == b"\xff\xd8"                   # format preserved
+    assert decode_jpeg(out).shape == (2, 4, 3)
+    assert rrow["resized_sha"] == hashlib.sha256(out).hexdigest()
+
+
+def test_jpeg_media_from_docs_contract(spark):
+    """Driver-fixture contract: dims/gray formulas match what the DuckDB
+    oracle recomputes (queries.SQL_MULTIMODAL_JPEG)."""
+    import pandas as pd
+
+    from vite_spark.text.jpeg import decode_jpeg
+    from vite_spark.text.multimodal import jpeg_media_from_docs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 7, 44], "text": ["alpha", "beta", "gamma"]})
+    )
+    out = {r["media_id"]: r for r in jpeg_media_from_docs(docs).collect()}
+    for doc_id, text in [(0, "alpha"), (7, "beta"), (44, "gamma")]:
+        rgb = decode_jpeg(bytes(out[doc_id]["payload"]))
+        assert rgb.shape == (doc_id % 7 + 1, doc_id % 25 + 1, 3)
+        h = hashlib.sha256(text.encode()).digest()
+        assert (rgb == h[18]).all()

@@ -964,6 +964,28 @@ def q_multimodal_png_features(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg_features(spark, sf_dir):
+    """REAL image decode #5 (baseline JPEG) — the DCT-transform format
+    previously assumed to need external codec libraries, driver-checked:
+    deterministic constant-gray JPEGs built from the documents table
+    (text/multimodal.jpeg_media_from_docs) are decoded by the vendored
+    pure-NumPy T.81 codec — canonical-Huffman entropy decode with byte
+    unstuffing, dequantize, IDCT, no fake path — and the SOF0 dims and
+    pixel channel means are value-matched against the SQL recomputation
+    (exact: constant blocks are DC-only integers under all-ones
+    quantization)."""
+    from vite_spark.text.multimodal import extract_features, jpeg_media_from_docs
+
+    media = jpeg_media_from_docs(_docs(spark, sf_dir))
+    f = extract_features(media)   # fake=False: the REAL decode path
+    return f.select(
+        "media_id", "width", "height",
+        F.col("features")[0].alias("mean_r"),
+        F.col("features")[1].alias("mean_g"),
+        F.col("features")[2].alias("mean_b"),
+    )
+
+
 def q_multimodal_gif_features(spark, sf_dir):
     """REAL image decode #4 (GIF89a) — the second COMPRESSED format on
     the native path, driver-checked: deterministic GIFs built from the
@@ -1068,6 +1090,23 @@ SELECT doc_id AS media_id,
        ROUND({_hexbyte('hx', 25)} / 255.0, 6) AS mean_r,
        ROUND({_hexbyte('hx', 27)} / 255.0, 6) AS mean_g,
        ROUND({_hexbyte('hx', 29)} / 255.0, 6) AS mean_b
+FROM d"""
+
+
+# dims/means recomputed from the jpeg_media_from_docs contract:
+# W = doc_id%25+1, H = doc_id%7+1, constant gray = sha256(text)[18],
+# replicated to R=G=B by the grayscale decode path
+SQL_MULTIMODAL_JPEG = f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+d AS (SELECT doc_id, hx,
+             doc_id % 25 + 1 AS w, doc_id % 7 + 1 AS hh
+      FROM h)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(hh AS BIGINT) AS height,
+       ROUND({_hexbyte('hx', 37)} / 255.0, 6) AS mean_r,
+       ROUND({_hexbyte('hx', 37)} / 255.0, 6) AS mean_g,
+       ROUND({_hexbyte('hx', 37)} / 255.0, 6) AS mean_b
 FROM d"""
 
 
@@ -1439,6 +1478,9 @@ def registry() -> dict[str, tuple]:
         ),
         "multimodal_gif_features": (
             q_multimodal_gif_features, SQL_MULTIMODAL_GIF,
+        ),
+        "multimodal_jpeg_features": (
+            q_multimodal_jpeg_features, SQL_MULTIMODAL_JPEG,
         ),
         "multimodal_bmp_features": (
             q_multimodal_bmp_features, SQL_MULTIMODAL_BMP,

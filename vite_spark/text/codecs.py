@@ -469,18 +469,22 @@ def is_png(payload: bytes | None) -> bool:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """8-bit truecolor non-interlaced PNG bytes → (H, W, 3) uint8 RGB.
+    """8-bit-depth non-interlaced PNG bytes → (H, W, 3) uint8 RGB.
 
     Real DEFLATE decode via stdlib zlib; validates every chunk CRC, walks
     unknown ancillary chunks, reassembles the IDAT stream, and reverses
-    all five scanline filters. Rejects other bit depths / color types /
-    interlacing and corrupt streams loudly rather than guessing."""
+    all five scanline filters at the color type's byte-per-pixel width.
+    Handles color types 0 (grayscale, replicated), 2 (truecolor),
+    3 (palette via PLTE), 4 (gray+alpha) and 6 (RGBA) — alpha is
+    dropped, this pipeline has no compositing target. Rejects 1/2/4/16-
+    bit depths, interlacing, and corrupt streams loudly."""
     import zlib
 
     if not is_png(payload):
         raise ValueError("not a PNG payload (missing 8-byte signature)")
     pos, end = 8, len(payload)
     ihdr = None
+    plte = None
     idat = bytearray()
     seen_iend = False
     while pos + 12 <= end and not seen_iend:
@@ -494,6 +498,8 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {tag!r} fails its CRC")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -502,10 +508,14 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat or not seen_iend:
         raise ValueError("PNG missing IHDR/IDAT/IEND chunk")
     w, h, depth, color, comp, fmethod, interlace = ihdr
-    if depth != 8 or color != 2:
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None:
         raise ValueError(
-            f"only 8-bit truecolor PNG supported (depth={depth}, color={color})"
+            f"only 8-bit-depth PNG color types 0/2/3/4/6 supported "
+            f"(depth={depth}, color={color})"
         )
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing its PLTE chunk")
     if comp != 0 or fmethod != 0 or interlace != 0:
         raise ValueError(
             "only deflate/filter-0/non-interlaced PNG supported "
@@ -517,7 +527,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG deflate stream: {e}") from None
-    stride = 3 * w
+    stride = channels * w
     if len(raw) != h * (1 + stride):
         raise ValueError(
             f"PNG stream is {len(raw)} bytes, expected {h * (1 + stride)}"
@@ -528,6 +538,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"invalid PNG filter type {int(filters.max())}")
     out = np.zeros((h, stride), dtype=np.int32)
     zero = np.zeros(stride, dtype=np.int32)
+    bpp = channels
     for r in range(h):
         ft = int(filters[r])
         cur = lines[r, 1:].astype(np.int32)
@@ -535,29 +546,42 @@ def decode_png(payload: bytes) -> np.ndarray:
         if ft == 0:
             rec = cur
         elif ft == 1:
-            # Sub is a per-lane prefix sum: recon[x] = raw[x] + recon[x−3]
+            # Sub is a per-lane prefix sum: recon[x] = raw[x] + recon[x−bpp]
             rec = np.empty(stride, dtype=np.int64)
-            for o in range(3):
-                rec[o::3] = np.cumsum(cur[o::3])
+            for o in range(bpp):
+                rec[o::bpp] = np.cumsum(cur[o::bpp])
             rec = rec % 256
         elif ft == 2:
             rec = (cur + prev) % 256
         else:
             # Average/Paeth depend on the in-row left neighbor —
-            # inherently sequential across pixels; 3-lane vector steps
+            # inherently sequential across pixels; bpp-lane vector steps
             rec = np.zeros(stride, dtype=np.int32)
-            z3 = np.zeros(3, dtype=np.int32)
-            for x in range(0, stride, 3):
-                left = rec[x - 3: x] if x else z3
-                up = prev[x: x + 3]
-                upleft = prev[x - 3: x] if x else z3
+            zb = np.zeros(bpp, dtype=np.int32)
+            for x in range(0, stride, bpp):
+                left = rec[x - bpp: x] if x else zb
+                up = prev[x: x + bpp]
+                upleft = prev[x - bpp: x] if x else zb
                 if ft == 3:
                     pred = (left + up) // 2
                 else:
                     pred = _paeth_pred(left, up, upleft)
-                rec[x: x + 3] = (cur[x: x + 3] + pred) % 256
+                rec[x: x + bpp] = (cur[x: x + bpp] + pred) % 256
         out[r] = rec
-    return np.ascontiguousarray(out.astype(np.uint8).reshape(h, w, 3))
+    px = out.astype(np.uint8).reshape(h, w, channels)
+    if color == 2:
+        rgb = px
+    elif color == 6:
+        rgb = px[:, :, :3]
+    elif color == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif color == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:                                   # 3: palette
+        if (px >= len(plte)).any():
+            raise ValueError("PNG palette index beyond PLTE size")
+        rgb = plte[px[:, :, 0]]
+    return np.ascontiguousarray(rgb)
 
 
 # --- GIF (GIF87a/GIF89a, LZW-compressed, palette-indexed) ------------------
@@ -623,7 +647,13 @@ def _lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
         emit(prefix, width)
         table[key] = next_code
         next_code += 1
-        if next_code == (1 << width) and width < 12:
+        # the encoder's add runs one code AHEAD of the decoder's (the
+        # decoder can only reconstruct an entry after reading the NEXT
+        # code), so the encoder widens one add later than its own
+        # counter suggests: at 2^width + 1, not 2^width — this matches
+        # what real-world GIF writers emit (validated in tests against
+        # stdlib test images)
+        if next_code == (1 << width) + 1 and width < 12:
             width += 1
         if next_code == 4096:
             emit(clear, width)
@@ -687,11 +717,7 @@ def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
             break
         if prev is not None and len(table) < 4096:
             table.append(prev + (entry[0],))
-            # the decoder's table add lags the encoder's by one code, so
-            # the width bump fires one entry EARLY relative to the
-            # encoder's next_code == 2^width rule — the spec's famous
-            # (2^width − 1) asymmetry
-            if len(table) == (1 << width) - 1 and width < 12:
+            if len(table) == (1 << width) and width < 12:
                 width += 1
         prev = entry
     if n_out < n_pixels:

@@ -1,17 +1,19 @@
 """Multimodal column plumbing (image/audio/video as opaque binary).
 
 IMAGE decode is REAL for uncompressed 24-bit BMP, binary P6 PPM, 8-bit
-truecolor PNG (whose DEFLATE stream stdlib zlib decodes), AND GIF87a/89a
-(variable-width LZW implemented from the public spec) — two real
-compressed-format paths with zero external libraries — AUDIO decode is
-REAL for PCM16 WAV, and VIDEO frame sampling is REAL for uncompressed
-raw-DIB AVI — public formats parsed by the vendored pure-NumPy codecs
-(text/codecs.py) — so `extract_features` / `resize_media` /
-`extract_audio_features` / `sample_avi_frames` run an actual decode →
-pixel-or-sample-op → (re-encode) pipeline on those bytes (r2 VERDICT
-missing#2, r3 VERDICT next#7). Codecs needing external decoder libraries
-(JPEG/MP3/H.26x) remain STUBBED: no codec
-libraries in this container; they raise NotImplementedError unless
+PNG (color types 0/2/3/4/6; DEFLATE via stdlib zlib), GIF87a/89a
+(variable-width LZW implemented from the public spec), AND baseline JPEG
+(T.81 sequential DCT: Huffman + dequant + IDCT + chroma upsampling,
+text/jpeg.py) — three real compressed-format paths with zero external
+libraries, each validated against real-world encoder output in tests —
+AUDIO decode is REAL for PCM16 WAV, and VIDEO frame sampling is REAL for
+uncompressed raw-DIB AVI — public formats parsed by the vendored
+pure-NumPy codecs (text/codecs.py, text/jpeg.py) — so
+`extract_features` / `resize_media` / `extract_audio_features` /
+`sample_avi_frames` run an actual decode → pixel-or-sample-op →
+(re-encode) pipeline on those bytes (r2 VERDICT missing#2, r3 VERDICT
+next#7). Codecs needing external decoder libraries (progressive JPEG /
+MP3 / H.26x) remain STUBBED: they raise NotImplementedError unless
 `fake=True`, in which case a deterministic fake decoder (content-hash
 seeded dimensions/features) stands in so the pipeline shape is exercised
 end-to-end. With fake=True, real payloads still take the real path — the
@@ -57,7 +59,8 @@ FEATURES_SCHEMA = StructType(
 
 def _try_decode(payload):
     """Decode ``payload`` with the first native image codec that fully
-    parses it — ('bmp'|'ppm'|'png'|'gif', rgb array) — or None. An arbitrary
+    parses it — ('bmp'|'ppm'|'png'|'gif'|'jpeg', rgb array) — or None.
+    An arbitrary
     text/binary payload that merely STARTS with a magic must fall through
     to the stub path, not crash the batch: a valid 24-bit BMP needs
     bpp=24 and 4 NUL compression bytes at fixed offsets, a valid P6
@@ -95,6 +98,13 @@ def _try_decode(payload):
     if is_gif(payload):
         try:
             return "gif", decode_gif(payload)
+        except ValueError:
+            return None
+    from vite_spark.text.jpeg import decode_jpeg, is_jpeg
+
+    if is_jpeg(payload):
+        try:
+            return "jpeg", decode_jpeg(payload)
         except ValueError:
             return None
     return None
@@ -197,6 +207,54 @@ def ppm_media_from_docs(docs: DataFrame) -> DataFrame:
                     "kind": "image",
                     "payload": payloads,
                     "mime": "image/x-portable-pixmap",
+                    "meta_width": pd.array(mw, dtype="Int64"),
+                    "meta_height": pd.array(mh, dtype="Int64"),
+                    "meta_duration_s": pd.array([None] * len(pdf),
+                                                dtype="Float64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batch_fn, schema=MEDIA_SCHEMA
+    )
+
+
+def jpeg_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL baseline-JPEG payloads derived from the
+    documents table — the DCT-format driver fixture for the native image
+    decode path: each doc becomes a (doc_id%25+1) × (doc_id%7+1)
+    constant-GRAY baseline JPEG whose gray level is byte 18 of
+    sha256(text). With the encoder's all-ones quantization a constant
+    block's DCT is DC-only and integer (8·(g−128)), so the full Huffman →
+    dequant → IDCT pipeline reproduces the gray level EXACTLY and the
+    channel means are SQL-expressible; dims come from the SOF0 header via
+    the decoded array. A Huffman or bit-unstuffing bug kills the decode,
+    a DCT/quant bug flips the means, an SOF misread flips width/height."""
+
+    def batch_fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from vite_spark.text.jpeg import encode_jpeg
+
+        for pdf in batches:
+            payloads, mw, mh = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.sha256((text or "").encode()).digest()
+                w = int(doc_id) % 25 + 1
+                ht = int(doc_id) % 7 + 1
+                gray = np.full((ht, w), h[18], np.uint8)
+                payloads.append(encode_jpeg(gray))
+                mw.append(w)
+                mh.append(ht)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/jpeg",
                     "meta_width": pd.array(mw, dtype="Int64"),
                     "meta_height": pd.array(mh, dtype="Int64"),
                     "meta_duration_s": pd.array([None] * len(pdf),
@@ -600,7 +658,7 @@ def extract_features(media: DataFrame, fake: bool = False, n_features: int = 8) 
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "only 24-bit BMP / P6 PPM / PNG / GIF decode "
+                        "only BMP / PPM / PNG / GIF / baseline JPEG decode "
                         "natively (text/codecs.py); other formats "
                         "need codec libraries not present in this "
                         "environment — pass fake=True for the "
@@ -643,7 +701,7 @@ def resize_media(
 ) -> DataFrame:
     """Arrow-batched decode→resample→re-encode over binary payloads.
 
-    REAL for BMP, P6 PPM, PNG, and GIF payloads: decode (text/codecs.py),
+    REAL for BMP, P6 PPM, PNG, GIF, and baseline JPEG payloads: decode,
     deterministic nearest-neighbor resample, re-encode in the INPUT
     format; resized_sha = sha256(re-encoded bytes).
     STUB (fake=True) for undecodable payloads: the re-encoded payload is
@@ -665,10 +723,12 @@ def resize_media(
             resize_nearest,
         )
 
+        from vite_spark.text.jpeg import encode_jpeg
+
         # gif stays losslessly re-encodable: nearest-neighbor resampling
         # only ever selects existing pixels, so the palette can't grow
         encoders = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png,
-                    "gif": encode_gif}
+                    "gif": encode_gif, "jpeg": encode_jpeg}
         for pdf in batches:
             payloads, shas = [], []
             for b in pdf["payload"]:
@@ -682,7 +742,7 @@ def resize_media(
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "only 24-bit BMP / P6 PPM / PNG / GIF resize "
+                        "only BMP / PPM / PNG / GIF / baseline JPEG resize "
                         "natively (text/codecs.py); other formats "
                         "need codec libraries not present in this "
                         "environment — pass fake=True for the "
