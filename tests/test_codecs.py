@@ -1059,3 +1059,61 @@ def test_jpeg_media_from_docs_contract(spark):
         assert rgb.shape == (doc_id % 7 + 1, doc_id % 25 + 1, 3)
         h = hashlib.sha256(text.encode()).digest()
         assert (rgb == h[18]).all()
+
+
+# --- Motion JPEG AVI (compressed video) -------------------------------------
+
+
+def test_avi_mjpeg_roundtrip_and_rejections():
+    """codec='mjpeg' packs one baseline JPEG per '00dc' chunk: constant-
+    gray frames roundtrip exactly, arbitrary frames within JPEG q=1
+    bounds, dims cross-checked between strf header and every frame."""
+    from vite_spark.text.codecs import decode_avi, encode_avi
+
+    rng = np.random.default_rng(9)
+    g = np.repeat(
+        rng.integers(0, 256, (4, 1, 1, 1), dtype=np.uint8), 6, axis=1
+    ).repeat(9, axis=2).repeat(3, axis=3)          # constant-gray frames
+    out, fps = decode_avi(encode_avi(g, 5, codec="mjpeg"))
+    assert fps == 5 and (out == g).all()
+    f = rng.integers(0, 256, (2, 16, 16, 3), dtype=np.uint8)
+    out, _ = decode_avi(encode_avi(f, 5, codec="mjpeg"))
+    assert np.abs(out.astype(int) - f.astype(int)).max() <= 4
+    with pytest.raises(ValueError, match="unknown AVI codec"):
+        encode_avi(f, 5, codec="h264")
+    # DIB output is byte-identical to the pre-MJPEG encoder (same header
+    # fields: bufsize == frame size when all frames are raw)
+    d = encode_avi(f, 5)
+    assert decode_avi(d)[0].shape == f.shape
+
+
+def test_mjpeg_media_and_sampler_contract(spark):
+    """Driver-fixture contract end-to-end: dims / frame-count / gray
+    formulas and the sampling rule match what the DuckDB oracle
+    recomputes (queries.SQL_MULTIMODAL_MJPEG)."""
+    import pandas as pd
+
+    from vite_spark.text.multimodal import mjpeg_media_from_docs, sample_avi_frames
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 5, 17, 43], "text": ["a", "b", "c", "d"]})
+    )
+    media = mjpeg_media_from_docs(docs, fps=4)
+    rows = sample_avi_frames(media, max_frames=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["media_id"], []).append(r)
+    for doc_id, text in [(0, "a"), (5, "b"), (17, "c"), (43, "d")]:
+        nf = doc_id % 5 + 1
+        ns = min(nf, 4)
+        got = sorted(by_doc[doc_id], key=lambda r: r["frame_idx"])
+        assert len(got) == ns
+        h = hashlib.sha256(text.encode()).digest()
+        for j, r in enumerate(got):
+            k = j * nf // ns
+            assert r["frame_idx"] == k
+            assert r["ts_s"] == k / 4
+            assert (r["width"], r["height"]) == (doc_id % 14 + 2, doc_id % 10 + 2)
+            assert r["n_frames"] == nf
+            expect = round(h[19 + k] / 255.0, 6)
+            assert r["mean_r"] == expect == r["mean_g"] == r["mean_b"]

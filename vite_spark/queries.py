@@ -1255,6 +1255,54 @@ SELECT doc_id AS media_id,
 FROM f"""
 
 
+def q_multimodal_mjpeg_frames(spark, sf_dir):
+    """REAL COMPRESSED-video decode, driver-checked: deterministic
+    Motion-JPEG AVIs built from the documents table
+    (text/multimodal.mjpeg_media_from_docs) are decoded by the vendored
+    RIFF walker + per-frame pure-NumPy T.81 JPEG decoder — no fake path —
+    and the header dims, frame count, even-sampling fan-out, timestamps,
+    and per-frame channel means (exact: constant-gray frames under
+    all-ones quantization) are value-matched against the SQL
+    recomputation. Byte size is compressor-dependent and not an output
+    column."""
+    from vite_spark.text.multimodal import mjpeg_media_from_docs, sample_avi_frames
+
+    media = mjpeg_media_from_docs(_docs(spark, sf_dir), fps=MJPEG_FPS)
+    return sample_avi_frames(media, max_frames=MAX_FRAMES).select(
+        "media_id", "frame_idx", "ts_s", "width", "height", "n_frames",
+        "mean_r", "mean_g", "mean_b",
+    )
+
+
+MJPEG_FPS = 4
+
+# everything recomputed from the mjpeg_media_from_docs contract:
+# W = doc_id%14+2, H = doc_id%10+2, n_frames = doc_id%5+1, 4 fps, frame k
+# constant gray = sha256(text)[19+k]; same sampler rule as the DIB AVI
+SQL_MULTIMODAL_MJPEG = f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+d AS (SELECT doc_id, hx,
+             doc_id % 14 + 2 AS w, doc_id % 10 + 2 AS hh,
+             doc_id % 5 + 1 AS n
+      FROM h),
+s AS (SELECT doc_id, hx, w, hh, n,
+             LEAST(n, {MAX_FRAMES}) AS ns
+      FROM d),
+f AS (SELECT doc_id, hx, w, hh, n,
+             (unnest(range(ns)) * n) // ns AS k
+      FROM s)
+SELECT doc_id AS media_id,
+       CAST(k AS BIGINT) AS frame_idx,
+       k / {MJPEG_FPS}.0 AS ts_s,
+       CAST(w AS BIGINT) AS width,
+       CAST(hh AS BIGINT) AS height,
+       CAST(n AS BIGINT) AS n_frames,
+       ROUND({_hexbyte_at('hx', '39 + 2 * k')} / 255.0, 6) AS mean_r,
+       ROUND({_hexbyte_at('hx', '39 + 2 * k')} / 255.0, 6) AS mean_g,
+       ROUND({_hexbyte_at('hx', '39 + 2 * k')} / 255.0, 6) AS mean_b
+FROM f"""
+
+
 IVF_CELLS, IVF_NPROBE, IVF_ITERS = 16, 2, 2
 
 
@@ -1481,6 +1529,9 @@ def registry() -> dict[str, tuple]:
         ),
         "multimodal_jpeg_features": (
             q_multimodal_jpeg_features, SQL_MULTIMODAL_JPEG,
+        ),
+        "multimodal_mjpeg_frames": (
+            q_multimodal_mjpeg_frames, SQL_MULTIMODAL_MJPEG,
         ),
         "multimodal_bmp_features": (
             q_multimodal_bmp_features, SQL_MULTIMODAL_BMP,

@@ -280,27 +280,44 @@ def _riff_chunks(payload: bytes, pos: int, end: int):
         pos += 8 + size + (size & 1)   # chunks are word-aligned
 
 
-def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
-    """(n, H, W, 3) uint8 RGB frames → canonical uncompressed AVI bytes
-    ('DIB ' video stream, one '00db' chunk per frame, keyframe idx1)."""
+_MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+
+def encode_avi(frames: np.ndarray, fps: int = 25, codec: str = "dib") -> bytes:
+    """(n, H, W, 3) uint8 RGB frames → canonical AVI bytes.
+
+    codec='dib': raw bottom-up BGR '00db' chunks (uncompressed).
+    codec='mjpeg': one baseline JPEG per '00dc' chunk (Motion JPEG, the
+    simplest real COMPRESSED video form — every frame is an independent
+    T.81 image, biCompression fourcc 'MJPG')."""
     f = np.asarray(frames, dtype=np.uint8)
     if f.ndim != 4 or f.shape[3] != 3 or f.shape[0] == 0:
         raise ValueError(f"expected (n, H, W, 3) RGB frames, got {f.shape}")
+    if codec not in ("dib", "mjpeg"):
+        raise ValueError(f"unknown AVI codec {codec!r}")
     n, h, w = f.shape[:3]
-    stride = _row_stride(w)
-    rows = np.zeros((n, h, stride), dtype=np.uint8)
-    rows[:, :, : 3 * w] = f[:, ::-1, :, ::-1].reshape(n, h, 3 * w)  # bottom-up BGR
-    fsize = h * stride
+    if codec == "dib":
+        stride = _row_stride(w)
+        rows = np.zeros((n, h, stride), dtype=np.uint8)
+        rows[:, :, : 3 * w] = f[:, ::-1, :, ::-1].reshape(n, h, 3 * w)  # bottom-up BGR
+        chunks = [rows[i].tobytes() for i in range(n)]
+        tag, handler, comp = b"00db", b"DIB ", 0
+    else:
+        from vite_spark.text.jpeg import encode_jpeg
+
+        chunks = [encode_jpeg(f[i]) for i in range(n)]
+        tag, handler, comp = b"00dc", b"MJPG", _MJPG_FOURCC
+    bufsize = max(len(c) for c in chunks)
     avih = b"avih" + struct.pack("<I", 56) + _AVIH.pack(
-        1_000_000 // fps, fsize * fps, 0, 0x10, n, 0, 1, fsize, w, h,
+        1_000_000 // fps, bufsize * fps, 0, 0x10, n, 0, 1, bufsize, w, h,
         0, 0, 0, 0,
     )
     strh = b"strh" + struct.pack("<I", 56) + _STRH.pack(
-        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, fsize, -1, 0,
+        b"vids", handler, 0, 0, 0, 0, 1, fps, 0, n, bufsize, -1, 0,
         0, 0, w, h,
     )
     strf = b"strf" + struct.pack("<I", 40) + _INFO_HEADER.pack(
-        40, w, h, 1, 24, 0, fsize, 2835, 2835, 0, 0
+        40, w, h, 1, 24, comp, bufsize, 2835, 2835, 0, 0
     )
     strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) \
         + b"strl" + strh + strf
@@ -308,10 +325,10 @@ def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
         + b"hdrl" + avih + strl
     movi = bytearray(b"movi")
     idx1 = bytearray()
-    for i in range(n):
-        idx1 += b"00db" + struct.pack("<III", 0x10, len(movi), fsize)
-        movi += b"00db" + struct.pack("<I", fsize) + rows[i].tobytes()
-        if fsize & 1:
+    for c in chunks:
+        idx1 += tag + struct.pack("<III", 0x10, len(movi), len(c))
+        movi += tag + struct.pack("<I", len(c)) + c
+        if len(c) & 1:
             movi += b"\x00"
     body = hdrl + b"LIST" + struct.pack("<I", len(movi)) + bytes(movi) \
         + b"idx1" + struct.pack("<I", len(idx1)) + bytes(idx1)
@@ -359,9 +376,11 @@ def decode_avi(payload: bytes):
     if avih is None or strf is None:
         raise ValueError("AVI missing avih/strf header")
     _hsz, w, h, _planes, bpp, comp = strf[:6]
-    if bpp != 24 or comp != 0:
+    is_mjpeg = comp == _MJPG_FOURCC
+    if not is_mjpeg and (bpp != 24 or comp != 0):
         raise ValueError(
-            f"only uncompressed 24-bit AVI supported (bpp={bpp}, compression={comp})"
+            "only uncompressed 24-bit or MJPG AVI supported "
+            f"(bpp={bpp}, compression={comp})"
         )
     top_down = h < 0
     h = abs(h)
@@ -372,8 +391,22 @@ def decode_avi(payload: bytes):
         if usec <= 0:
             raise ValueError("AVI has no frame-rate information")
         fps = 1_000_000 / usec
-    stride = _row_stride(w)
     out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    if is_mjpeg:
+        # Motion JPEG: every chunk is an independent baseline JPEG —
+        # a REAL compressed-video decode (text/jpeg.py per frame)
+        from vite_spark.text.jpeg import decode_jpeg
+
+        for i, fb in enumerate(frames):
+            img = decode_jpeg(fb)
+            if img.shape[:2] != (h, w):
+                raise ValueError(
+                    f"AVI MJPEG frame {i} is {img.shape[1]}x{img.shape[0]}, "
+                    f"header says {w}x{h}"
+                )
+            out[i] = img
+        return out, float(fps)
+    stride = _row_stride(w)
     for i, fb in enumerate(frames):
         if len(fb) < stride * h:
             raise ValueError(

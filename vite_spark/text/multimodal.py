@@ -463,6 +463,57 @@ def avi_media_from_docs(docs: DataFrame, fps: int = 5) -> DataFrame:
     )
 
 
+def mjpeg_media_from_docs(docs: DataFrame, fps: int = 4) -> DataFrame:
+    """Deterministic REAL Motion-JPEG AVI payloads derived from the
+    documents table — the COMPRESSED-video driver fixture: each doc
+    becomes a (doc_id%5+1)-frame, 4 fps, (doc_id%14+2) × (doc_id%10+2)
+    MJPG AVI whose frame k is the constant GRAY level sha256(text)[19+k]
+    (gray r=g=b survives the JPEG YCbCr path bit-exactly under all-ones
+    quantization). Frame count, dims, timestamps, the sampling rule, and
+    per-frame channel means are SQL-expressible, so the DuckDB oracle
+    value-checks RIFF walk → per-frame T.81 Huffman/IDCT decode
+    end-to-end. Byte size is compressor-dependent and deliberately not an
+    output column (same policy as PNG/GIF)."""
+
+    def batch_fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from vite_spark.text.codecs import encode_avi
+
+        for pdf in batches:
+            payloads, mw, mh, dur = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.sha256((text or "").encode()).digest()
+                w = int(doc_id) % 14 + 2
+                ht = int(doc_id) % 10 + 2
+                nf = int(doc_id) % 5 + 1
+                frames = np.empty((nf, ht, w, 3), np.uint8)
+                for k in range(nf):
+                    frames[k] = h[19 + k]
+                payloads.append(encode_avi(frames, fps, codec="mjpeg"))
+                mw.append(w)
+                mh.append(ht)
+                dur.append(nf / fps)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "payload": payloads,
+                    "mime": "video/x-msvideo",
+                    "meta_width": pd.array(mw, dtype="Int64"),
+                    "meta_height": pd.array(mh, dtype="Int64"),
+                    "meta_duration_s": pd.array(dur, dtype="Float64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batch_fn, schema=MEDIA_SCHEMA
+    )
+
+
 VIDEO_FRAMES_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -501,10 +552,11 @@ def sample_avi_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
             for i, b in zip(pdf["media_id"], pdf["payload"]):
                 if not is_avi(b):
                     raise NotImplementedError(
-                        "only uncompressed raw-DIB AVI decodes natively "
-                        "(text/codecs.py); compressed video needs codec "
-                        "libraries not present in this environment — see "
-                        "sample_frames for the deterministic stub"
+                        "only raw-DIB and Motion-JPEG AVI decode natively "
+                        "(text/codecs.py, text/jpeg.py); other video "
+                        "codecs need libraries not present in this "
+                        "environment — see sample_frames for the "
+                        "deterministic stub"
                     )
                 frames, fps = decode_avi(b)
                 n, h, w = frames.shape[:3]
