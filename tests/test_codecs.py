@@ -1117,3 +1117,72 @@ def test_mjpeg_media_and_sampler_contract(spark):
             assert r["n_frames"] == nf
             expect = round(h[19 + k] / 255.0, 6)
             assert r["mean_r"] == expect == r["mean_g"] == r["mean_b"]
+
+
+# --- AU (Sun audio, big-endian PCM16) ---------------------------------------
+
+
+def test_au_decode_matches_spec_literal():
+    """Hand-built 3-sample stereo AU from the Sun spec (NOT via
+    encode_au): 28-byte offset (4 annotation bytes skipped), big-endian
+    samples."""
+    from vite_spark.text.codecs import decode_au, is_au
+
+    samples = np.array([[100, -100], [32767, -32768], [0, 5]], dtype=np.int16)
+    payload = (struct.pack(">4sIIIII", b".snd", 28, 12, 3, 8000, 2)
+               + b"anno" + samples.astype(">i2").tobytes())
+    assert is_au(payload)
+    s, rate = decode_au(payload)
+    assert rate == 8000
+    assert np.array_equal(s, samples)
+    # unknown-size sentinel: take the rest of the payload
+    payload2 = (struct.pack(">4sIIIII", b".snd", 24, 0xFFFFFFFF, 3, 8000, 2)
+                + samples.astype(">i2").tobytes())
+    s2, _ = decode_au(payload2)
+    assert np.array_equal(s2, samples)
+
+
+def test_au_roundtrip_and_rejections():
+    from vite_spark.text.codecs import decode_au, encode_au, is_au
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3):
+        s = rng.integers(-32768, 32768, size=(37, ch)).astype(np.int16)
+        out, rate = decode_au(encode_au(s, 11025))
+        assert rate == 11025
+        assert np.array_equal(out, s)
+    assert not is_au(b".snd too short")
+    with pytest.raises(ValueError, match="magic"):
+        decode_au(b"RIFF" + bytes(40))
+    # mu-law (encoding 1) rejected
+    mu = struct.pack(">4sIIIII", b".snd", 24, 4, 1, 8000, 1) + bytes(4)
+    with pytest.raises(ValueError, match="16-bit linear"):
+        decode_au(mu)
+    good = encode_au(np.zeros((10, 2), np.int16), 8000)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_au(good[:-8])
+
+
+def test_au_media_from_docs_contract(spark):
+    """Driver-fixture contract: formulas match what the DuckDB oracle
+    recomputes (queries.SQL_MULTIMODAL_AU), and the shared
+    extract_audio_features path decodes it for real (big-endian sign
+    handling included)."""
+    import pandas as pd
+
+    from vite_spark.text.multimodal import au_media_from_docs, extract_audio_features
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 7, 44], "text": ["alpha", "beta", "gamma"]})
+    )
+    media = au_media_from_docs(docs)
+    rows = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    for doc_id, text in [(0, "alpha"), (7, "beta"), (44, "gamma")]:
+        r = rows[doc_id]
+        ch, n = doc_id % 3 + 1, doc_id % 300 + 10
+        h = hashlib.sha256(text.encode()).digest()
+        v = int.from_bytes(h[24:26], "big", signed=True)
+        assert (r["channels"], r["n_samples"], r["sample_rate"]) == (ch, n, 11025)
+        assert r["n_bytes"] == 24 + 2 * ch * n
+        assert r["mean_amp"] == v / 32768.0
+        assert r["rms_amp"] == abs(v) / 32768.0

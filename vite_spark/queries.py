@@ -1255,6 +1255,53 @@ SELECT doc_id AS media_id,
 FROM f"""
 
 
+def q_multimodal_au_features(spark, sf_dir):
+    """REAL audio decode #2 (Sun AU, BIG-endian PCM16), driver-checked:
+    deterministic AUs built from the documents table
+    (text/multimodal.au_media_from_docs) are decoded by the vendored
+    header parser — no fake path — and the header-derived rate/channels,
+    data sample count, encoder-exact byte size, and sample-derived
+    amplitude statistics are value-matched against the SQL recomputation.
+    An endianness bug flips the amplitudes, a header misread flips
+    channels/rate, an offset bug flips n_samples."""
+    from vite_spark.text.multimodal import (
+        au_media_from_docs,
+        extract_audio_features,
+    )
+
+    media = au_media_from_docs(_docs(spark, sf_dir))
+    f = extract_audio_features(media)   # fake=False: the REAL decode path
+    return f.select(
+        "media_id", "n_bytes", "sample_rate", "channels", "n_samples",
+        "duration_s", "mean_amp", "rms_amp",
+    )
+
+
+# everything recomputed from the au_media_from_docs contract:
+# ch = doc_id%3+1, n = doc_id%300+10, constant sample = first 2 of
+# sha256(text)[24:26] as BE signed int16, 11025 Hz; AU size = 24-byte
+# header + 2·ch·n data bytes. Same no-ROUND policy as WAV: /2^15 is
+# IEEE-exact, the rest single correctly-rounded ops.
+SQL_MULTIMODAL_AU = f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+d AS (SELECT doc_id,
+             doc_id % 3 + 1 AS ch, doc_id % 300 + 10 AS n,
+             256 * {_hexbyte('hx', 49)} + {_hexbyte('hx', 51)} AS u
+      FROM h),
+s AS (SELECT doc_id, ch, n,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+      FROM d)
+SELECT doc_id AS media_id,
+       CAST(24 + 2 * ch * n AS BIGINT) AS n_bytes,
+       CAST(11025 AS BIGINT) AS sample_rate,
+       CAST(ch AS BIGINT) AS channels,
+       CAST(n AS BIGINT) AS n_samples,
+       n / 11025.0 AS duration_s,
+       v / 32768.0 AS mean_amp,
+       ABS(v) / 32768.0 AS rms_amp
+FROM s"""
+
+
 def q_multimodal_mjpeg_frames(spark, sf_dir):
     """REAL COMPRESSED-video decode, driver-checked: deterministic
     Motion-JPEG AVIs built from the documents table
@@ -1532,6 +1579,9 @@ def registry() -> dict[str, tuple]:
         ),
         "multimodal_mjpeg_frames": (
             q_multimodal_mjpeg_frames, SQL_MULTIMODAL_MJPEG,
+        ),
+        "multimodal_au_features": (
+            q_multimodal_au_features, SQL_MULTIMODAL_AU,
         ),
         "multimodal_bmp_features": (
             q_multimodal_bmp_features, SQL_MULTIMODAL_BMP,

@@ -165,6 +165,62 @@ def decode_wav(payload: bytes):
     return s, int(sample_rate)
 
 
+# --- AU (Sun/NeXT audio, 16-bit linear PCM) --------------------------------
+#
+# Canonical layout (the public Sun audio spec; all integers BIG-endian —
+# the opposite byte order of WAV, so a second real audio format also
+# pins endianness handling):
+#   offset 0   4s  magic '.snd'
+#   offset 4   u32 data offset (≥ 24; anything between header and data is
+#              an annotation field, skipped)
+#   offset 8   u32 data size (0xFFFFFFFF = unknown → rest of payload)
+#   offset 12  u32 encoding (3 = 16-bit linear PCM; others rejected)
+#   offset 16  u32 sample rate
+#   offset 20  u32 channels
+#   then interleaved big-endian int16 samples.
+
+_AU_HEADER = struct.Struct(">4sIIIII")
+
+
+def encode_au(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n,) or (n, channels) int16 samples → canonical PCM16 AU bytes."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2:
+        raise ValueError(f"expected (n,) or (n, ch) samples, got {s.shape}")
+    data = s.astype(">i2").tobytes()
+    return _AU_HEADER.pack(b".snd", 24, len(data), 3, sample_rate,
+                           s.shape[1]) + data
+
+
+def is_au(payload: bytes | None) -> bool:
+    return (payload is not None and len(payload) >= 24
+            and payload[:4] == b".snd")
+
+
+def decode_au(payload: bytes):
+    """PCM16 AU bytes → ((n, channels) int16 array, sample_rate).
+
+    Honors the data-offset field (skipping annotation bytes) and the
+    unknown-size sentinel; rejects non-PCM16 encodings loudly."""
+    if not is_au(payload):
+        raise ValueError("not an AU payload (missing '.snd' magic)")
+    _magic, off, size, enc, rate, ch = _AU_HEADER.unpack_from(payload, 0)
+    if enc != 3:
+        raise ValueError(f"only 16-bit linear PCM AU supported (encoding={enc})")
+    if ch <= 0 or off < 24:
+        raise ValueError(f"invalid AU header (channels={ch}, offset={off})")
+    body = payload[off:]
+    if size != 0xFFFFFFFF:
+        if len(body) < size:
+            raise ValueError(f"truncated AU: {len(body)} data bytes, need {size}")
+        body = body[:size]
+    n = len(body) // (2 * ch)
+    s = np.frombuffer(body, dtype=">i2", count=n * ch).reshape(n, ch)
+    return s.astype(np.int16), int(rate)
+
+
 # --- PPM (netpbm P6, binary RGB) ----------------------------------------
 #
 # Canonical layout (the netpbm spec): ASCII header of three tokens —

@@ -412,6 +412,51 @@ def wav_media_from_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def au_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PCM16 AU payloads derived from the documents
+    table — the BIG-endian audio driver fixture (deliberately different
+    channel/sample/rate formulas than the WAV fixture so a byte-order or
+    header bug cannot alias): each doc becomes a (doc_id%3+1)-channel,
+    11025 Hz, (doc_id%300+10)-sample AU whose constant sample value is
+    bytes 24..25 of sha256(text) as a BIG-endian signed int16. Every
+    derived quantity is SQL-expressible, so the DuckDB oracle
+    value-checks the decode end-to-end."""
+
+    def batch_fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from vite_spark.text.codecs import encode_au
+
+        for pdf in batches:
+            payloads, dur = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.sha256((text or "").encode()).digest()
+                ch = int(doc_id) % 3 + 1
+                n = int(doc_id) % 300 + 10
+                val = int.from_bytes(h[24:26], "big", signed=True)
+                s = np.full((n, ch), val, np.int16)
+                payloads.append(encode_au(s, 11025))
+                dur.append(n / 11025.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                    "mime": "audio/basic",
+                    "meta_width": pd.array([None] * len(pdf), dtype="Int64"),
+                    "meta_height": pd.array([None] * len(pdf), dtype="Int64"),
+                    "meta_duration_s": pd.array(dur, dtype="Float64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batch_fn, schema=MEDIA_SCHEMA
+    )
+
+
 def avi_media_from_docs(docs: DataFrame, fps: int = 5) -> DataFrame:
     """Deterministic REAL uncompressed-AVI payloads derived from the
     documents table — the driver fixture for the native VIDEO decode
@@ -605,10 +650,11 @@ AUDIO_FEATURES_SCHEMA = StructType(
 def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """Arrow-batched audio feature extraction over binary payloads.
 
-    REAL for PCM16 WAV (text/codecs.py decode_wav): sample rate, channel
-    count, sample count, duration and amplitude statistics come from the
-    decoded samples. Non-WAV payloads raise unless fake=True, where a
-    deterministic sha256-seeded stub stands in (same contract as
+    REAL for PCM16 WAV (little-endian RIFF) and PCM16 AU (big-endian
+    Sun audio) — text/codecs.py decode_wav/decode_au: sample rate,
+    channel count, sample count, duration and amplitude statistics come
+    from the decoded samples. Other payloads raise unless fake=True,
+    where a deterministic sha256-seeded stub stands in (same contract as
     extract_features)."""
 
     def batch_fn(batches):
@@ -617,7 +663,7 @@ def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from vite_spark.text.codecs import decode_wav, is_wav
+        from vite_spark.text.codecs import decode_au, decode_wav, is_au, is_wav
 
         for pdf in batches:
             n_bytes = pdf["payload"].map(lambda b: len(b) if b is not None else 0)
@@ -627,6 +673,11 @@ def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
                 if is_wav(b):
                     try:
                         decoded = decode_wav(b)
+                    except ValueError:
+                        decoded = None
+                elif is_au(b):
+                    try:
+                        decoded = decode_au(b)
                     except ValueError:
                         decoded = None
                 if decoded is not None:
@@ -648,7 +699,7 @@ def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "only PCM 16-bit WAV decodes natively "
+                        "only PCM 16-bit WAV / AU decode natively "
                         "(text/codecs.py); other audio formats need codec "
                         "libraries not present in this environment — pass "
                         "fake=True for the deterministic stub"
