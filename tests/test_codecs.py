@@ -898,17 +898,88 @@ def test_jpeg_rejects_unsupported_loudly():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"definitely not a jpeg payload here")
     good = encode_jpeg(np.full((9, 9), 50, np.uint8))
-    # flip SOF0 -> SOF2 (progressive): marker byte right after the DHT-free
-    # prefix; find it structurally
+    # flip SOF0 -> SOF2: the baseline single scan (Ss=0, Se=63) is an
+    # ILLEGAL progressive scan header and must be rejected, not decoded
     bad = bytearray(good)
     i = bad.find(b"\xff\xc0")
     bad[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="progressive DC scan"):
+        decode_jpeg(bytes(bad))
+    # arithmetic coding (SOF9) is a different codec, still rejected
+    bad[i + 1] = 0xC9
+    with pytest.raises(ValueError, match="coding process"):
         decode_jpeg(bytes(bad))
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg(good[:-12])
     with pytest.raises(ValueError, match="quant table"):
         encode_jpeg(np.zeros((4, 4), np.uint8), quant=np.zeros((8, 8), int))
+
+
+def test_jpeg_progressive_bit_identical_to_baseline():
+    """The progressive encoder emits the SAME quantized coefficients as
+    the baseline encoder (successive approximation is lossless once all
+    refinement scans land), so decode(progressive) must equal
+    decode(baseline) BIT-FOR-BIT — any bug in spectral selection,
+    EOB-run accounting, DC/AC refinement, or correction-bit ordering
+    breaks the equality. The baseline side is itself validated against a
+    real-world encoder file (test below), which anchors this parity to
+    independent bytes."""
+    from vite_spark.text.jpeg import decode_jpeg, encode_jpeg, is_jpeg
+
+    rng = np.random.default_rng(7)
+    for shape in [(5, 7), (16, 16), (1, 1), (24, 17), (31, 33)]:
+        g = rng.integers(0, 256, shape, dtype=np.uint8)
+        prog = encode_jpeg(g, progressive=True)
+        assert is_jpeg(prog) and b"\xff\xc2" in prog
+        assert (decode_jpeg(prog) == decode_jpeg(encode_jpeg(g))).all()
+    for shape in [(16, 16, 3), (10, 13, 3), (7, 29, 3)]:
+        rgb = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert (decode_jpeg(encode_jpeg(rgb, progressive=True))
+                == decode_jpeg(encode_jpeg(rgb))).all()
+    # non-trivial quant table: refinement scans see real multi-bit values
+    quant = np.clip(np.arange(64).reshape(8, 8) + 4, 1, 255)
+    g = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(g, quant=quant, progressive=True))
+            == decode_jpeg(encode_jpeg(g, quant=quant))).all()
+
+
+def test_jpeg_progressive_eob_runs_and_correction_bits():
+    """Sparse images: most blocks are empty in every AC band, so EOB
+    runs span many blocks (EOBn codes with extension bits) and the
+    refinement scans must buffer correction bits across the run exactly
+    as the decoder interleaves them — the hardest part of Annex G."""
+    from vite_spark.text.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    coarse = np.clip((np.arange(64).reshape(8, 8) % 13) + 2, 1, 255)
+    for n_hot in [0, 1, 3, 17, 80, 500]:
+        g = np.full((64, 96), 128, np.uint8)
+        ys = rng.integers(0, 64, n_hot)
+        xs = rng.integers(0, 96, n_hot)
+        g[ys, xs] = rng.integers(0, 256, n_hot)
+        for quant in (None, coarse):
+            assert (decode_jpeg(encode_jpeg(g, quant=quant, progressive=True))
+                    == decode_jpeg(encode_jpeg(g, quant=quant))).all()
+
+
+def test_jpeg_progressive_constant_roundtrips_exactly():
+    """Constant blocks are DC-only integers under all-ones quantization;
+    the DC-first (Al=1) + DC-refinement scan pair must reassemble them
+    exactly, as the baseline path does."""
+    from vite_spark.text.jpeg import decode_jpeg, encode_jpeg
+
+    for val in (0, 77, 143, 255):
+        g = np.full((9, 11), val, np.uint8)
+        out = decode_jpeg(encode_jpeg(g, progressive=True))
+        assert out.shape == (9, 11, 3) and (out == val).all()
+
+
+def test_jpeg_progressive_rejects_malformed():
+    from vite_spark.text.jpeg import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.full((9, 9), 50, np.uint8), progressive=True)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-40])              # truncated mid-scan
 
 
 @pytest.mark.skipif(not __import__("os").path.isdir(_IMGDATA),

@@ -986,6 +986,22 @@ def q_multimodal_jpeg_features(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg_progressive(spark, sf_dir):
+    """REAL image decode #6 (progressive JPEG, SOF2) on NON-constant
+    content, driver-checked as a parity property: hash-seeded noise
+    images from the documents table are encoded both baseline and
+    progressive (text/multimodal.jpeg_progressive_parity) and both are
+    decoded by the vendored T.81 codec. Successive approximation is
+    lossless once all scans land, so the decodes must be bit-identical —
+    the oracle expects identical=TRUE per row, with SOF2-header dims.
+    Unlike the constant-gray JPEG fixture this populates every AC band,
+    so spectral selection, EOB runs across blocks, and refinement
+    correction-bit ordering are all on the checked path."""
+    from vite_spark.text.multimodal import jpeg_progressive_parity
+
+    return jpeg_progressive_parity(_docs(spark, sf_dir))
+
+
 def q_multimodal_gif_features(spark, sf_dir):
     """REAL image decode #4 (GIF89a) — the second COMPRESSED format on
     the native path, driver-checked: deterministic GIFs built from the
@@ -1108,6 +1124,17 @@ SELECT doc_id AS media_id,
        ROUND({_hexbyte('hx', 37)} / 255.0, 6) AS mean_g,
        ROUND({_hexbyte('hx', 37)} / 255.0, 6) AS mean_b
 FROM d"""
+
+
+# dims recomputed from the jpeg_progressive_parity contract
+# (W = doc_id%24+9, H = doc_id%10+6); identical=TRUE is the property the
+# Spark side computes from the actual baseline-vs-progressive pixel arrays
+SQL_MULTIMODAL_JPEG_PROGRESSIVE = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 24 + 9 AS BIGINT) AS width,
+       CAST(doc_id % 10 + 6 AS BIGINT) AS height,
+       TRUE AS identical
+FROM documents"""
 
 
 # dims/means recomputed from the gif_media_from_docs contract:
@@ -1576,6 +1603,9 @@ def registry() -> dict[str, tuple]:
         ),
         "multimodal_jpeg_features": (
             q_multimodal_jpeg_features, SQL_MULTIMODAL_JPEG,
+        ),
+        "multimodal_jpeg_progressive": (
+            q_multimodal_jpeg_progressive, SQL_MULTIMODAL_JPEG_PROGRESSIVE,
         ),
         "multimodal_mjpeg_frames": (
             q_multimodal_mjpeg_frames, SQL_MULTIMODAL_MJPEG,

@@ -22,8 +22,21 @@ in NumPy. This module makes the JPEG decode path REAL:
   constant block is 8·(c−128), an integer; all AC vanish) — the property
   the driver-oracle fixture relies on.
 
-Progressive (SOF2), arithmetic-coded, and 12-bit JPEGs are rejected
-loudly — they are different codecs, not missing table lookups.
+Progressive JPEG (SOF2) is ALSO real (T.81 Annex G.1): multi-scan
+spectral selection + successive approximation, EOB-run codes, DC/AC
+refinement scans. ``decode_jpeg`` accumulates per-component coefficient
+arrays across scans and reconstructs once at EOI; ``encode_jpeg(...,
+progressive=True)`` emits a scan script exercising every progressive
+feature (interleaved DC first scan at Al=1, DC refinement, per-component
+spectral bands at Al=2, two full-band AC refinement passes, EOB-run
+accumulation with buffered correction bits — the jcphuff-style encoder
+protocol, implemented from the spec). Because successive approximation
+is lossless once every refinement scan lands, the progressive and
+baseline encodings of the same image carry IDENTICAL coefficients, so
+decode(progressive bytes) must be bit-identical to decode(baseline
+bytes) — the cross-check the tests pin against the real-world-validated
+baseline path. Arithmetic-coded and 12-bit JPEGs are rejected loudly —
+they are different codecs, not missing table lookups.
 
 DCT convention: the orthonormal 8-point DCT-II matrix T (T @ X @ T.T)
 equals T.81's FDCT with the 1/4·C(u)C(v) scaling folded in.
@@ -91,6 +104,13 @@ _ENC_AC_VALS = [0x00, 0xF0] + [
     (run << 4) | size for run in range(16) for size in range(1, 11)
 ]
 _ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, len(_ENC_AC_VALS), 0, 0, 0, 0, 0, 0, 0]
+
+# progressive AC table: the baseline symbols PLUS the EOBn run codes
+# (run<<4 with size 0 for run 0..14 — EOB runs of 1..32767 blocks)
+_ENC_ACP_VALS = [run << 4 for run in range(15)] + [0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_ENC_ACP_BITS = [0, 0, 0, 0, 0, 0, 0, 0, len(_ENC_ACP_VALS), 0, 0, 0, 0, 0, 0, 0]
 
 
 def _category(v: int) -> int:
@@ -207,15 +227,191 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, quant: np.ndarray,
     return int(q[0])
 
 
+# --- progressive encoder (T.81 Annex G.1; jcphuff-style protocol) ----------
+
+
+def _prog_coefs(planes, quant):
+    """Quantized zigzag-order coefficient arrays, one (bh, bw, 64) int32
+    per component — the same math as _encode_block's front half,
+    vectorized over all blocks."""
+    out = []
+    for p in planes:
+        h, w = p.shape
+        bh, bw_ = (h + 7) // 8, (w + 7) // 8
+        pad = np.pad(p, ((0, bh * 8 - h), (0, bw_ * 8 - w)), mode="edge")
+        blocks = pad.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = _T @ blocks @ _T.T
+        q = np.round(coef / quant).astype(np.int32).reshape(bh, bw_, 64)
+        out.append(q[:, :, _ZIGZAG])
+    return out
+
+
+def _sos_segment(comps: list[tuple[int, int, int]], ss: int, se: int,
+                 ah: int, al: int) -> bytes:
+    body = bytes([len(comps)])
+    for cid, td, ta in comps:
+        body += bytes([cid, (td << 4) | ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _prog_dc_first(bwr: _BitWriter, coefs: list[np.ndarray], al: int, dc_tab):
+    """Interleaved DC first scan: DPCM over the Al-shifted DC values
+    (arithmetic shift, per G.1.2.1)."""
+    bh, bw_ = coefs[0].shape[:2]
+    preds = [0] * len(coefs)
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci, cf in enumerate(coefs):
+                v = int(cf[by, bx, 0]) >> al
+                diff = v - preds[ci]
+                preds[ci] = v
+                t = _category(diff)
+                code, ln = dc_tab[t]
+                bwr.write(code, ln)
+                if t:
+                    bwr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def _prog_dc_refine(bwr: _BitWriter, coefs: list[np.ndarray], al: int):
+    """DC refinement: one raw bit (bit Al, two's complement) per block."""
+    bh, bw_ = coefs[0].shape[:2]
+    for by in range(bh):
+        for bx in range(bw_):
+            for cf in coefs:
+                bwr.write((int(cf[by, bx, 0]) >> al) & 1, 1)
+
+
+def _emit_eobn(bwr: _BitWriter, eobrun: int, ac_tab):
+    r = eobrun.bit_length() - 1
+    code, ln = ac_tab[r << 4]
+    bwr.write(code, ln)
+    if r:
+        bwr.write(eobrun - (1 << r), r)
+
+
+def _prog_ac_first(bwr: _BitWriter, cf3: np.ndarray, ss: int, se: int,
+                   al: int, ac_tab):
+    """Single-component AC first scan over band [ss, se]: values are the
+    quantized coefficients divided by 2^Al truncated toward zero
+    (sign-magnitude, G.1.2.2), with EOB runs accumulated across blocks."""
+    bh, bw_ = cf3.shape[:2]
+    eobrun = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            band = cf3[by, bx, ss:se + 1]
+            vals = [int(v) >> al if v >= 0 else -((-int(v)) >> al)
+                    for v in band]
+            nz = [i for i, v in enumerate(vals) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    _emit_eobn(bwr, eobrun, ac_tab)
+                    eobrun = 0
+                continue
+            if eobrun:
+                _emit_eobn(bwr, eobrun, ac_tab)
+                eobrun = 0
+            run = 0
+            for i in range(nz[-1] + 1):
+                v = vals[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tab[0xF0]
+                    bwr.write(code, ln)
+                    run -= 16
+                t = _category(v)
+                code, ln = ac_tab[(run << 4) | t]
+                bwr.write(code, ln)
+                bwr.write(v if v >= 0 else v + (1 << t) - 1, t)
+                run = 0
+            if nz[-1] < se - ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    _emit_eobn(bwr, eobrun, ac_tab)
+                    eobrun = 0
+    if eobrun:
+        _emit_eobn(bwr, eobrun, ac_tab)
+
+
+def _prog_ac_refine(bwr: _BitWriter, cf3: np.ndarray, ss: int, se: int,
+                    al: int, ac_tab):
+    """Single-component AC refinement (Ah = Al+1): newly-significant
+    coefficients as (run-of-zero-history, size 1) symbols with a sign
+    bit; already-nonzero coefficients contribute one correction bit each,
+    buffered and flushed after the next symbol/EOBn so the decoder reads
+    them interleaved in k order (G.1.2.3)."""
+    bh, bw_ = cf3.shape[:2]
+    eobrun = 0
+    pending: list[int] = []          # correction bits awaiting a flush
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            _emit_eobn(bwr, eobrun, ac_tab)
+            eobrun = 0
+            for b in pending:
+                bwr.write(b, 1)
+            pending = []
+
+    for by in range(bh):
+        for bx in range(bw_):
+            band = cf3[by, bx, ss:se + 1]
+            absv = [abs(int(v)) >> al for v in band]
+            eob = 0                  # 1 past the last newly-nonzero index
+            for i, a in enumerate(absv):
+                if a == 1:
+                    eob = i + 1
+            r = 0
+            newbits: list[int] = []  # this block's buffered corrections
+            for i, a in enumerate(absv):
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and i < eob:
+                    flush_eob()
+                    code, ln = ac_tab[0xF0]
+                    bwr.write(code, ln)
+                    r -= 16
+                    for b in newbits:
+                        bwr.write(b, 1)
+                    newbits = []
+                if a > 1:            # already nonzero: correction bit
+                    newbits.append(a & 1)
+                    continue
+                flush_eob()
+                code, ln = ac_tab[(r << 4) | 1]
+                bwr.write(code, ln)
+                bwr.write(0 if band[i] < 0 else 1, 1)
+                r = 0
+                for b in newbits:
+                    bwr.write(b, 1)
+                newbits = []
+            if r > 0 or newbits:
+                eobrun += 1
+                pending += newbits
+                if eobrun == 0x7FFF or len(pending) > 900:
+                    flush_eob()
+    flush_eob()
+
+
 def _dht_segment(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
     body = bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
     return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
 
 
-def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
-    """(H, W) grayscale or (H, W, 3) RGB uint8 → baseline JFIF bytes
-    (4:4:4, custom canonical Huffman tables, all-ones quantization by
-    default so constant-color content roundtrips exactly)."""
+def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None,
+                progressive: bool = False) -> bytes:
+    """(H, W) grayscale or (H, W, 3) RGB uint8 → JFIF bytes (4:4:4,
+    custom canonical Huffman tables, all-ones quantization by default so
+    constant-color content roundtrips exactly). With ``progressive=True``
+    the same quantized coefficients are emitted as an SOF2 multi-scan
+    stream (DC at Al=1 + refinement, per-component spectral bands 1-5 and
+    6-63 at Al=2, then two full-band refinement passes to Al=0) —
+    successive approximation is lossless once all scans land, so decode
+    output is bit-identical to the baseline encoding's."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         planes = [img.astype(np.float64)]
@@ -244,7 +440,38 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
         sof += bytes([ci + 1, 0x11, 0])      # id, 1x1 sampling (4:4:4), quant 0
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof     # SOF0
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"       # SOF2/SOF0
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+    if progressive:
+        out += _dht_segment(0, 0, _ENC_DC_BITS, _ENC_DC_VALS)
+        out += _dht_segment(1, 0, _ENC_ACP_BITS, _ENC_ACP_VALS)
+        dc_tab = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+        ac_tab = _canonical_codes(_ENC_ACP_BITS, _ENC_ACP_VALS)
+        coefs = _prog_coefs(planes, quant)
+        all_ids = [(ci + 1, 0, 0) for ci in range(nc)]
+        scans = [("dc_first", all_ids, 0, 0, 0, 1),
+                 ("dc_refine", all_ids, 0, 0, 1, 0)]
+        for ci in range(nc):
+            one = [(ci + 1, 0, 0)]
+            scans += [("ac_first", one, 1, 5, 0, 2),
+                      ("ac_first", one, 6, 63, 0, 2),
+                      ("ac_refine", one, 1, 63, 2, 1),
+                      ("ac_refine", one, 1, 63, 1, 0)]
+        for kind, ids, ss, se, ah, al in scans:
+            out += _sos_segment(ids, ss, se, ah, al)
+            writer = _BitWriter()
+            if kind == "dc_first":
+                _prog_dc_first(writer, coefs, al, dc_tab)
+            elif kind == "dc_refine":
+                _prog_dc_refine(writer, coefs, al)
+            elif kind == "ac_first":
+                _prog_ac_first(writer, coefs[ids[0][0] - 1], ss, se, al, ac_tab)
+            else:
+                _prog_ac_refine(writer, coefs[ids[0][0] - 1], ss, se, al, ac_tab)
+            writer.flush()
+            out += writer.out
+        out += b"\xff\xd9"                                         # EOI
+        return bytes(out)
     out += _dht_segment(0, 0, _ENC_DC_BITS, _ENC_DC_VALS)
     out += _dht_segment(1, 0, _ENC_AC_BITS, _ENC_AC_VALS)
     sos = bytes([nc]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc)) + b"\x00\x3f\x00"
@@ -309,6 +536,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None        # (h, w, [(cid, hs, vs, tq)])
     restart = 0
+    progressive = False
+    coefs: dict[int, np.ndarray] | None = None   # cid -> (nby, nbx, 64) zigzag
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at offset {pos}")
@@ -343,7 +572,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[bp + 17: bp + 17 + n])
                 htabs[(cls, tid)] = _canonical_decode_map(bits, vals)
                 bp += 17 + n
-        elif marker in (0xC0, 0xC1):         # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):   # SOF0/SOF1 baseline, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"only 8-bit JPEG supported (precision={prec})")
@@ -352,8 +581,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) not supported")
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG coding process (SOF 0x{marker:02x})")
         elif marker == 0xDD:                 # DRI
@@ -366,9 +594,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = body[1 + 2 * i: 3 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 15))
-            return _decode_scan(payload, pos + seglen, frame, scan,
-                                qtabs, htabs, restart)
+            if not progressive:
+                return _decode_scan(payload, pos + seglen, frame, scan,
+                                    qtabs, htabs, restart)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            aa = body[3 + 2 * ns]
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            pos = _progressive_scan(payload, pos + seglen, frame, scan,
+                                    (ss, se, aa >> 4, aa & 15), htabs,
+                                    restart, coefs)
+            continue
         pos += seglen
+    if progressive and coefs is not None:
+        return _reconstruct_progressive(frame, coefs, qtabs)
     raise ValueError("JPEG has no scan data")
 
 
@@ -434,6 +673,12 @@ def _decode_scan(payload, pos, frame, scan, qtabs, htabs, restart):
         if hs != hmax or vs != vmax:
             p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         full.append(p[:h, :w])
+    return _to_rgb(full)
+
+
+def _to_rgb(full: list[np.ndarray]) -> np.ndarray:
+    """Cropped float component planes → uint8 RGB (shared by the baseline
+    and progressive reconstruction paths)."""
     if len(full) == 1:
         g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return np.ascontiguousarray(np.stack([g, g, g], axis=2))
@@ -445,3 +690,198 @@ def _decode_scan(payload, pos, frame, scan, qtabs, htabs, restart):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- progressive decoder (T.81 Annex G.2) -----------------------------------
+
+
+def _frame_geometry(frame):
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError(f"invalid JPEG dimensions {w}x{h}")
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_coefs(frame) -> dict[int, np.ndarray]:
+    """Per-component coefficient store, zigzag order, padded to the full
+    interleaved-MCU grid so both scan kinds index the same arrays."""
+    _, _, comps = frame
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    return {cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+            for cid, hs, vs, _ in comps}
+
+
+def _comp_block_grid(frame, cid) -> tuple[int, int]:
+    """Non-interleaved block grid for one component: ceil(comp dims / 8)
+    where comp dims are the frame dims scaled by sampling (A.1.1)."""
+    h, w, comps = frame
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    hs, vs = next((hs, vs) for c, hs, vs, _ in comps if c == cid)
+    cw = -(-w * hs // hmax)
+    ch = -(-h * vs // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _progressive_scan(payload, pos, frame, scan, band, htabs, restart,
+                      coefs) -> int:
+    """Decode one progressive scan into the coefficient store and return
+    the offset just past its entropy data. Implements all four scan
+    kinds: DC first (interleaved DPCM of Al-shifted values), DC
+    refinement (raw bits), AC first (spectral band with EOB runs), AC
+    refinement (newly-significant insertions + interleaved correction
+    bits) — T.81 G.2 / the jdphuff decode protocol."""
+    h, w, comps = frame
+    ss, se, ah, al = band
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("JPEG progressive DC scan must have Se=0")
+    if not is_dc and len(scan) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    dtabs, atab = {}, None
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        if is_dc and ah == 0:
+            if (0, td) not in htabs:
+                raise ValueError("JPEG scan references a missing DHT table")
+            dtabs[cs] = htabs[(0, td)]
+        if not is_dc:
+            if (1, ta) not in htabs:
+                raise ValueError("JPEG scan references a missing DHT table")
+            atab = htabs[(1, ta)]
+    # MCU list: interleaved (multi-component DC) or one block per MCU
+    if len(scan) == 1:                       # non-interleaved (B.2.3)
+        cs = scan[0][0]
+        nby, nbx = _comp_block_grid(frame, cs)
+        mcus = [[(cs, by, bx)] for by in range(nby) for bx in range(nbx)]
+    else:
+        mcus = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blocks = []
+                for cs, _, _ in scan:
+                    hs, vs, _ = by_id[cs]
+                    for v in range(vs):
+                        for u in range(hs):
+                            blocks.append((cs, my * vs + v, mx * hs + u))
+                mcus.append(blocks)
+    br = _BitReader(payload, pos)
+    preds = {cs: 0 for cs, *_ in scan}
+    eobrun = 0
+    rst = 0
+    p1 = 1 << al
+    for n, blocks in enumerate(mcus):
+        if restart and n and n % restart == 0:
+            br.align_to_restart(rst)
+            rst = (rst + 1) & 7
+            preds = {cs: 0 for cs in preds}
+            eobrun = 0
+        for cs, by, bx in blocks:
+            cf = coefs[cs][by, bx]
+            if is_dc:
+                if ah == 0:
+                    t = _huff_symbol(br, dtabs[cs])
+                    preds[cs] += _receive_extend(br, t)
+                    cf[0] = preds[cs] << al
+                elif br.bit():
+                    cf[0] |= p1
+            elif ah == 0:
+                eobrun = _ac_first_block(br, cf, ss, se, al, atab, eobrun)
+            else:
+                eobrun = _ac_refine_block(br, cf, ss, se, al, atab, eobrun)
+    return br.pos
+
+
+def _ac_first_block(br, cf, ss, se, al, atab, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_symbol(br, atab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:                      # EOBn: run of 2^r + ext blocks
+                eobrun = (1 << r) - 1        # current block consumed here
+                if r:
+                    eobrun += br.bits(r)
+                break
+            k += 16                          # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC index out of range")
+            cf[k] = _receive_extend(br, s) << al
+            k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, cf, ss, se, al, atab, eobrun) -> int:
+    p1 = 1 << al
+    m1 = -p1
+
+    def correct(k):
+        # decoder has |coef| >= 2^(al+1) here; move it toward larger
+        # magnitude iff bit al is not already set (G.2's correction rule)
+        if br.bit() and (int(cf[k]) & p1) == 0:
+            cf[k] += p1 if cf[k] > 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_symbol(br, atab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r          # decremented in the tail below
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                val = 0                      # ZRL: skip 16 zero-history coefs
+            else:
+                if s != 1:
+                    raise ValueError("invalid JPEG AC refinement size")
+                val = p1 if br.bit() else m1
+            while k <= se:
+                if cf[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0:
+                if k > se:
+                    raise ValueError("JPEG AC refinement overran its band")
+                cf[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:                       # trailing corrections, this block
+            if cf[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, coefs, qtabs) -> np.ndarray:
+    h, w, comps = frame
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    full = []
+    for cid, hs, vs, tq in comps:
+        if tq not in qtabs:
+            raise ValueError("JPEG frame references a missing DQT table")
+        cf = coefs[cid]
+        nby, nbx = cf.shape[:2]
+        blocks = cf[:, :, _UNZIGZAG].reshape(nby, nbx, 8, 8) * qtabs[tq]
+        pix = _T.T @ blocks.astype(np.float64) @ _T + 128.0
+        p = pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    return _to_rgb(full)
