@@ -1190,6 +1190,129 @@ def test_mjpeg_media_and_sampler_contract(spark):
             assert r["mean_r"] == expect == r["mean_g"] == r["mean_b"]
 
 
+# --- IMA/DVI ADPCM WAV (format tag 17, compressed audio) --------------------
+
+def test_adpcm_decode_matches_hand_computed_spec_literal():
+    """Hand-built one-block mono IMA ADPCM WAV (NOT via the encoder),
+    with the nibble expansion worked by hand against the public step
+    table: pred=100, idx=0, nibbles [0,3,A,7,0,1,F,4] must decode to
+    [100,100,104,101,112,114,118,95,126] — pins nibble order (low
+    first), the step>>3 baseline diff, sign bit, index walk and clamps
+    independently of this repo's encoder."""
+    from vite_spark.text.codecs import decode_wav
+
+    fmt = struct.pack("<HHIIHH", 17, 1, 8000, 7112, 8, 4) + struct.pack("<HH", 2, 9)
+    data = struct.pack("<hBB", 100, 0, 0) + bytes([0x30, 0x7A, 0x10, 0x4F])
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, 9)
+            + b"data" + struct.pack("<I", len(data)) + data)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    s, rate = decode_wav(payload)
+    assert rate == 8000
+    assert s[:, 0].tolist() == [100, 100, 104, 101, 112, 114, 118, 95, 126]
+
+
+def test_adpcm_constant_roundtrips_exactly():
+    """Nibble 0 leaves the predictor unchanged at step index 0, so
+    constant signals survive the full compressed roundtrip exactly —
+    the property the driver oracle relies on — including multi-block
+    payloads and the fact-chunk partial-block trim."""
+    from vite_spark.text.codecs import decode_wav, encode_wav_adpcm
+
+    for val in (0, 1234, -20000, 32767, -32768):
+        for ch in (1, 2):
+            for n in (1, 10, 505, 506, 1300):
+                s = np.full((n, ch), val, np.int16)
+                out, rate = decode_wav(encode_wav_adpcm(s, 11025))
+                assert rate == 11025 and out.shape == (n, ch)
+                assert (out == val).all()
+
+
+def test_adpcm_lossy_roundtrip_bounded():
+    """Real signals come back within ADPCM loss, not decoder garbage:
+    >20 dB SNR on sine content, and a random walk stays within the step
+    table's adaptation reach."""
+    from vite_spark.text.codecs import decode_wav, encode_wav_adpcm
+
+    t = np.arange(3000)
+    s = (10000 * np.sin(t / 10.0)).astype(np.int16)
+    out, _ = decode_wav(encode_wav_adpcm(s, 16000))
+    x, y = s.astype(float), out[:, 0].astype(float)
+    snr = 10 * np.log10((x * x).mean() / ((y - x) ** 2).mean())
+    assert snr > 20
+    rng = np.random.default_rng(5)
+    w = np.cumsum(rng.integers(-300, 301, 900)).clip(-32768, 32767).astype(np.int16)
+    out, _ = decode_wav(encode_wav_adpcm(w, 8000))
+    assert np.abs(out[:, 0].astype(int) - w.astype(int)).max() < 2000
+
+
+def test_adpcm_stereo_interleave_matches_independent_mono():
+    """Stereo blocks interleave 4-byte words per channel; since encoder
+    state is per-channel, each decoded stereo channel must equal the
+    decode of that channel encoded alone as mono — pins the word
+    interleave without trusting it on both sides."""
+    from vite_spark.text.codecs import decode_wav, encode_wav_adpcm
+
+    rng = np.random.default_rng(11)
+    left = np.cumsum(rng.integers(-200, 201, 700)).clip(-32768, 32767)
+    right = (6000 * np.cos(np.arange(700) / 17.0))
+    s = np.stack([left, right], axis=1).astype(np.int16)
+    stereo, _ = decode_wav(encode_wav_adpcm(s, 8000))
+    for c in range(2):
+        mono, _ = decode_wav(encode_wav_adpcm(s[:, c], 8000))
+        assert np.array_equal(stereo[:, c], mono[:, 0])
+
+
+def test_adpcm_rejects_malformed():
+    from vite_spark.text.codecs import decode_wav, encode_wav_adpcm
+
+    good = encode_wav_adpcm(np.full(20, 5, np.int16), 8000)
+    with pytest.raises(ValueError, match="missing fmt/data"):
+        decode_wav(good[:50])                     # truncated chunks
+    bad = bytearray(good)
+    i = bad.find(b"data") + 8 + 2                 # header step-index byte
+    bad[i] = 120
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav(bytes(bad))
+    bad = bytearray(good)
+    j = bad.find(b"fmt ") + 8 + 18                # wSamplesPerBlock
+    bad[j:j + 2] = struct.pack("<H", 33)
+    with pytest.raises(ValueError, match="inconsistent"):
+        decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="block_samples"):
+        encode_wav_adpcm(np.zeros(4, np.int16), 8000, block_samples=10)
+    with pytest.raises(ValueError, match="ch<=2"):
+        encode_wav_adpcm(np.zeros((4, 3), np.int16), 8000)
+
+
+def test_adpcm_media_from_docs_contract(spark):
+    """Driver-fixture contract: formulas match what the DuckDB oracle
+    recomputes (queries.SQL_MULTIMODAL_ADPCM), through the shared
+    extract_audio_features REAL decode path — compressed payloads,
+    encoder-exact sizes, fact-trimmed counts."""
+    import pandas as pd
+
+    from vite_spark.text.multimodal import (
+        adpcm_media_from_docs,
+        extract_audio_features,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 7, 644], "text": ["alpha", "beta", "gamma"]})
+    )
+    media = adpcm_media_from_docs(docs)
+    rows = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    for doc_id, text in [(0, "alpha"), (7, "beta"), (644, "gamma")]:
+        r = rows[doc_id]
+        ch, n = doc_id % 2 + 1, doc_id % 900 + 10
+        h = hashlib.sha256(text.encode()).digest()
+        v = int.from_bytes(h[20:22], "little", signed=True)
+        assert (r["channels"], r["n_samples"], r["sample_rate"]) == (ch, n, 11025)
+        assert r["n_bytes"] == 60 + -(-n // 505) * 256 * ch
+        assert r["mean_amp"] == v / 32768.0
+        assert r["rms_amp"] == abs(v) / 32768.0
+
+
 # --- AU (Sun audio, big-endian PCM16) ---------------------------------------
 
 

