@@ -1190,6 +1190,226 @@ def test_mjpeg_media_and_sampler_contract(spark):
             assert r["mean_r"] == expect == r["mean_g"] == r["mean_b"]
 
 
+# --- TIFF (baseline 8-bit; none / PackBits / LZW; TIFF6 spec) ---------------
+
+_LIBTIFF = None
+
+
+def _libtiff():
+    """ctypes handle to the system libtiff (reference implementation), or
+    None when absent — the strongest independent authority available for
+    the compressed paths."""
+    global _LIBTIFF
+    if _LIBTIFF is None:
+        import ctypes
+        try:
+            lt = ctypes.CDLL("libtiff.so.6")
+        except OSError:
+            _LIBTIFF = False
+            return None
+        lt.TIFFOpen.restype = ctypes.c_void_p
+        lt.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lt.TIFFReadScanline.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16]
+        lt.TIFFWriteScanline.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16]
+        lt.TIFFClose.argtypes = [ctypes.c_void_p]
+        _LIBTIFF = lt
+    return _LIBTIFF or None
+
+
+def test_tiff_roundtrip_all_modes():
+    from vite_spark.text.codecs import decode_tiff, encode_tiff, is_tiff
+
+    rng = np.random.default_rng(2)
+    runs = np.zeros((40, 50, 3), np.uint8)
+    runs[15:25] = 200
+    for comp in ("none", "packbits", "lzw"):
+        for x in (rng.integers(0, 256, (16, 16, 3), dtype=np.uint8),
+                  runs,
+                  rng.integers(0, 256, (1, 1, 3), dtype=np.uint8)):
+            p = encode_tiff(x, comp, rows_per_strip=7)
+            assert is_tiff(p)
+            assert (decode_tiff(p) == x).all()
+        g = rng.integers(0, 256, (12, 17), dtype=np.uint8)
+        out = decode_tiff(encode_tiff(g, comp))
+        assert (out[:, :, 0] == g).all() and (out[:, :, 1] == g).all()
+    # predictor 2 (LZW only) + a stream long enough to cross 9->10->11->12
+    # bit code widths and force a table clear at 4094
+    big = rng.integers(0, 256, (200, 200, 3), dtype=np.uint8)
+    assert (decode_tiff(encode_tiff(big, "lzw")) == big).all()
+    assert (decode_tiff(encode_tiff(big, "lzw", predictor=2)) == big).all()
+
+
+def test_tiff_lzw_matches_spec_worked_example():
+    """TIFF6's own LZW example: input bytes 7,7,7,8,8,7,7,6,6 must code
+    as [Clear,7,258,8,8,258,6,6,EOI] at 9 bits MSB-first — pins initial
+    width, phrase growth, and bit packing against published numbers."""
+    from vite_spark.text.codecs import _tiff_lzw_decode, _tiff_lzw_encode
+
+    codes = [256, 7, 258, 8, 8, 258, 6, 6, 257]
+    bits = []
+    for c in codes:
+        bits += [(c >> i) & 1 for i in range(8, -1, -1)]
+    bits += [0] * ((-len(bits)) % 8)
+    spec = np.packbits(np.array(bits, np.uint8)).tobytes()
+    assert _tiff_lzw_encode(bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])) == spec
+    assert list(_tiff_lzw_decode(spec)) == [7, 7, 7, 8, 8, 7, 7, 6, 6]
+
+
+def test_tiff_gray_palette_and_big_endian_decode():
+    """Hand-built files (NOT via this repo's encoder): a big-endian (MM)
+    gray photometric-1 image, a photometric-0 inverted gray, and a
+    palette image through the 16-bit colormap high byte."""
+    from vite_spark.text.codecs import decode_tiff
+
+    def build(bo, photo, data, extra_tags=(), w=3, h=2):
+        entries = [(256, 3, 1, [w]), (257, 3, 1, [h]), (258, 3, 1, [8]),
+                   (259, 3, 1, [1]), (262, 3, 1, [photo]),
+                   (277, 3, 1, [1]), (278, 3, 1, [h]),
+                   (279, 4, 1, [len(data)])] + list(extra_tags)
+        ifd_size = 2 + 12 * (len(entries) + 1) + 4
+        data_off = 8 + ifd_size
+        entries.append((273, 4, 1, [data_off]))
+        entries.sort()
+        ext = b""
+        ext_off = data_off + len(data)
+        body = b""
+        fmt = {3: "H", 4: "I"}
+        for tag, typ, cnt, vals in entries:
+            packed = struct.pack(bo + str(cnt) + fmt[typ], *vals)
+            if len(packed) <= 4:
+                raw = packed + b"\x00" * (4 - len(packed))
+            else:
+                raw = struct.pack(bo + "I", ext_off + len(ext))
+                ext_local = packed
+                ext += ext_local
+            body += struct.pack(bo + "HHI", tag, typ, cnt) + raw
+        head = (b"II*\x00" if bo == "<" else b"MM\x00*") + struct.pack(bo + "I", 8)
+        return (head + struct.pack(bo + "H", len(entries)) + body
+                + b"\x00\x00\x00\x00" + data + ext)
+
+    gray = bytes([0, 128, 255, 10, 20, 30])
+    out = decode_tiff(build(">", 1, gray))                 # big-endian MM
+    assert out.shape == (2, 3, 3)
+    assert out[:, :, 0].ravel().tolist() == list(gray)
+    assert (out[:, :, 0] == out[:, :, 2]).all()
+    inv = decode_tiff(build("<", 0, gray))                 # white-is-zero
+    assert inv[:, :, 0].ravel().tolist() == [255 - v for v in gray]
+    cm = list(range(0, 256 * 256, 256)) * 3                # identity map
+    pal = decode_tiff(build("<", 3, gray,
+                            extra_tags=[(320, 3, 768, cm)]))
+    assert pal[:, :, 1].ravel().tolist() == list(gray)
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(_IMGDATA),
+                    reason="stdlib imghdr test images not present")
+def test_tiff_decodes_real_world_file_exactly():
+    """python.tiff (written by a real TIFF encoder: RGBA, extra alpha
+    sample, uncompressed strips) decodes PIXEL-EXACTLY equal to the
+    lossless python.ppm ground truth."""
+    from vite_spark.text.codecs import decode_ppm, decode_tiff
+
+    tif = decode_tiff(open(f"{_IMGDATA}/python.tiff", "rb").read())
+    ppm = decode_ppm(open(f"{_IMGDATA}/python.ppm", "rb").read())
+    assert tif.shape == ppm.shape == (16, 16, 3)
+    assert (tif == ppm).all()
+
+
+@pytest.mark.skipif(_libtiff() is None, reason="system libtiff not present")
+def test_tiff_cross_validates_against_libtiff_both_directions():
+    """The decisive compressed-format check: files written by the SYSTEM
+    libtiff (none/PackBits/LZW/LZW+predictor) decode pixel-exactly, and
+    libtiff reads THIS encoder's output pixel-exactly — pinning the LZW
+    early-change code-width schedule and per-row PackBits framing against
+    the reference implementation rather than our own roundtrip."""
+    import ctypes
+
+    from vite_spark.text.codecs import decode_tiff, encode_tiff
+
+    lt = _libtiff()
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+
+    def sf(tif, tag, val):
+        lt.TIFFSetField(ctypes.c_void_p(tif), ctypes.c_uint32(tag),
+                        ctypes.c_int(val))
+
+    for comp, pred in [(1, 1), (32773, 1), (5, 1), (5, 2)]:
+        path = b"/tmp/vite_tiff_ref.tif"
+        tif = lt.TIFFOpen(path, b"w")
+        assert tif
+        sf(tif, 256, 96); sf(tif, 257, 64); sf(tif, 258, 8)
+        sf(tif, 259, comp); sf(tif, 262, 2); sf(tif, 277, 3)
+        sf(tif, 278, 16); sf(tif, 284, 1)
+        if pred == 2:
+            sf(tif, 317, 2)
+        for r in range(64):
+            row = img[r].copy()     # owned buffer: libtiff may defer reads
+            assert lt.TIFFWriteScanline(
+                tif, row.ctypes.data_as(ctypes.c_void_p), r, 0) == 1
+        lt.TIFFClose(ctypes.c_void_p(tif))
+        assert (decode_tiff(open(path, "rb").read()) == img).all(), (comp, pred)
+
+    for comp, pred in [("none", 1), ("packbits", 1), ("lzw", 1), ("lzw", 2)]:
+        path = b"/tmp/vite_tiff_mine.tif"
+        open(path, "wb").write(
+            encode_tiff(img, comp, predictor=pred, rows_per_strip=16))
+        tif = lt.TIFFOpen(path, b"r")
+        assert tif, (comp, pred)
+        out = np.zeros_like(img)
+        row = np.zeros(96 * 3, np.uint8)
+        for r in range(64):
+            assert lt.TIFFReadScanline(
+                tif, row.ctypes.data_as(ctypes.c_void_p), r, 0) == 1
+            out[r] = row.reshape(96, 3)
+        lt.TIFFClose(ctypes.c_void_p(tif))
+        assert (out == img).all(), (comp, pred)
+
+
+def test_tiff_rejects_malformed():
+    from vite_spark.text.codecs import decode_tiff, encode_tiff, is_tiff
+
+    assert not is_tiff(b"II+\x00....")
+    with pytest.raises(ValueError, match="magic"):
+        decode_tiff(b"definitely not a tiff")
+    good = encode_tiff(np.full((4, 4, 3), 9, np.uint8), "lzw")
+    with pytest.raises(ValueError):
+        decode_tiff(good[:40])                       # truncated
+    bad = bytearray(encode_tiff(np.full((4, 4, 3), 9, np.uint8)))
+    # compression tag value -> unsupported 6 (old JPEG)
+    i = bad.find(struct.pack("<HHI", 259, 3, 1))
+    bad[i + 8] = 6
+    with pytest.raises(ValueError, match="compression"):
+        decode_tiff(bytes(bad))
+    with pytest.raises(ValueError, match="LZW only"):
+        encode_tiff(np.zeros((4, 4, 3), np.uint8), "packbits", predictor=2)
+
+
+def test_tiff_media_from_docs_contract(spark):
+    """Driver-fixture contract: formulas match what the DuckDB oracle
+    recomputes (queries.SQL_MULTIMODAL_TIFF) through the shared
+    extract_features REAL decode path — PackBits-compressed payloads
+    with run-exact sizes."""
+    import pandas as pd
+
+    from vite_spark.text.multimodal import extract_features, tiff_media_from_docs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 7, 644], "text": ["alpha", "beta", "gamma"]})
+    )
+    media = tiff_media_from_docs(docs)
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    for doc_id, text in [(0, "alpha"), (7, "beta"), (644, "gamma")]:
+        r = rows[doc_id]
+        w, h = doc_id % 50 + 2, doc_id % 13 + 2
+        g = hashlib.sha256(text.encode()).digest()[5]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_bytes"] == 128 + 2 * h * -(-3 * w // 128)
+        expect = round(g / 255.0, 6)
+        assert r["features"][0] == expect == r["features"][1] == r["features"][2]
+
+
 # --- IMA/DVI ADPCM WAV (format tag 17, compressed audio) --------------------
 
 def test_adpcm_decode_matches_hand_computed_spec_literal():

@@ -900,6 +900,29 @@ SELECT doc_id AS media_id,
        CAST({_hex4('hx', 5)} % 4096 + 1 AS BIGINT) AS height
 FROM h"""
 
+def q_multimodal_tiff_features(spark, sf_dir):
+    """REAL image decode #7 (PackBits-COMPRESSED TIFF), driver-checked:
+    deterministic RLE-compressed TIFFs built from the documents table
+    (text/multimodal.tiff_media_from_docs) are decoded by the vendored
+    TIFF6 codec — IFD tag walk, strip assembly, PackBits expansion, no
+    fake path — and the tag-derived dims, the encoder-exact COMPRESSED
+    file size (pure runs on constant rows: 2 bytes per started 128-byte
+    group), and pixel channel means are value-matched against the SQL
+    recomputation. The codec itself is additionally pinned pixel-exact
+    against a real-world encoder file and against the system libtiff in
+    both directions (tests/test_codecs.py)."""
+    from vite_spark.text.multimodal import extract_features, tiff_media_from_docs
+
+    media = tiff_media_from_docs(_docs(spark, sf_dir))
+    f = extract_features(media)   # fake=False: the REAL decode path
+    return f.select(
+        "media_id", "width", "height", "n_bytes",
+        F.col("features")[0].alias("mean_r"),
+        F.col("features")[1].alias("mean_g"),
+        F.col("features")[2].alias("mean_b"),
+    )
+
+
 def q_multimodal_bmp_features(spark, sf_dir):
     """REAL image decode, driver-checked: deterministic 24-bit BMPs built
     from the documents table (text/multimodal.bmp_media_from_docs) are
@@ -1080,6 +1103,28 @@ def _hexbyte(col: str, start: int) -> str:
 # dims/file-size/means recomputed from the bmp_media_from_docs contract:
 # W = doc_id%31+2, H = doc_id%17+2, constant pixel = sha256(text)[0:3],
 # BMP size = 54-byte headers + H rows padded to 4-byte multiples
+# dims/file-size/means recomputed from the tiff_media_from_docs contract:
+# W = doc_id%50+2, H = doc_id%13+2, constant GRAY pixel = sha256(text)[5]
+# in all three channels (PackBits is byte-level RLE — equal channels make
+# each 3W-byte row a pure run), PackBits TIFF size = 128 fixed bytes
+# (8 header + 114 nine-entry IFD + 6 out-of-line BitsPerSample) +
+# 2·H·ceil(3W/128) run bytes
+SQL_MULTIMODAL_TIFF = f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+d AS (SELECT doc_id, hx,
+             doc_id % 50 + 2 AS w, doc_id % 13 + 2 AS hh
+      FROM h)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(hh AS BIGINT) AS height,
+       CAST(128 + 2 * hh * CAST(CEIL(3 * w / 128.0) AS BIGINT) AS BIGINT)
+           AS n_bytes,
+       ROUND({_hexbyte('hx', 11)} / 255.0, 6) AS mean_r,
+       ROUND({_hexbyte('hx', 11)} / 255.0, 6) AS mean_g,
+       ROUND({_hexbyte('hx', 11)} / 255.0, 6) AS mean_b
+FROM d"""
+
+
 SQL_MULTIMODAL_BMP = f"""
 WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
 d AS (SELECT doc_id, hx,
@@ -1666,6 +1711,9 @@ def registry() -> dict[str, tuple]:
         ),
         "multimodal_bmp_features": (
             q_multimodal_bmp_features, SQL_MULTIMODAL_BMP,
+        ),
+        "multimodal_tiff_features": (
+            q_multimodal_tiff_features, SQL_MULTIMODAL_TIFF,
         ),
         "multimodal_ppm_features": (
             q_multimodal_ppm_features, SQL_MULTIMODAL_PPM,

@@ -1085,6 +1085,330 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image descriptor")
 
 
+# --- TIFF (baseline 8-bit, strips; none / PackBits / LZW) -------------------
+#
+# Implemented from the public TIFF 6.0 specification: both byte orders,
+# first-IFD tag walk, strip assembly, photometric 0/1 (gray, optionally
+# inverted), 2 (RGB, extra samples dropped), 3 (palette via the 16-bit
+# colormap, high byte), compression 1 (none), 32773 (PackBits RLE) and 5
+# (LZW — the TIFF variant: MSB-first bit packing, Clear=256/EOI=257, the
+# spec's "early change" width bump at table size 2^w - 1), horizontal-
+# differencing predictor 2. The LZW bit order is OPPOSITE to GIF's —
+# having both variants in one repo pins each against the other's tests.
+# Validation is the strongest in this repo: decode is pixel-exact on a
+# real-world encoder file (stdlib python.tiff vs the lossless PPM truth),
+# the LZW encoder reproduces the TIFF6 spec's worked example bit-for-bit,
+# and BOTH directions are cross-validated against the system libtiff via
+# ctypes when present (libtiff-written none/PackBits/LZW/predictor files
+# decode exactly; libtiff reads this encoder's output exactly).
+
+
+def is_tiff(payload: bytes | None) -> bool:
+    return (payload is not None and len(payload) >= 8
+            and payload[:4] in (b"II*\x00", b"MM\x00*"))
+
+
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    bits = np.unpackbits(np.frombuffer(data, np.uint8))
+    pos = 0
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    while pos + width <= len(bits):
+        code = 0
+        for b in bits[pos:pos + width]:
+            code = (code << 1) | int(b)
+        pos += width
+        if code == 256:                       # Clear
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if code == 257:                       # EOI
+            return bytes(out)
+        if prev is None:
+            if code > 255:
+                raise ValueError("TIFF LZW stream starts with a phrase code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1                        # spec's early change
+    raise ValueError("TIFF LZW stream missing EOI")
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    out_bits: list[int] = []
+    width = 9
+
+    def emit(code: int):
+        for i in range(width - 1, -1, -1):
+            out_bits.append((code >> i) & 1)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    emit(256)                                 # Clear
+    prefix = b""
+    for byte in data:
+        cand = prefix + bytes([byte])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix])
+        table[cand] = nxt
+        nxt += 1
+        # the encoder's next-code counter runs ONE AHEAD of the decoder's
+        # table length at the same stream position (it adds the current
+        # candidate before the decoder can), so the early change lands at
+        # 2^w here exactly when the decoder's lands at 2^w - 1 — verified
+        # bit-level against libtiff in tests
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        prefix = bytes([byte])
+        if nxt == 4094:
+            emit(table[prefix])
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+            prefix = b""
+    if prefix:
+        emit(table[prefix])
+    emit(257)                                 # EOI
+    pad = (-len(out_bits)) % 8
+    out_bits += [0] * pad
+    return np.packbits(np.array(out_bits, np.uint8)).tobytes()
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n >= 0:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n != -128:
+            if i >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (1 - n)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while (i < n and i - lit < 128
+               and not (i + 1 < n and data[i + 1] == data[i])):
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _tiff_tags(payload: bytes, bo: str) -> dict[int, list[int]]:
+    (off,) = struct.unpack_from(bo + "I", payload, 4)
+    if off + 2 > len(payload):
+        raise ValueError("TIFF IFD offset out of range")
+    (n,) = struct.unpack_from(bo + "H", payload, off)
+    if off + 2 + 12 * n > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    tags: dict[int, list[int]] = {}
+    fmt = {1: "B", 3: "H", 4: "I"}
+    for i in range(n):
+        base = off + 2 + 12 * i
+        tag, typ, cnt, raw = struct.unpack_from(bo + "HHI4s", payload, base)
+        if typ not in fmt:
+            continue                          # rationals/strings: unused here
+        size = _TIFF_TYPE_SIZE[typ] * cnt
+        src = raw if size <= 4 else payload[
+            struct.unpack(bo + "I", raw)[0]:
+            struct.unpack(bo + "I", raw)[0] + size]
+        if len(src) < size:
+            raise ValueError("TIFF tag value out of range")
+        tags[tag] = list(struct.unpack(bo + str(cnt) + fmt[typ], src[:size]))
+    return tags
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF bytes → (H, W, 3) uint8 RGB."""
+    if not is_tiff(payload):
+        raise ValueError("not a TIFF payload (missing II*/MM* magic)")
+    bo = "<" if payload[:2] == b"II" else ">"
+    t = _tiff_tags(payload, bo)
+    try:
+        w, h = t[256][0], t[257][0]
+        photo = t[262][0]
+        offsets, counts = t[273], t[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}") from None
+    if w == 0 or h == 0:
+        raise ValueError(f"invalid TIFF dimensions {w}x{h}")
+    spp = t.get(277, [1])[0]
+    bits = t.get(258, [8] * spp)
+    comp = t.get(259, [1])[0]
+    rps = t.get(278, [h])[0] or h
+    pred = t.get(317, [1])[0]
+    if t.get(284, [1])[0] != 1:
+        raise ValueError("planar TIFF not supported")
+    if any(b != 8 for b in bits) or len(bits) != spp:
+        raise ValueError(f"only 8-bit-per-sample TIFF supported (bits={bits})")
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF strip offsets/counts mismatch")
+    raw = bytearray()
+    for o, c in zip(offsets, counts):
+        strip = payload[o:o + c]
+        if len(strip) < c:
+            raise ValueError("TIFF strip out of range")
+        if comp == 1:
+            raw += strip
+        elif comp == 32773:
+            raw += _packbits_decode(strip)
+        elif comp == 5:
+            raw += _tiff_lzw_decode(strip)
+        else:
+            raise ValueError(f"unsupported TIFF compression {comp}")
+    need = h * w * spp
+    if len(raw) < need:
+        raise ValueError("TIFF pixel data shorter than dimensions require")
+    img = np.frombuffer(bytes(raw), np.uint8, need).reshape(h, w, spp)
+    if pred == 2:                             # horizontal differencing
+        if comp != 5:
+            # TIFF6 §14 defines the predictor for LZW only; libtiff's
+            # other codecs ignore the tag, so honoring it here would
+            # silently diverge from the reference implementation
+            raise ValueError(
+                f"TIFF predictor 2 only supported with LZW (compression={comp})"
+            )
+        img = (np.cumsum(img.astype(np.uint32), axis=1) & 0xFF).astype(np.uint8)
+    elif pred != 1:
+        raise ValueError(f"unsupported TIFF predictor {pred}")
+    if photo in (0, 1):
+        g = img[:, :, 0]
+        if photo == 0:
+            g = 255 - g
+        return np.ascontiguousarray(np.stack([g, g, g], axis=2))
+    if photo == 2:
+        if spp < 3:
+            raise ValueError("TIFF RGB photometric with fewer than 3 samples")
+        return np.ascontiguousarray(img[:, :, :3])
+    if photo == 3:
+        cm = t.get(320)
+        if not cm or len(cm) != 3 * 256:
+            raise ValueError("TIFF palette image missing 256-entry colormap")
+        lut = (np.array(cm, np.uint16).reshape(3, 256).T >> 8).astype(np.uint8)
+        return np.ascontiguousarray(lut[img[:, :, 0]])
+    raise ValueError(f"unsupported TIFF photometric {photo}")
+
+
+def encode_tiff(img: np.ndarray, compression: str = "none",
+                predictor: int = 1, rows_per_strip: int | None = None) -> bytes:
+    """(H, W) gray or (H, W, 3) RGB uint8 → little-endian baseline TIFF
+    (8-bit, strip layout; compression 'none' | 'packbits' | 'lzw')."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError(f"expected (H, W) gray or (H, W, 3) RGB, got {img.shape}")
+    if 0 in img.shape[:2]:
+        raise ValueError("empty image")
+    h, w = img.shape[:2]
+    spp = 1 if gray else 3
+    comp_id = {"none": 1, "packbits": 32773, "lzw": 5}.get(compression)
+    if comp_id is None:
+        raise ValueError(f"unknown TIFF compression {compression!r}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if predictor == 2 and comp_id != 5:
+        raise ValueError("TIFF predictor 2 is defined for LZW only (TIFF6 §14)")
+    px = img.reshape(h, w, spp)
+    if predictor == 2:
+        px = np.concatenate(
+            [px[:, :1], (px[:, 1:].astype(np.int16)
+                         - px[:, :-1].astype(np.int16)) & 0xFF], axis=1
+        ).astype(np.uint8)
+    rps = rows_per_strip or h
+    strips = []
+    for r0 in range(0, h, rps):
+        if comp_id == 32773:
+            # PackBits runs must not cross row boundaries (TIFF6 §9):
+            # scanline decoders read one row per call
+            rows = b"".join(_packbits_encode(px[r].tobytes())
+                            for r in range(r0, min(r0 + rps, h)))
+        elif comp_id == 5:
+            rows = _tiff_lzw_encode(px[r0:r0 + rps].tobytes())
+        else:
+            rows = px[r0:r0 + rps].tobytes()
+        strips.append(rows)
+    nstrips = len(strips)
+    entries = []                              # (tag, type, count, values)
+    entries.append((256, 3, 1, [w]))
+    entries.append((257, 3, 1, [h]))
+    entries.append((258, 3, spp, [8] * spp))
+    entries.append((259, 3, 1, [comp_id]))
+    entries.append((262, 3, 1, [1 if gray else 2]))
+    entries.append((273, 4, nstrips, None))   # strip offsets (patched)
+    entries.append((277, 3, 1, [spp]))
+    entries.append((278, 3, 1, [rps]))
+    entries.append((279, 4, nstrips, [len(s) for s in strips]))
+    if predictor == 2:
+        entries.append((317, 3, 1, [2]))
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    ext = bytearray()                         # out-of-line values
+    ext_base = ifd_off + ifd_size
+    fmt = {3: "H", 4: "I"}
+    # first pass: compute where strip data starts
+    ext_size = sum(_TIFF_TYPE_SIZE[typ] * cnt
+                   for _, typ, cnt, _ in entries
+                   if _TIFF_TYPE_SIZE[typ] * cnt > 4)
+    data_base = ext_base + ext_size
+    strip_offsets = []
+    p = data_base
+    for s in strips:
+        strip_offsets.append(p)
+        p += len(s)
+    body = bytearray()
+    for tag, typ, cnt, vals in entries:
+        if vals is None:
+            vals = strip_offsets
+        packed = struct.pack("<" + str(cnt) + fmt[typ], *vals)
+        if len(packed) <= 4:
+            raw = packed + b"\x00" * (4 - len(packed))
+        else:
+            raw = struct.pack("<I", ext_base + len(ext))
+            ext += packed
+        body += struct.pack("<HHI", tag, typ, cnt) + raw
+    out = b"II*\x00" + struct.pack("<I", ifd_off)
+    out += struct.pack("<H", len(entries)) + bytes(body) + b"\x00\x00\x00\x00"
+    out += bytes(ext)
+    for s in strips:
+        out += s
+    return out
+
+
 def resize_nearest(rgb: np.ndarray, width: int, height: int) -> np.ndarray:
     """Deterministic nearest-neighbor resample (pixel-center rule) —
     pure indexing, no interpolation libraries."""

@@ -62,7 +62,8 @@ FEATURES_SCHEMA = StructType(
 
 def _try_decode(payload):
     """Decode ``payload`` with the first native image codec that fully
-    parses it — ('bmp'|'ppm'|'png'|'gif'|'jpeg', rgb array) — or None.
+    parses it — ('bmp'|'ppm'|'png'|'gif'|'jpeg'|'tiff', rgb array) — or
+    None.
     An arbitrary
     text/binary payload that merely STARTS with a magic must fall through
     to the stub path, not crash the batch: a valid 24-bit BMP needs
@@ -101,6 +102,13 @@ def _try_decode(payload):
     if is_gif(payload):
         try:
             return "gif", decode_gif(payload)
+        except ValueError:
+            return None
+    from vite_spark.text.codecs import decode_tiff, is_tiff
+
+    if is_tiff(payload):
+        try:
+            return "tiff", decode_tiff(payload)
         except ValueError:
             return None
     from vite_spark.text.jpeg import decode_jpeg, is_jpeg
@@ -462,6 +470,54 @@ def wav_media_from_docs(docs: DataFrame) -> DataFrame:
                     "meta_width": pd.array([None] * len(pdf), dtype="Int64"),
                     "meta_height": pd.array([None] * len(pdf), dtype="Int64"),
                     "meta_duration_s": pd.array(dur, dtype="Float64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batch_fn, schema=MEDIA_SCHEMA
+    )
+
+
+def tiff_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PackBits-COMPRESSED TIFF payloads derived from
+    the documents table: each doc becomes a (doc_id%50+2) × (doc_id%13+2)
+    constant-GRAY baseline RGB TIFF (compression 32773) whose r=g=b
+    value is byte 5 of sha256(text) — gray, because PackBits is
+    byte-level RLE: only an equal-channel pixel makes the 3W-byte row a
+    pure run (2 bytes per started 128-byte group). The compressed file
+    size is then exactly 128 + 2·H·ceil(3W/128) and, with dims and
+    channel means, SQL-expressible: the oracle value-checks a real
+    RLE-compressed decode end-to-end (widths beyond 43 px span two runs
+    per row)."""
+
+    def batch_fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from vite_spark.text.codecs import encode_tiff
+
+        for pdf in batches:
+            payloads, mw, mh = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.sha256((text or "").encode()).digest()
+                w = int(doc_id) % 50 + 2
+                ht = int(doc_id) % 13 + 2
+                rgb = np.full((ht, w, 3), h[5], np.uint8)
+                payloads.append(encode_tiff(rgb, "packbits"))
+                mw.append(w)
+                mh.append(ht)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/tiff",
+                    "meta_width": pd.array(mw, dtype="Int64"),
+                    "meta_height": pd.array(mh, dtype="Int64"),
+                    "meta_duration_s": pd.array([None] * len(pdf),
+                                                dtype="Float64"),
                 }
             )
 
@@ -933,6 +989,7 @@ def resize_media(
             encode_gif,
             encode_png,
             encode_ppm,
+            encode_tiff,
             resize_nearest,
         )
 
@@ -941,7 +998,8 @@ def resize_media(
         # gif stays losslessly re-encodable: nearest-neighbor resampling
         # only ever selects existing pixels, so the palette can't grow
         encoders = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png,
-                    "gif": encode_gif, "jpeg": encode_jpeg}
+                    "gif": encode_gif, "jpeg": encode_jpeg,
+                    "tiff": encode_tiff}
         for pdf in batches:
             payloads, shas = [], []
             for b in pdf["payload"]:
