@@ -982,6 +982,162 @@ def test_jpeg_progressive_rejects_malformed():
         decode_jpeg(good[:-40])              # truncated mid-scan
 
 
+_LIBJPEG_CHILD = r'''
+import ctypes, numpy as np
+lj = ctypes.CDLL("libjpeg.so.62")
+lj.jpeg_std_error.restype = ctypes.c_void_p
+
+
+_keepalive = []
+
+
+def new_cinfo(decomp):
+    # opaque ABI buffers: struct sizes 520/632 are what this library
+    # prints for the 62 ABI on LP64; err pointer sits at offset 0 and
+    # must stay alive for the cinfo's whole lifetime
+    err = ctypes.create_string_buffer(1024)
+    _keepalive.append(err)
+    e = lj.jpeg_std_error(err)
+    ci = ctypes.create_string_buffer(4096)
+    _keepalive.append(ci)
+    ctypes.memmove(ci, ctypes.c_void_p(e).value.to_bytes(8, "little"), 8)
+    if decomp:
+        lj.jpeg_CreateDecompress(ci, 62, 632)
+    else:
+        lj.jpeg_CreateCompress(ci, 62, 520)
+    return ci
+
+
+def enc(img, progressive, path):
+    h, w = img.shape[:2]
+    nc = 1 if img.ndim == 2 else 3
+    ci = new_cinfo(False)
+    outbuf = ctypes.c_void_p()
+    outsize = ctypes.c_ulong()
+    lj.jpeg_mem_dest(ci, ctypes.byref(outbuf), ctypes.byref(outsize))
+    # 62-ABI LP64 offsets: image_width 48, image_height 52,
+    # input_components 56, in_color_space 60
+    base = ctypes.addressof(ci)
+    ctypes.memmove(base + 48, int(w).to_bytes(4, "little"), 4)
+    ctypes.memmove(base + 52, int(h).to_bytes(4, "little"), 4)
+    ctypes.memmove(base + 56, int(nc).to_bytes(4, "little"), 4)
+    ctypes.memmove(base + 60, int(1 if nc == 1 else 2).to_bytes(4, "little"), 4)
+    lj.jpeg_set_defaults(ci)
+    lj.jpeg_set_quality(ci, 90, 1)
+    if progressive:
+        lj.jpeg_simple_progression(ci)
+    lj.jpeg_start_compress(ci, 1)
+    row = np.ascontiguousarray(img.reshape(h, w * nc))
+    for r in range(h):
+        rp = (ctypes.c_void_p * 1)(row.ctypes.data + r * w * nc)
+        assert lj.jpeg_write_scanlines(ci, rp, 1) == 1
+    lj.jpeg_finish_compress(ci)
+    data = ctypes.string_at(outbuf, outsize.value)
+    lj.jpeg_destroy_compress(ci)
+    open(path, "wb").write(data)
+
+
+def dec(path, h, w, nc):
+    data = open(path, "rb").read()
+    ci = new_cinfo(True)
+    buf = ctypes.create_string_buffer(data, len(data))
+    lj.jpeg_mem_src(ci, buf, len(data))
+    assert lj.jpeg_read_header(ci, 1) == 1
+    lj.jpeg_start_decompress(ci)
+    out = np.zeros((h, w * nc), np.uint8)
+    for r in range(h):
+        rp = (ctypes.c_void_p * 1)(out.ctypes.data + r * w * nc)
+        assert lj.jpeg_read_scanlines(ci, rp, 1) == 1
+    lj.jpeg_finish_decompress(ci)
+    lj.jpeg_destroy_decompress(ci)
+    return out.reshape(h, w, nc)
+
+
+D = "/tmp/vite_libjpeg_x"
+gray = np.load(D + "/gray.npy")
+rgb = np.load(D + "/rgb.npy")
+enc(gray, False, D + "/lib_gray_base.jpg")
+enc(gray, True, D + "/lib_gray_prog.jpg")
+enc(rgb, False, D + "/lib_rgb_base.jpg")
+enc(rgb, True, D + "/lib_rgb_prog.jpg")
+np.save(D + "/lib_dec_gray_prog.npy",
+        dec(D + "/lib_gray_prog.jpg", *gray.shape, 1))
+h, w = gray.shape
+np.save(D + "/lib_dec_mine_gray_base.npy", dec(D + "/mine_gray_base.jpg", h, w, 1))
+np.save(D + "/lib_dec_mine_gray_prog.npy", dec(D + "/mine_gray_prog.jpg", h, w, 1))
+h, w = rgb.shape[:2]
+np.save(D + "/lib_dec_mine_rgb_base.npy", dec(D + "/mine_rgb_base.jpg", h, w, 3))
+np.save(D + "/lib_dec_mine_rgb_prog.npy", dec(D + "/mine_rgb_prog.jpg", h, w, 3))
+print("CHILD_OK")
+'''
+
+
+def _has_libjpeg():
+    import ctypes
+    try:
+        ctypes.CDLL("libjpeg.so.62")
+        return True
+    except OSError:
+        return False
+
+
+@pytest.mark.skipif(not _has_libjpeg(), reason="system libjpeg not present")
+def test_jpeg_progressive_cross_validates_against_libjpeg():
+    """The decisive progressive check, against the REFERENCE codec: the
+    system libjpeg (driven via ctypes in a subprocess — its error path
+    calls exit()) encodes the same images baseline AND progressive with
+    jpeg_simple_progression (the canonical multi-scan script with
+    successive approximation, optimized Huffman, and 4:2:0 chroma
+    subsampling for color). Same source + same quant tables → identical
+    coefficients, so THIS decoder must produce bit-identical pixels for
+    the two real streams — covering subsampled progressive scans this
+    repo's 4:4:4 encoder cannot emit. The reverse direction has libjpeg
+    decode THIS repo's baseline and progressive encodings: the reference
+    decoder must also see identical pixels. Gray output is additionally
+    within IDCT-precision (±2) of libjpeg's own decode."""
+    import shutil
+    import subprocess
+    import sys
+
+    from vite_spark.text.jpeg import decode_jpeg, encode_jpeg
+
+    d = "/tmp/vite_libjpeg_x"
+    shutil.rmtree(d, ignore_errors=True)
+    __import__("os").makedirs(d)
+    rng = np.random.default_rng(42)
+    gray = rng.integers(0, 256, (41, 57), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (32, 45, 3), dtype=np.uint8)
+    np.save(f"{d}/gray.npy", gray)
+    np.save(f"{d}/rgb.npy", rgb)
+    open(f"{d}/mine_gray_base.jpg", "wb").write(encode_jpeg(gray))
+    open(f"{d}/mine_gray_prog.jpg", "wb").write(
+        encode_jpeg(gray, progressive=True))
+    open(f"{d}/mine_rgb_base.jpg", "wb").write(encode_jpeg(rgb))
+    open(f"{d}/mine_rgb_prog.jpg", "wb").write(
+        encode_jpeg(rgb, progressive=True))
+    r = subprocess.run([sys.executable, "-c", _LIBJPEG_CHILD],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0 and "CHILD_OK" in r.stdout, r.stderr[:500]
+
+    # my decoder, real libjpeg streams: baseline == progressive exactly
+    for name in ("gray", "rgb"):
+        b = decode_jpeg(open(f"{d}/lib_{name}_base.jpg", "rb").read())
+        p = decode_jpeg(open(f"{d}/lib_{name}_prog.jpg", "rb").read())
+        assert b.shape == p.shape and (b == p).all(), name
+    # tolerance vs the reference decoder itself (gray: no upsampling)
+    mine = decode_jpeg(open(f"{d}/lib_gray_prog.jpg", "rb").read())[:, :, 0]
+    ref = np.load(f"{d}/lib_dec_gray_prog.npy")[:, :, 0]
+    assert np.abs(mine.astype(int) - ref.astype(int)).max() <= 2
+    # reference decoder, my streams: baseline == progressive exactly
+    for name in ("gray", "rgb"):
+        a = np.load(f"{d}/lib_dec_mine_{name}_base.npy")
+        b = np.load(f"{d}/lib_dec_mine_{name}_prog.npy")
+        assert (a == b).all(), name
+    # and my q=1 gray stream roundtrips through libjpeg within DCT noise
+    a = np.load(f"{d}/lib_dec_mine_gray_base.npy")[:, :, 0]
+    assert np.abs(a.astype(int) - gray.astype(int)).max() <= 2
+
+
 @pytest.mark.skipif(not __import__("os").path.isdir(_IMGDATA),
                     reason="stdlib imghdr test images not present")
 def test_jpeg_decodes_real_world_file_against_ppm_truth():
