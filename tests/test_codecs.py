@@ -1566,6 +1566,118 @@ def test_tiff_media_from_docs_contract(spark):
         assert r["features"][0] == expect == r["features"][1] == r["features"][2]
 
 
+# --- system-library codecs (ctypes): WebP, HEIF/H.265, AVIF/AV1 -------------
+
+def _have_webp():
+    from vite_spark.text.syscodecs import have_webp
+    return have_webp()
+
+
+def _have_heif_both():
+    from vite_spark.text.syscodecs import HEIF_AV1, HEIF_HEVC, have_heif_codec
+    return have_heif_codec(HEIF_HEVC) and have_heif_codec(HEIF_AV1)
+
+
+@pytest.mark.skipif(not _have_webp(), reason="system libwebp not present")
+def test_webp_lossless_roundtrip_exact_and_rejects():
+    """VP8L is lossless in RGB: encode→decode must be bit-exact on noise
+    and constants; corrupt streams and non-WebP bytes reject loudly."""
+    from vite_spark.text.syscodecs import decode_webp, encode_webp, is_webp
+
+    rng = np.random.default_rng(4)
+    for shape in [(1, 1, 3), (9, 23, 3), (40, 40, 3)]:
+        x = rng.integers(0, 256, shape, dtype=np.uint8)
+        p = encode_webp(x)
+        assert is_webp(p)
+        assert (decode_webp(p) == x).all()
+    c = np.full((5, 7, 3), (10, 200, 30), np.uint8)
+    assert (decode_webp(encode_webp(c)) == c).all()
+    assert not is_webp(b"RIFFxxxxWAVE....")
+    with pytest.raises(ValueError, match="RIFF/WEBP"):
+        decode_webp(b"not webp at all!!")
+    good = encode_webp(c)
+    with pytest.raises(ValueError, match="decode failed"):
+        decode_webp(good[:20] + b"\x00" * 8)
+
+
+@pytest.mark.skipif(not _have_webp(), reason="system libwebp not present")
+@pytest.mark.skipif(not __import__("os").path.isdir(_IMGDATA),
+                    reason="stdlib imghdr test images not present")
+def test_webp_decodes_real_world_file():
+    """python.webp (lossy VP8, written by a real encoder) decodes at the
+    right dims with residual vs the PPM truth bounded by VP8 loss."""
+    from vite_spark.text.codecs import decode_ppm
+    from vite_spark.text.syscodecs import decode_webp
+
+    wp = decode_webp(open(f"{_IMGDATA}/python.webp", "rb").read())
+    ppm = decode_ppm(open(f"{_IMGDATA}/python.ppm", "rb").read())
+    assert wp.shape == ppm.shape == (16, 16, 3)
+    assert np.abs(wp.astype(int) - ppm.astype(int)).mean() < 15
+
+
+@pytest.mark.skipif(not _have_heif_both(),
+                    reason="libheif HEVC/AV1 codecs not present")
+def test_heif_hevc_and_avif_av1_near_lossless_roundtrip():
+    """REAL H.265 and AV1 intra coding through libheif: lossless mode at
+    4:4:4 chroma must come back within YCbCr rounding (±2) of the source
+    on NOISE (the hardest content), at exact dims, with the right ftyp
+    brand; lossy mode must come back substantially smaller yet decodable
+    at exact dims. A plane-stride or colorspace bug is far outside ±2."""
+    from vite_spark.text.syscodecs import (
+        HEIF_AV1,
+        HEIF_HEVC,
+        decode_heif,
+        encode_heif,
+        is_heif,
+    )
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    for fmt, brand in [(HEIF_HEVC, b"heic"), (HEIF_AV1, b"avif")]:
+        p = encode_heif(img, fmt)
+        assert is_heif(p) and p[8:12] == brand
+        out = decode_heif(p)
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+        lossy = encode_heif(img, fmt, lossless=False, quality=80)
+        assert len(lossy) < len(p)
+        out2 = decode_heif(lossy)
+        assert out2.shape == img.shape
+    with pytest.raises(ValueError, match="ftyp"):
+        decode_heif(b"definitely not heif bytes")
+
+
+@pytest.mark.skipif(not (_have_webp() and _have_heif_both()),
+                    reason="system codec libraries not present")
+def test_syscodec_media_fixtures_contract(spark):
+    """Driver-fixture contracts: webp_media_from_docs dims/means match
+    the SQL oracle's formulas through the shared extract_features
+    dispatch (which must route RIFF/WEBP and ftyp payloads to the system
+    codecs), and heif_parity reports TRUE for both codecs on its noise
+    images."""
+    import pandas as pd
+
+    from vite_spark.text.multimodal import (
+        extract_features,
+        heif_parity,
+        webp_media_from_docs,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 7, 44], "text": ["alpha", "beta", "gamma"]})
+    )
+    rows = {r["media_id"]: r
+            for r in extract_features(webp_media_from_docs(docs)).collect()}
+    for doc_id, text in [(0, "alpha"), (7, "beta"), (44, "gamma")]:
+        r = rows[doc_id]
+        h = hashlib.sha256(text.encode()).digest()
+        assert (r["width"], r["height"]) == (doc_id % 19 + 2, doc_id % 11 + 2)
+        for c in range(3):
+            assert r["features"][c] == round(h[8 + c] / 255.0, 6)
+    for r in heif_parity(docs).collect():
+        assert r["hevc_ok"] and r["av1_ok"]
+
+
 # --- IMA/DVI ADPCM WAV (format tag 17, compressed audio) --------------------
 
 def test_adpcm_decode_matches_hand_computed_spec_literal():

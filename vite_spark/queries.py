@@ -923,6 +923,41 @@ def q_multimodal_tiff_features(spark, sf_dir):
     )
 
 
+def q_multimodal_webp_features(spark, sf_dir):
+    """REAL image decode #8 (WebP/VP8L via the system libwebp,
+    text/syscodecs.py — the container ships the open-source reference
+    codec stacks, so they are bound through ctypes rather than stubbed):
+    deterministic constant-color LOSSLESS WebPs built from the documents
+    table are decoded on the shared extract_features path and the dims
+    and channel means are value-matched exactly (VP8L is lossless in
+    RGB)."""
+    from vite_spark.text.multimodal import extract_features, webp_media_from_docs
+
+    media = webp_media_from_docs(_docs(spark, sf_dir))
+    f = extract_features(media)   # fake=False: the REAL decode path
+    return f.select(
+        "media_id", "width", "height",
+        F.col("features")[0].alias("mean_r"),
+        F.col("features")[1].alias("mean_g"),
+        F.col("features")[2].alias("mean_b"),
+    )
+
+
+def q_multimodal_heif_parity(spark, sf_dir):
+    """REAL H.26x-class decode, driver-checked: hash-seeded noise images
+    are encoded as H.265 (HEIF) and AV1 (AVIF) intra stills and decoded
+    back via the system libheif (text/multimodal.heif_parity). Lossless
+    mode still routes RGB through YCbCr in this build, so the checked
+    property is near-losslessness (±2 at exact dims), computed from the
+    actual pixel arrays; the oracle expects TRUE per row for both
+    codecs. This closes the H.26x stub for STILL frames — motion video
+    beyond MJPEG/raw-DIB AVI remains honestly stubbed (no container
+    demuxer)."""
+    from vite_spark.text.multimodal import heif_parity
+
+    return heif_parity(_docs(spark, sf_dir))
+
+
 def q_multimodal_bmp_features(spark, sf_dir):
     """REAL image decode, driver-checked: deterministic 24-bit BMPs built
     from the documents table (text/multimodal.bmp_media_from_docs) are
@@ -1103,6 +1138,35 @@ def _hexbyte(col: str, start: int) -> str:
 # dims/file-size/means recomputed from the bmp_media_from_docs contract:
 # W = doc_id%31+2, H = doc_id%17+2, constant pixel = sha256(text)[0:3],
 # BMP size = 54-byte headers + H rows padded to 4-byte multiples
+# dims/means recomputed from the webp_media_from_docs contract:
+# W = doc_id%19+2, H = doc_id%11+2, constant pixel = sha256(text)[8:11];
+# VP8L decode is lossless so the means are exact
+SQL_MULTIMODAL_WEBP = f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+d AS (SELECT doc_id, hx,
+             doc_id % 19 + 2 AS w, doc_id % 11 + 2 AS hh
+      FROM h)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(hh AS BIGINT) AS height,
+       ROUND({_hexbyte('hx', 17)} / 255.0, 6) AS mean_r,
+       ROUND({_hexbyte('hx', 19)} / 255.0, 6) AS mean_g,
+       ROUND({_hexbyte('hx', 21)} / 255.0, 6) AS mean_b
+FROM d"""
+
+
+# dims from the heif_parity contract (W = doc_id%14+4, H = doc_id%9+4);
+# hevc_ok/av1_ok are the near-losslessness properties the Spark side
+# computes from the actual encode->decode pixel arrays
+SQL_MULTIMODAL_HEIF = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 14 + 4 AS BIGINT) AS width,
+       CAST(doc_id % 9 + 4 AS BIGINT) AS height,
+       TRUE AS hevc_ok,
+       TRUE AS av1_ok
+FROM documents"""
+
+
 # dims/file-size/means recomputed from the tiff_media_from_docs contract:
 # W = doc_id%50+2, H = doc_id%13+2, constant GRAY pixel = sha256(text)[5]
 # in all three channels (PackBits is byte-level RLE — equal channels make
@@ -1714,6 +1778,13 @@ def registry() -> dict[str, tuple]:
         ),
         "multimodal_tiff_features": (
             q_multimodal_tiff_features, SQL_MULTIMODAL_TIFF,
+        ),
+        # system-library-backed codecs (ctypes, text/syscodecs.py)
+        "multimodal_webp_features": (
+            q_multimodal_webp_features, SQL_MULTIMODAL_WEBP,
+        ),
+        "multimodal_heif_parity": (
+            q_multimodal_heif_parity, SQL_MULTIMODAL_HEIF,
         ),
         "multimodal_ppm_features": (
             q_multimodal_ppm_features, SQL_MULTIMODAL_PPM,
