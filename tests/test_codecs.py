@@ -1566,6 +1566,98 @@ def test_tiff_media_from_docs_contract(spark):
         assert r["features"][0] == expect == r["features"][1] == r["features"][2]
 
 
+# --- netpbm P1-P5 / Sun raster / SGI / XBM (decode-only, real-world) --------
+
+def test_pnm_family_decodes_spec_literals():
+    from vite_spark.text.codecs import decode_pnm, is_pnm
+
+    assert is_pnm(b"P1\n1 1\n0\n") and not is_pnm(b"P6\n1 1\n255\n" + b"x" * 3)
+    a = decode_pnm(b"P1\n# c\n5 2\n1 0 1 0 1\n0 1 0 1 0\n")
+    assert a[:, :, 0].tolist() == [[0, 255, 0, 255, 0], [255, 0, 255, 0, 255]]
+    assert decode_pnm(b"P2\n3 2\n15\n0 7 15\n15 7 0\n")[:, :, 1].tolist() \
+        == [[0, 119, 255], [255, 119, 0]]
+    assert decode_pnm(b"P3\n2 1\n255\n255 0 0  0 0 255\n").tolist() \
+        == [[[255, 0, 0], [0, 0, 255]]]
+    # raw graymap + raw bitmap (MSB-first, 1 = black, padded rows)
+    assert decode_pnm(b"P5\n2 2\n255\n\x00\x80\xff\x01")[:, :, 0].tolist() \
+        == [[0, 128], [255, 1]]
+    assert decode_pnm(b"P4\n10 1\n\xff\xc0")[:, :, 0].tolist() == [[0] * 10]
+    with pytest.raises(ValueError, match="truncated"):
+        decode_pnm(b"P5\n4 4\n255\nxy")
+    with pytest.raises(ValueError, match="out of range"):
+        decode_pnm(b"P2\n1 1\n9\n12\n")
+
+
+def test_ras_and_sgi_decode_spec_literals_and_rejects():
+    from vite_spark.text.codecs import decode_ras, decode_sgi, is_ras, is_sgi
+
+    # 24-bit type-1 (BGR) 1x1 red, row padded to 16 bits
+    ras = struct.pack(">8I", 0x59A66A95, 1, 1, 24, 4, 1, 0, 0) \
+        + bytes([0, 0, 255, 0])
+    assert is_ras(ras)
+    assert decode_ras(ras)[0, 0].tolist() == [255, 0, 0]
+    # 8-bit colormapped
+    ras8 = struct.pack(">8I", 0x59A66A95, 2, 1, 8, 2, 1, 1, 6) \
+        + bytes([10, 20, 30, 40, 50, 60]) + bytes([1, 0])
+    assert decode_ras(ras8)[0].tolist() == [[20, 40, 60], [10, 30, 50]]
+    with pytest.raises(ValueError, match="magic"):
+        decode_ras(b"\x00" * 40)
+    # SGI verbatim 2x1x3, bottom-up rows
+    sgi = (b"\x01\xda" + struct.pack(">BBHHHH", 0, 1, 3, 2, 1, 3)
+           + b"\x00" * 500 + bytes([1, 2, 3, 4, 5, 6]))
+    assert is_sgi(sgi)
+    assert decode_sgi(sgi)[0].tolist() == [[1, 3, 5], [2, 4, 6]]
+    with pytest.raises(ValueError, match="magic"):
+        decode_sgi(b"\x00" * 600)
+
+
+def test_xbm_decodes_and_matches_lsb_rule():
+    from vite_spark.text.codecs import decode_xbm, is_xbm
+
+    xbm = (b"#define t_width 10\n#define t_height 1\n"
+           b"static char t_bits[] = {\n 0x03, 0x02 };\n")
+    assert is_xbm(xbm)
+    out = decode_xbm(xbm)
+    # LSB-first: bits 0,1 of byte0 set -> first two pixels black;
+    # bit 1 of byte1 -> pixel index 9 black
+    assert out[0, :, 0].tolist() == [0, 0] + [255] * 7 + [0]
+    assert not is_xbm(b"#define something else entirely")
+    with pytest.raises(ValueError):
+        decode_xbm(b"#define a_width 4\n#define a_height 4\n"
+                   b"static char a_bits[] = { 0x00 };")
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(_IMGDATA),
+                    reason="stdlib imghdr test images not present")
+def test_pnm_ras_sgi_xbm_real_world_files():
+    """Four more real-world encoder outputs, all validated against the
+    same lossless PPM truth: Sun raster (32-bit RT_FORMAT_RGB) and SGI
+    (RLE, 4-channel, bottom-up) decode PIXEL-EXACTLY; the PGM is the
+    converter's BT.601 luma (mean residual < 2); the XBM decodes
+    BIT-IDENTICAL to the PBM — two independent bilevel encodings of the
+    same image, opposite bit orders, agreeing exactly."""
+    from vite_spark.text.codecs import (
+        decode_pnm,
+        decode_ppm,
+        decode_ras,
+        decode_sgi,
+        decode_xbm,
+    )
+
+    ppm = decode_ppm(open(f"{_IMGDATA}/python.ppm", "rb").read())
+    assert (decode_ras(open(f"{_IMGDATA}/python.ras", "rb").read())
+            == ppm).all()
+    assert (decode_sgi(open(f"{_IMGDATA}/python.sgi", "rb").read())
+            == ppm).all()
+    pgm = decode_pnm(open(f"{_IMGDATA}/python.pgm", "rb").read())
+    luma = (0.299 * ppm[:, :, 0] + 0.587 * ppm[:, :, 1]
+            + 0.114 * ppm[:, :, 2])
+    assert np.abs(pgm[:, :, 0].astype(float) - luma).mean() < 2
+    pbm = decode_pnm(open(f"{_IMGDATA}/python.pbm", "rb").read())
+    xbm = decode_xbm(open(f"{_IMGDATA}/python.xbm", "rb").read())
+    assert (xbm == pbm).all()
+
+
 # --- system-library codecs (ctypes): WebP, HEIF/H.265, AVIF/AV1 -------------
 
 def _have_webp():

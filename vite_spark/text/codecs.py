@@ -1085,6 +1085,226 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image descriptor")
 
 
+# --- netpbm P1-P5 (ASCII/raw bitmap, graymap; P6 color is above) ------------
+
+
+def is_pnm(payload: bytes | None) -> bool:
+    return (payload is not None and len(payload) >= 3
+            and payload[0:1] == b"P" and payload[1:2] in b"12345"
+            and payload[2:3] in b" \t\r\n#")
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """P1/P4 bitmap, P2/P5 graymap (ASCII/raw) → (H, W, 3) uint8 RGB,
+    gray replicated; P3 ASCII color too. Reuses the P6 tokenizer
+    (comments, whitespace grammar). Bitmaps: 1 = black per the spec; raw
+    P4 rows are MSB-first and padded to whole bytes."""
+    if not is_pnm(payload):
+        raise ValueError("not a PNM payload (missing P1-P5 magic)")
+    kind = payload[1:2]
+    bitmap = kind in (b"1", b"4")
+    toks, pos = _ppm_tokens(payload, 2 if bitmap else 3)
+    w, h = int(toks[0]), int(toks[1])
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PNM dimensions {w}x{h}")
+    maxval = int(toks[2]) if not bitmap else 1
+    if not bitmap and not 1 <= maxval <= 255:
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    if kind in (b"1", b"2", b"3"):                    # ASCII rasters
+        n = w * h * (3 if kind == b"3" else 1)
+        vals = payload[pos:].split()
+        if len(vals) < n:
+            raise ValueError("truncated PNM ASCII raster")
+        arr = np.array([int(v) for v in vals[:n]], dtype=np.int64)
+        if (arr < 0).any() or (arr > maxval).any():
+            raise ValueError("PNM sample out of range")
+        if kind == b"3":
+            rgb = arr.reshape(h, w, 3)
+            return (rgb * 255 // maxval).astype(np.uint8)
+        g = arr.reshape(h, w)
+        g = ((1 - g) * 255 if kind == b"1" else g * 255 // maxval)
+    elif kind == b"5":                                # raw graymap
+        need = w * h
+        raw = payload[pos:pos + need]
+        if len(raw) < need:
+            raise ValueError("truncated PNM raster")
+        g = np.frombuffer(raw, np.uint8, need).reshape(h, w)
+        g = g.astype(np.int64) * 255 // maxval
+    else:                                             # P4 raw bitmap
+        stride = (w + 7) // 8
+        need = stride * h
+        raw = payload[pos:pos + need]
+        if len(raw) < need:
+            raise ValueError("truncated PNM raster")
+        bits = np.unpackbits(
+            np.frombuffer(raw, np.uint8, need).reshape(h, stride), axis=1
+        )[:, :w]
+        g = (1 - bits).astype(np.int64) * 255         # 1 = black
+    g = g.astype(np.uint8)
+    return np.ascontiguousarray(np.stack([g, g, g], axis=2))
+
+
+# --- Sun raster (.ras; public rasterfile.h layout, big-endian) ---------------
+
+_RAS_MAGIC = 0x59A66A95
+
+
+def is_ras(payload: bytes | None) -> bool:
+    return (payload is not None and len(payload) >= 32
+            and struct.unpack(">I", payload[:4])[0] == _RAS_MAGIC)
+
+
+def decode_ras(payload: bytes) -> np.ndarray:
+    """Sun rasterfile → (H, W, 3) uint8 RGB: standard (type 1, BGR byte
+    order) and RT_FORMAT_RGB (type 3) at 24/32 bits (32-bit carries a
+    pad byte first), plus 8-bit with an RGB colormap; rows pad to 16-bit
+    boundaries per the spec."""
+    if not is_ras(payload):
+        raise ValueError("not a Sun raster payload (bad magic)")
+    (_, w, h, depth, _length, rtype, maptype, maplen) = struct.unpack(
+        ">8I", payload[:32])
+    if w == 0 or h == 0:
+        raise ValueError(f"invalid RAS dimensions {w}x{h}")
+    if rtype not in (0, 1, 3):
+        raise ValueError(f"unsupported RAS type {rtype} (RLE not supported)")
+    pos = 32
+    cmap = None
+    if maptype == 1 and maplen:
+        cm = np.frombuffer(payload, np.uint8, maplen, pos)
+        n = maplen // 3
+        cmap = cm.reshape(3, n).T                    # R plane, G, B
+    elif maptype != 0:
+        raise ValueError(f"unsupported RAS map type {maptype}")
+    pos += maplen
+    bpp = depth // 8
+    if depth == 8:
+        stride = (w + 1) & ~1                        # rows pad to 16 bits
+        need = stride * h
+        raw = payload[pos:pos + need]
+        if len(raw) < need:
+            raise ValueError("truncated RAS raster")
+        idx = np.frombuffer(raw, np.uint8, need).reshape(h, stride)[:, :w]
+        if cmap is None:
+            g = idx
+            return np.ascontiguousarray(np.stack([g, g, g], axis=2))
+        if idx.max() >= len(cmap):
+            raise ValueError("RAS index out of colormap range")
+        return np.ascontiguousarray(cmap[idx])
+    if depth not in (24, 32):
+        raise ValueError(f"unsupported RAS depth {depth}")
+    stride = (w * bpp + 1) & ~1
+    need = stride * h
+    raw = payload[pos:pos + need]
+    if len(raw) < need:
+        raise ValueError("truncated RAS raster")
+    px = np.frombuffer(raw, np.uint8, need).reshape(h, stride)[:, :w * bpp]
+    px = px.reshape(h, w, bpp)
+    if depth == 32:
+        px = px[:, :, 1:]                            # pad byte first
+    if rtype != 3:                                   # types 0/1 are BGR
+        px = px[:, :, ::-1]
+    return np.ascontiguousarray(px)
+
+
+# --- SGI image (.sgi/.rgb; public spec, big-endian, RLE or verbatim) ---------
+
+
+def is_sgi(payload: bytes | None) -> bool:
+    return (payload is not None and len(payload) >= 512
+            and payload[:2] == b"\x01\xda")
+
+
+def decode_sgi(payload: bytes) -> np.ndarray:
+    """SGI image → (H, W, 3) uint8 RGB: 1-byte-per-channel verbatim or
+    RLE storage (per-scanline offset/length tables after the 512-byte
+    header; count&0x7f with the high bit selecting copy vs repeat), rows
+    stored bottom-up, 1/3/4 channels (alpha dropped, gray replicated)."""
+    if not is_sgi(payload):
+        raise ValueError("not an SGI image payload (bad magic)")
+    storage, bpc, dim, w, h, ch = struct.unpack(">BBHHHH", payload[2:12])
+    if bpc != 1:
+        raise ValueError(f"only 1-byte-per-channel SGI supported (bpc={bpc})")
+    if dim == 2:
+        ch = 1
+    if w == 0 or h == 0 or ch not in (1, 3, 4):
+        raise ValueError(f"unsupported SGI geometry {w}x{h}x{ch}")
+    planes = np.zeros((ch, h, w), np.uint8)
+    if storage == 0:                                  # verbatim
+        need = w * h * ch
+        raw = payload[512:512 + need]
+        if len(raw) < need:
+            raise ValueError("truncated SGI raster")
+        planes = np.frombuffer(raw, np.uint8, need).reshape(ch, h, w)
+    elif storage == 1:                                # RLE
+        ntab = h * ch
+        tabs = np.frombuffer(payload, ">u4", 2 * ntab, 512)
+        starts, lens = tabs[:ntab], tabs[ntab:]
+        for c in range(ch):
+            for row in range(h):
+                o = int(starts[c * h + row])
+                end = o + int(lens[c * h + row])
+                if end > len(payload):
+                    raise ValueError("SGI RLE scanline out of range")
+                out = []
+                while o < end:
+                    b = payload[o]
+                    o += 1
+                    n = b & 0x7F
+                    if n == 0:
+                        break
+                    if b & 0x80:                      # copy next n bytes
+                        out += list(payload[o:o + n])
+                        o += n
+                    else:                             # repeat next byte
+                        out += [payload[o]] * n
+                        o += 1
+                if len(out) != w:
+                    raise ValueError("SGI RLE scanline length mismatch")
+                planes[c, row] = out
+    else:
+        raise ValueError(f"unsupported SGI storage {storage}")
+    planes = planes[:, ::-1]                          # bottom-up rows
+    if ch == 1:
+        g = planes[0]
+        return np.ascontiguousarray(np.stack([g, g, g], axis=2))
+    return np.ascontiguousarray(planes[:3].transpose(1, 2, 0))
+
+
+# --- XBM (X BitMap: C-source bilevel; public X11 format) ---------------------
+
+
+def is_xbm(payload: bytes | None) -> bool:
+    return (payload is not None and payload[:8] == b"#define "
+            and b"_width" in payload[:256] and b"_bits[]" in payload)
+
+
+def decode_xbm(payload: bytes) -> np.ndarray:
+    """XBM C source → (H, W, 3) uint8 RGB: parse the width/height
+    #defines and the hex byte array; bits are LSB-FIRST within each byte
+    (the opposite of PBM), 1 = black, rows padded to whole bytes."""
+    import re
+
+    if not is_xbm(payload):
+        raise ValueError("not an XBM payload (missing #define header)")
+    text = payload.decode("ascii")    # UnicodeDecodeError is a ValueError
+    mw = re.search(r"#define\s+\w*_?width\s+(\d+)", text)
+    mh = re.search(r"#define\s+\w*_?height\s+(\d+)", text)
+    mb = re.search(r"_bits\[\]\s*=\s*\{([^}]*)\}", text)
+    if not (mw and mh and mb):
+        raise ValueError("XBM missing width/height/bits")
+    w, h = int(mw.group(1)), int(mh.group(1))
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid XBM dimensions {w}x{h}")
+    vals = [int(v.strip(), 0) for v in mb.group(1).split(",") if v.strip()]
+    stride = (w + 7) // 8
+    if len(vals) < stride * h:
+        raise ValueError("truncated XBM bits array")
+    rows = np.array(vals[:stride * h], np.uint8).reshape(h, stride)
+    bits = np.unpackbits(rows, axis=1, bitorder="little")[:, :w]
+    g = ((1 - bits) * 255).astype(np.uint8)           # 1 = black
+    return np.ascontiguousarray(np.stack([g, g, g], axis=2))
+
+
 # --- TIFF (baseline 8-bit, strips; none / PackBits / LZW) -------------------
 #
 # Implemented from the public TIFF 6.0 specification: both byte orders,

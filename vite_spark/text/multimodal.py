@@ -145,6 +145,26 @@ def _try_decode(payload):
             return "heif", decode_heif(payload)
         except ValueError:
             return None
+    from vite_spark.text.codecs import (
+        decode_pnm,
+        decode_ras,
+        decode_sgi,
+        decode_xbm,
+        is_pnm,
+        is_ras,
+        is_sgi,
+        is_xbm,
+    )
+
+    for probe, dec, kind in ((is_pnm, decode_pnm, "pnm"),
+                             (is_ras, decode_ras, "ras"),
+                             (is_sgi, decode_sgi, "sgi"),
+                             (is_xbm, decode_xbm, "xbm")):
+        if probe(payload):
+            try:
+                return kind, dec(payload)
+            except ValueError:
+                return None
     return None
 
 
