@@ -149,17 +149,19 @@ def _try_decode(payload):
         decode_pnm,
         decode_ras,
         decode_sgi,
-        decode_xbm,
         is_pnm,
         is_ras,
         is_sgi,
-        is_xbm,
     )
 
+    # XBM is deliberately NOT auto-dispatched: it is plain C source, and
+    # this engine's documents ARE source code — a real C header with
+    # *_width/*_bits defines is a syntactically valid XBM, so claiming it
+    # as an image would misroute text. decode_xbm stays available for
+    # callers that know their payload is an image.
     for probe, dec, kind in ((is_pnm, decode_pnm, "pnm"),
                              (is_ras, decode_ras, "ras"),
-                             (is_sgi, decode_sgi, "sgi"),
-                             (is_xbm, decode_xbm, "xbm")):
+                             (is_sgi, decode_sgi, "sgi")):
         if probe(payload):
             try:
                 return kind, dec(payload)
