@@ -1537,6 +1537,60 @@ SELECT doc_id AS media_id,
 FROM f"""
 
 
+HEVC_FPS = 6
+
+
+def q_multimodal_hevc_frames(spark, sf_dir):
+    """REAL MOTION-video decode (H.265 inter frames), driver-checked:
+    deterministic Annex-B H.265 elementary streams built from the
+    documents table (text/multimodal.hevc_media_from_docs, system libx265
+    LOSSLESS 4:4:4 with bframes=0 — frames past the IDR are genuine
+    TRAIL_R inter frames) are decoded by the INDEPENDENT system libde265
+    (text/syscodecs.decode_hevc) — no fake path — and the decoded dims
+    (conformance-window cropped), frame count, even-sampling fan-out,
+    timestamps, and per-frame channel means (exact: lossless
+    transform-bypass returns the input pixels bit-for-bit) are
+    value-matched against the SQL recomputation. A reference-picture or
+    motion-compensation bug flips the inter-frame means, a crop bug flips
+    dims, a reorder bug flips frame_idx. Byte size is
+    compressor-dependent and not an output column."""
+    from vite_spark.text.multimodal import hevc_media_from_docs, sample_hevc_frames
+
+    media = hevc_media_from_docs(_docs(spark, sf_dir), fps=HEVC_FPS)
+    return sample_hevc_frames(media, fps=HEVC_FPS, max_frames=MAX_FRAMES).select(
+        "media_id", "frame_idx", "ts_s", "width", "height", "n_frames",
+        "mean_r", "mean_g", "mean_b",
+    )
+
+
+# everything recomputed from the hevc_media_from_docs contract:
+# W = doc_id%17+16, H = doc_id%13+16, n_frames = doc_id%6+1, 6 fps, frame
+# k constant color = sha256(text)[6+3k : 9+3k] (lossless 4:4:4 roundtrips
+# the bytes exactly); same sampler rule as the DIB AVI
+SQL_MULTIMODAL_HEVC = f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+d AS (SELECT doc_id, hx,
+             doc_id % 17 + 16 AS w, doc_id % 13 + 16 AS hh,
+             doc_id % 6 + 1 AS n
+      FROM h),
+s AS (SELECT doc_id, hx, w, hh, n,
+             LEAST(n, {MAX_FRAMES}) AS ns
+      FROM d),
+f AS (SELECT doc_id, hx, w, hh, n,
+             (unnest(range(ns)) * n) // ns AS k
+      FROM s)
+SELECT doc_id AS media_id,
+       CAST(k AS BIGINT) AS frame_idx,
+       k / {HEVC_FPS}.0 AS ts_s,
+       CAST(w AS BIGINT) AS width,
+       CAST(hh AS BIGINT) AS height,
+       CAST(n AS BIGINT) AS n_frames,
+       ROUND({_hexbyte_at('hx', '13 + 6 * k')} / 255.0, 6) AS mean_r,
+       ROUND({_hexbyte_at('hx', '15 + 6 * k')} / 255.0, 6) AS mean_g,
+       ROUND({_hexbyte_at('hx', '17 + 6 * k')} / 255.0, 6) AS mean_b
+FROM f"""
+
+
 IVF_CELLS, IVF_NPROBE, IVF_ITERS = 16, 2, 2
 
 
@@ -1797,5 +1851,8 @@ def registry() -> dict[str, tuple]:
         ),
         "multimodal_avi_frames": (
             q_multimodal_avi_frames, SQL_MULTIMODAL_AVI,
+        ),
+        "multimodal_hevc_frames": (
+            q_multimodal_hevc_frames, SQL_MULTIMODAL_HEVC,
         ),
     }

@@ -18,9 +18,12 @@ missing#2, r3 VERDICT next#7). On top of the vendored codecs, WebP
 (VP8/VP8L) and HEIF/AVIF (H.265 / AV1 intra stills) decode for REAL
 through the container's open-source codec stacks bound via ctypes
 (text/syscodecs.py, claimed in the dispatch only when the library
-loads) — so the H.26x stub is closed for STILL frames. What remains
-STUBBED, honestly: MP3 audio and motion video beyond MJPEG/raw-DIB AVI
-(no MP3 lib or demuxer in the container): those raise NotImplementedError unless
+loads) — and MOTION H.265 is real too: multi-frame Annex-B elementary
+streams with genuine inter (P) frames encode through libx265 and decode
+through the independent libde265 (syscodecs.encode_hevc/decode_hevc,
+lossless 4:4:4 → bit-exact roundtrip), sampled by sample_hevc_frames.
+What remains STUBBED, honestly: MP3 audio and compressed containers we
+have no demuxer for (MP4/MKV): those raise NotImplementedError unless
 `fake=True`, in which case a deterministic fake decoder (content-hash
 seeded dimensions/features) stands in so the pipeline shape is exercised
 end-to-end. With fake=True, real payloads still take the real path — the
@@ -880,6 +883,60 @@ def mjpeg_media_from_docs(docs: DataFrame, fps: int = 4) -> DataFrame:
     )
 
 
+def hevc_media_from_docs(docs: DataFrame, fps: int = 6) -> DataFrame:
+    """Deterministic REAL H.265 MOTION-video payloads derived from the
+    documents table — the inter-frame compressed-video driver fixture:
+    each doc becomes a (doc_id%6+1)-frame (16+doc_id%17) × (16+doc_id%13)
+    Annex-B H.265 elementary stream whose frame k is the constant color
+    sha256(text)[6+3k : 9+3k], encoded LOSSLESS 4:4:4 by the system
+    libx265 (syscodecs.encode_hevc) with bframes=0 and default keyint, so
+    frames 1..n-1 are genuine INTER (TRAIL_R) frames, not stills. The
+    lossless transform-bypass path returns the exact input pixels through
+    the independent libde265, so frame count, dims, timestamps, the
+    sampling rule, and per-frame channel means are all SQL-expressible
+    and the DuckDB oracle value-checks the motion decode end-to-end.
+    Byte size is compressor-dependent and not an output column (same
+    policy as PNG/GIF/MJPEG)."""
+
+    def batch_fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from vite_spark.text.syscodecs import encode_hevc
+
+        for pdf in batches:
+            payloads, mw, mh, dur = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.sha256((text or "").encode()).digest()
+                w = int(doc_id) % 17 + 16
+                ht = int(doc_id) % 13 + 16
+                nf = int(doc_id) % 6 + 1
+                frames = np.empty((nf, ht, w, 3), np.uint8)
+                for k in range(nf):
+                    frames[k] = (h[6 + 3 * k], h[7 + 3 * k], h[8 + 3 * k])
+                payloads.append(encode_hevc(frames, fps))
+                mw.append(w)
+                mh.append(ht)
+                dur.append(nf / fps)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "payload": payloads,
+                    "mime": "video/h265",
+                    "meta_width": pd.array(mw, dtype="Int64"),
+                    "meta_height": pd.array(mh, dtype="Int64"),
+                    "meta_duration_s": pd.array(dur, dtype="Float64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batch_fn, schema=MEDIA_SCHEMA
+    )
+
+
 VIDEO_FRAMES_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -919,9 +976,9 @@ def sample_avi_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
                 if not is_avi(b):
                     raise NotImplementedError(
                         "only raw-DIB and Motion-JPEG AVI decode natively "
-                        "(text/codecs.py, text/jpeg.py); other video "
-                        "codecs need libraries not present in this "
-                        "environment — see sample_frames for the "
+                        "(text/codecs.py, text/jpeg.py); Annex-B H.265 "
+                        "elementary streams go to sample_hevc_frames; "
+                        "other containers — see sample_frames for the "
                         "deterministic stub"
                     )
                 frames, fps = decode_avi(b)
@@ -931,6 +988,56 @@ def sample_avi_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
                     k = j * n // ns
                     # ts unrounded: k/fps is ONE correctly-rounded IEEE
                     # division, bit-identical to the SQL oracle's
+                    means = frames[k].reshape(-1, 3).mean(axis=0) / 255.0
+                    mid.append(i)
+                    idxs.append(k)
+                    tss.append(k / fps)
+                    ws.append(w)
+                    hs.append(h)
+                    nfs.append(n)
+                    nbs.append(len(b))
+                    mr.append(round(float(means[0]), 6))
+                    mg.append(round(float(means[1]), 6))
+                    mb.append(round(float(means[2]), 6))
+            yield pd.DataFrame(
+                {
+                    "media_id": mid, "frame_idx": idxs, "ts_s": tss,
+                    "width": ws, "height": hs, "n_frames": nfs,
+                    "n_bytes": nbs, "mean_r": mr, "mean_g": mg, "mean_b": mb,
+                }
+            )
+
+    return media.mapInPandas(batch_fn, schema=VIDEO_FRAMES_SCHEMA)
+
+
+def sample_hevc_frames(media: DataFrame, fps: int,
+                       max_frames: int = 4) -> DataFrame:
+    """REAL MOTION-video frame sampling over Annex-B H.265 elementary
+    streams (syscodecs.decode_hevc via the system libde265): same even
+    sampler as sample_avi_frames (source index j·n // ns), same output
+    schema. fps is a parameter, not a decoded field: raw elementary
+    streams carry no container timing (the same reason ffmpeg needs
+    -framerate for a .h265 file) — the fixture passes the encode fps."""
+
+    def batch_fn(batches):
+        import pandas as pd
+
+        from vite_spark.text.syscodecs import decode_hevc, is_hevc_annexb
+
+        for pdf in batches:
+            mid, idxs, tss = [], [], []
+            ws, hs, nfs, nbs, mr, mg, mb = [], [], [], [], [], [], []
+            for i, b in zip(pdf["media_id"], pdf["payload"]):
+                if not is_hevc_annexb(b):
+                    raise NotImplementedError(
+                        "sample_hevc_frames takes Annex-B H.265 elementary "
+                        "streams; AVI payloads go to sample_avi_frames"
+                    )
+                frames = decode_hevc(b)
+                n, h, w = frames.shape[:3]
+                ns = min(n, max_frames)
+                for j in range(ns):
+                    k = j * n // ns
                     means = frames[k].reshape(-1, 3).mean(axis=0) / 255.0
                     mid.append(i)
                     idxs.append(k)
@@ -1225,10 +1332,11 @@ def sample_frames(media: DataFrame, max_frames: int = 4, fake: bool = False) -> 
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
-                    "compressed-video frame sampling requires codec "
-                    "libraries not present in this environment; raw-DIB "
-                    "AVI decodes natively via sample_avi_frames — pass "
-                    "fake=True here for the deterministic stub"
+                    "container demuxing (MP4/MKV) is not available in "
+                    "this environment; raw-DIB/MJPEG AVI decodes natively "
+                    "via sample_avi_frames and Annex-B H.265 elementary "
+                    "streams via sample_hevc_frames — pass fake=True "
+                    "here for the deterministic stub"
                 )
             mid, idxs, tss, shas = [], [], [], []
             for i, b in zip(pdf["media_id"], pdf["payload"]):

@@ -310,3 +310,310 @@ def encode_heif(rgb: np.ndarray, fmt: int = HEIF_HEVC,
             lib.heif_encoder_release(enc)
     finally:
         lib.heif_context_free(ctx)
+
+
+# --- H.265 MOTION video (libx265 encode, libde265 decode) --------------------
+#
+# HEIF above carries only INTRA stills. This section is the honest
+# motion-video path: multi-frame H.265 elementary streams (Annex-B) with
+# real INTER (P) frames, encoded by the system libx265 and decoded by the
+# independent system libde265 — two unrelated codebases, so a lossless
+# roundtrip is a genuine cross-validation, not a self-check.
+#
+# Losslessness: x265 --lossless with 4:4:4 chroma is transform-bypass
+# bit-exact, and we pass the R, G, B planes straight through the three
+# 4:4:4 channel slots (no YCbCr matrix at all), so decode returns the
+# input pixels EXACTLY — which is what makes the driver fixtures
+# SQL-oracle-able.
+#
+# libx265's only struct-passing API surface we need is x265_picture, whose
+# layout we PROBE at load time instead of trusting a vendored header:
+# x265_picture_init() writes bitDepth (=8) and colorSpace (=param csp), so
+# initialising one picture under i420 and one under i444 and diffing the
+# bytes pins the colorSpace offset (the ONLY differing word), and the
+# documented field order (planes[3], stride[3], bitDepth, sliceType, poc,
+# colorSpace) is then verified by asserting bitDepth==8 / sliceType==0 /
+# poc==0 at the relative offsets. Any mismatch → RuntimeError, never a
+# silent garbage encode.
+
+_X265 = None
+_DE265 = None
+
+
+class _X265Nal(ctypes.Structure):
+    # public x265.h: { uint32_t type; uint32_t sizeBytes; uint8_t* payload; }
+    _fields_ = [("type", ctypes.c_uint32), ("sizeBytes", ctypes.c_uint32),
+                ("payload", ctypes.c_void_p)]
+
+
+def _x265():
+    global _X265
+    if _X265 is None:
+        P, V, I = ctypes.POINTER, ctypes.c_void_p, ctypes.c_int
+        try:
+            lib = ctypes.CDLL("libx265.so.199")
+        except OSError:
+            _X265 = False
+            return None
+        sig = {
+            "x265_param_alloc": (V, []),
+            "x265_param_free": (None, [V]),
+            "x265_param_default": (None, [V]),
+            "x265_param_default_preset":
+                (I, [V, ctypes.c_char_p, ctypes.c_char_p]),
+            "x265_param_parse": (I, [V, ctypes.c_char_p, ctypes.c_char_p]),
+            "x265_picture_alloc": (V, []),
+            "x265_picture_free": (None, [V]),
+            "x265_picture_init": (None, [V, V]),
+            "x265_encoder_open_199": (V, [V]),
+            "x265_encoder_headers": (I, [V, P(V), P(ctypes.c_uint32)]),
+            "x265_encoder_encode": (I, [V, P(V), P(ctypes.c_uint32), V, V]),
+            "x265_encoder_close": (None, [V]),
+        }
+        for name, (res, args) in sig.items():
+            f = getattr(lib, name)
+            f.restype = res
+            f.argtypes = args
+        # ---- picture-layout probe (see module comment above) ----
+        p1 = lib.x265_param_alloc()
+        p3 = lib.x265_param_alloc()
+        pic = lib.x265_picture_alloc()
+        try:
+            lib.x265_param_default(p1)
+            lib.x265_param_default(p3)
+            if (lib.x265_param_parse(p1, b"input-csp", b"i420") != 0
+                    or lib.x265_param_parse(p3, b"input-csp", b"i444") != 0):
+                _X265 = False
+                return None
+            span = 512
+
+            def dump(param):
+                ctypes.memset(pic, 0xAB, span)
+                lib.x265_picture_init(param, pic)
+                return ctypes.string_at(pic, span)
+
+            d1, d3 = dump(p1), dump(p3)
+            diffs = [o for o in range(0, span, 4) if d1[o:o + 4] != d3[o:o + 4]]
+            ok = False
+            if len(diffs) == 1:
+                off = diffs[0]
+                words = np.frombuffer(d1[off - 12:off + 4], "<i4")
+                # bitDepth, sliceType(X265_TYPE_AUTO=0), poc, colorSpace
+                ok = (list(words) == [8, 0, 0, 1]
+                      and np.frombuffer(d3[off:off + 4], "<i4")[0] == 3
+                      and off >= 48 + 12)
+            if not ok:
+                _X265 = False
+                return None
+            lib._pic_off_colorspace = off
+            lib._pic_off_bitdepth = off - 12
+            lib._pic_off_stride = off - 12 - 12     # int stride[3]
+            lib._pic_off_planes = off - 12 - 12 - 24  # void* planes[3]
+        finally:
+            lib.x265_picture_free(pic)
+            lib.x265_param_free(p1)
+            lib.x265_param_free(p3)
+        _X265 = lib
+    return _X265 or None
+
+
+def _de265():
+    global _DE265
+    if _DE265 is None:
+        P, V, I = ctypes.POINTER, ctypes.c_void_p, ctypes.c_int
+        try:
+            lib = ctypes.CDLL("libde265.so.0")
+        except OSError:
+            _DE265 = False
+            return None
+        sig = {
+            "de265_new_decoder": (V, []),
+            "de265_free_decoder": (I, [V]),
+            "de265_push_data":
+                (I, [V, ctypes.c_char_p, I, ctypes.c_longlong, V]),
+            "de265_flush_data": (I, [V]),
+            "de265_decode": (I, [V, P(I)]),
+            "de265_get_next_picture": (V, [V]),
+            "de265_get_image_width": (I, [V, I]),
+            "de265_get_image_height": (I, [V, I]),
+            "de265_get_chroma_format": (I, [V]),
+            "de265_get_bits_per_pixel": (I, [V, I]),
+            "de265_get_image_plane": (ctypes.c_void_p, [V, I, P(I)]),
+        }
+        for name, (res, args) in sig.items():
+            f = getattr(lib, name)
+            f.restype = res
+            f.argtypes = args
+        _DE265 = lib
+    return _DE265 or None
+
+
+def have_hevc() -> bool:
+    """Both directions of the motion path: x265 encode + de265 decode."""
+    return _x265() is not None and _de265() is not None
+
+
+def hevc_nal_types(payload: bytes) -> list[int]:
+    """NAL unit types of an Annex-B H.265 elementary stream, in stream
+    order (type = (first header byte >> 1) & 0x3F per ITU-T H.265 §7.3.1.2).
+    Pure byte-scan — no codec library needed."""
+    types = []
+    i, n = 0, len(payload)
+    while i + 3 < n:
+        if payload[i] == 0 and payload[i + 1] == 0:
+            if payload[i + 2] == 1:
+                types.append((payload[i + 3] >> 1) & 0x3F)
+                i += 3
+                continue
+            if i + 4 < n and payload[i + 2] == 0 and payload[i + 3] == 1:
+                types.append((payload[i + 4] >> 1) & 0x3F)
+                i += 4
+                continue
+        i += 1
+    return types
+
+
+def is_hevc_annexb(payload: bytes | None) -> bool:
+    """Annex-B H.265 elementary stream: leading start code whose first
+    NAL is a parameter set or IRAP (VPS/SPS/PPS or IDR/CRA)."""
+    if payload is None or len(payload) < 6:
+        return False
+    if payload[:4] == b"\x00\x00\x00\x01":
+        t = (payload[4] >> 1) & 0x3F
+    elif payload[:3] == b"\x00\x00\x01":
+        t = (payload[3] >> 1) & 0x3F
+    else:
+        return False
+    return t in (32, 33, 34, 19, 20, 21)
+
+
+def encode_hevc(frames: np.ndarray, fps: int = 4) -> bytes:
+    """(N, H, W, 3) uint8 RGB frames → Annex-B H.265 elementary stream
+    via the system libx265: LOSSLESS, 4:4:4, R/G/B passed through the
+    three channel slots unconverted (bit-exact roundtrip), bframes=0 so
+    decode order == display order, keyint default → frame 0 is IDR and
+    frames 1..N-1 are real INTER (TRAIL_R) frames. Single-threaded
+    (pools=1, frame-threads=1): parallelism belongs to Spark tasks, not
+    to a per-row encoder pool. Raw elementary streams carry no container
+    timing; fps only sets the VPS timing hint, samplers take fps
+    explicitly (same contract as a .h265 file fed to ffmpeg)."""
+    x = _x265()
+    if x is None:
+        raise RuntimeError("system libx265 not present (or layout probe failed)")
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.shape[0] < 1:
+        raise ValueError(f"expected (N, H, W, 3) uint8 RGB, got {frames.shape}")
+    n, h, w = frames.shape[:3]
+    if h < 16 or w < 16:
+        raise ValueError(f"x265 needs at least one 16x16 CTU, got {w}x{h}")
+    import struct as _struct
+
+    p = x.x265_param_alloc()
+    enc = None
+    pic = None
+    try:
+        if x.x265_param_default_preset(p, b"ultrafast", None) != 0:
+            raise RuntimeError("x265 preset init failed")
+        for k, v in ((b"input-res", f"{w}x{h}".encode()),
+                     (b"fps", str(int(fps)).encode()),
+                     (b"input-csp", b"i444"), (b"lossless", b"1"),
+                     (b"bframes", b"0"), (b"ctu", b"16"),
+                     (b"pools", b"1"), (b"frame-threads", b"1"),
+                     (b"repeat-headers", b"0"), (b"annexb", b"1"),
+                     (b"log-level", b"none")):
+            if x.x265_param_parse(p, k, v) != 0:
+                raise RuntimeError(f"x265 param {k.decode()}={v.decode()} rejected")
+        enc = x.x265_encoder_open_199(p)
+        if not enc:
+            raise RuntimeError(f"x265 encoder open failed for {w}x{h}")
+        pic = x.x265_picture_alloc()
+        x.x265_picture_init(p, pic)
+        out = bytearray()
+        pn = ctypes.c_void_p()
+        nn = ctypes.c_uint32()
+
+        def emit():
+            nals = ctypes.cast(pn, ctypes.POINTER(_X265Nal * nn.value)).contents
+            for nal in nals:
+                out.extend(ctypes.string_at(nal.payload, nal.sizeBytes))
+
+        if x.x265_encoder_headers(enc, ctypes.byref(pn), ctypes.byref(nn)) < 0:
+            raise RuntimeError("x265 header generation failed")
+        emit()
+        for i in range(n):
+            chans = [np.ascontiguousarray(frames[i, :, :, c]) for c in range(3)]
+            for c in range(3):
+                ctypes.memmove(pic + x._pic_off_planes + 8 * c,
+                               _struct.pack("<Q", chans[c].ctypes.data), 8)
+                ctypes.memmove(pic + x._pic_off_stride + 4 * c,
+                               _struct.pack("<i", w), 4)
+            ctypes.memmove(pic, _struct.pack("<q", i), 8)   # pts
+            r = x.x265_encoder_encode(enc, ctypes.byref(pn), ctypes.byref(nn),
+                                      pic, None)
+            if r < 0:
+                raise RuntimeError(f"x265 encode failed at frame {i}")
+            if r > 0:
+                emit()
+        while True:
+            r = x.x265_encoder_encode(enc, ctypes.byref(pn), ctypes.byref(nn),
+                                      None, None)
+            if r < 0:
+                raise RuntimeError("x265 flush failed")
+            if r == 0:
+                break
+            emit()
+        return bytes(out)
+    finally:
+        if pic:
+            x.x265_picture_free(pic)
+        if enc:
+            x.x265_encoder_close(enc)
+        x.x265_param_free(p)
+
+
+def decode_hevc(payload: bytes) -> np.ndarray:
+    """Annex-B H.265 elementary stream → (N, H, W, 3) uint8 via the
+    system libde265, display order. Requires the encode_hevc contract
+    (8-bit 4:4:4, channels = R/G/B); rejects other chroma formats loudly
+    rather than silently up-sampling."""
+    d = _de265()
+    if d is None:
+        raise RuntimeError("system libde265 not present")
+    if not is_hevc_annexb(payload):
+        raise ValueError("not an Annex-B H.265 elementary stream")
+    ctx = d.de265_new_decoder()
+    if not ctx:
+        raise RuntimeError("de265 decoder alloc failed")
+    try:
+        if d.de265_push_data(ctx, payload, len(payload), 0, None) != 0:
+            raise ValueError("de265 rejected the stream bytes")
+        d.de265_flush_data(ctx)
+        frames = []
+        more = ctypes.c_int(1)
+        stride = ctypes.c_int()
+        while more.value:
+            d.de265_decode(ctx, ctypes.byref(more))
+            while True:
+                img = d.de265_get_next_picture(ctx)
+                if not img:
+                    break
+                if d.de265_get_chroma_format(img) != 3:   # de265_chroma_444
+                    raise ValueError(
+                        "only 4:4:4 streams decode here (encode_hevc "
+                        "contract); got another chroma format")
+                if d.de265_get_bits_per_pixel(img, 0) != 8:
+                    raise ValueError("only 8-bit streams decode here")
+                w = d.de265_get_image_width(img, 0)
+                h = d.de265_get_image_height(img, 0)
+                fr = np.empty((h, w, 3), np.uint8)
+                for c in range(3):
+                    pl = d.de265_get_image_plane(img, c, ctypes.byref(stride))
+                    buf = ctypes.string_at(pl, stride.value * h)
+                    fr[:, :, c] = np.frombuffer(buf, np.uint8).reshape(
+                        h, stride.value)[:, :w]
+                frames.append(fr)
+        if not frames:
+            raise ValueError("de265 produced no pictures (corrupt stream?)")
+        return np.stack(frames)
+    finally:
+        d.de265_free_decoder(ctx)
