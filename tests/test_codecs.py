@@ -2053,3 +2053,157 @@ def test_hevc_media_from_docs_contract(spark):
             assert r["mean_g"] == round(h[7 + 3 * k] / 255.0, 6)
             assert r["mean_b"] == round(h[8 + 3 * k] / 255.0, 6)
     assert len(out) == sum(min(d % 6 + 1, 4) for d in (0, 7, 44))
+
+
+@pytest.mark.skipif(not _have_hevc(), reason="system libx265/libde265 not present")
+def test_mp4_mux_demux_roundtrip_bit_exact():
+    """Container path end-to-end: Annex-B → MP4 → demux → decode returns
+    the exact input frames, with fps/dims/duration read back from the
+    container (not echoed from a parameter), and the demuxed stream
+    carrying exactly the NALs that went in."""
+    from vite_spark.text.mp4 import (
+        demux_mp4,
+        is_mp4,
+        mux_mp4,
+        split_annexb,
+    )
+    from vite_spark.text.syscodecs import decode_hevc, encode_hevc
+
+    rng = np.random.default_rng(21)
+    for n, h, w, fps in [(6, 18, 26, 3), (1, 16, 16, 30), (8, 21, 37, 5)]:
+        frames = rng.integers(0, 256, (n, h, w, 3), np.uint8)
+        es = encode_hevc(frames, fps=fps)
+        mp4 = mux_mp4(es, w, h, fps)
+        assert is_mp4(mp4)
+        d = demux_mp4(mp4)
+        assert (d["width"], d["height"], d["n_samples"]) == (w, h, n)
+        assert d["fps"] == float(fps)
+        assert d["duration_s"] == n / fps
+        assert np.array_equal(decode_hevc(d["annexb"]), frames)
+        # NAL multiset identical: the container reframed, never rewrote
+        assert sorted(split_annexb(d["annexb"])) == sorted(split_annexb(es))
+
+
+@pytest.mark.skipif(not _have_hevc(), reason="system libx265/libde265 not present")
+def test_mp4_muxed_structure_spec_literal():
+    """Structural invariants checked with raw struct reads, independent
+    of the box walker: ftyp brand, stco's chunk offset lands on the first
+    sample inside mdat, stsz sizes sum to the mdat payload, and the moov
+    is last (progressive layout)."""
+    import struct
+
+    from vite_spark.text.mp4 import mux_mp4
+    from vite_spark.text.syscodecs import encode_hevc
+
+    frames = np.full((3, 16, 16, 3), 128, np.uint8)
+    mp4 = mux_mp4(encode_hevc(frames, fps=4), 16, 16, 4)
+    assert mp4[4:8] == b"ftyp" and mp4[8:12] == b"isom"
+    ftyp_size = struct.unpack_from(">I", mp4, 0)[0]
+    mdat_size = struct.unpack_from(">I", mp4, ftyp_size)[0]
+    assert mp4[ftyp_size + 4:ftyp_size + 8] == b"mdat"
+    moov_off = ftyp_size + mdat_size
+    assert mp4[moov_off + 4:moov_off + 8] == b"moov"
+    assert moov_off + struct.unpack_from(">I", mp4, moov_off)[0] == len(mp4)
+    i = mp4.index(b"stco")
+    n_chunks, off0 = struct.unpack_from(">II", mp4, i + 8)
+    assert n_chunks == 1 and off0 == ftyp_size + 8   # first byte of mdat body
+    i = mp4.index(b"stsz")
+    fixed, cnt = struct.unpack_from(">II", mp4, i + 8)
+    sizes = struct.unpack_from(f">{cnt}I", mp4, i + 16)
+    assert fixed == 0 and cnt == 3
+    assert sum(sizes) == mdat_size - 8
+
+
+@pytest.mark.skipif(not _have_hevc(), reason="system libx265/libde265 not present")
+def test_isobmff_walker_on_third_party_heic_bytes():
+    """The strongest container validation available here: libheif-AUTHORED
+    HEIC files (ISOBMFF this repo did not write) parse through the same
+    box walker — meta/iinf/ipma/iloc/hvcC — and the extracted coded HEVC
+    item decodes through libde265 at exactly the ispe-advertised coded
+    dims; converting the decoded 4:4:4 YCbCr with plain BT.601 full-range
+    reproduces libheif's OWN full-stack RGB decode PIXEL-EXACTLY, and the
+    visible region matches the pre-encode original within the same ±2
+    YCbCr bound the HEIF tests pin. One wrong iloc field width or ipma
+    index and this fails loudly."""
+    from vite_spark.text.mp4 import extract_heic_hevc
+    from vite_spark.text.syscodecs import (
+        decode_heif,
+        decode_hevc,
+        encode_heif,
+        have_heif_codec,
+    )
+
+    if not have_heif_codec():
+        pytest.skip("libheif HEVC encode/decode not available")
+    rng = np.random.default_rng(33)
+    for hh, ww in [(40, 56), (33, 47), (16, 16)]:
+        img = rng.integers(0, 256, (hh, ww, 3), np.uint8)
+        heic = encode_heif(img, lossless=True)
+        x = extract_heic_hevc(heic)
+        dec = decode_hevc(x["annexb"])
+        assert dec.shape[0] == 1
+        assert (dec.shape[2], dec.shape[1]) == (x["width"], x["height"])
+        assert x["width"] >= ww and x["height"] >= hh   # CTU padding
+        y = dec[0, :hh, :ww, 0].astype(np.float64)
+        cb = dec[0, :hh, :ww, 1].astype(np.float64)
+        cr = dec[0, :hh, :ww, 2].astype(np.float64)
+        rgb = np.clip(np.stack([
+            y + 1.402 * (cr - 128),
+            y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+            y + 1.772 * (cb - 128),
+        ], -1).round(), 0, 255).astype(np.int64)
+        assert np.array_equal(rgb, decode_heif(heic).astype(np.int64))
+        assert np.abs(rgb - img.astype(np.int64)).max() <= 2
+
+
+@pytest.mark.skipif(not _have_hevc(), reason="system libx265/libde265 not present")
+def test_mp4_rejects_malformed():
+    from vite_spark.text.mp4 import demux_mp4, is_mp4, mux_mp4, walk_boxes
+    from vite_spark.text.syscodecs import encode_hevc
+
+    assert not is_mp4(b"")
+    assert not is_mp4(b"\x89PNG\r\n\x1a\nxxxx")
+    with pytest.raises(ValueError, match="not an MP4"):
+        demux_mp4(b"\x00\x00\x00\x10ftypheic\x00\x00\x00\x00")   # HEIF brand
+    frames = np.full((2, 16, 16, 3), 7, np.uint8)
+    good = mux_mp4(encode_hevc(frames, fps=4), 16, 16, 4)
+    with pytest.raises(ValueError):
+        demux_mp4(good[:-30])                 # truncated moov
+    bad = bytearray(good)
+    bad[0:4] = (0xFFFFFFFF).to_bytes(4, "big")  # box size beyond file
+    with pytest.raises(ValueError, match="bad size"):
+        list(walk_boxes(bytes(bad)))
+    with pytest.raises(ValueError, match="fps"):
+        mux_mp4(encode_hevc(frames, fps=4), 16, 16, 0)
+
+
+@pytest.mark.skipif(not _have_hevc(), reason="system libx265/libde265 not present")
+def test_mp4_media_from_docs_contract(spark):
+    """Driver-fixture contract incl. the PER-DOC fps: formulas match what
+    the DuckDB oracle recomputes (queries.SQL_MULTIMODAL_MP4), through
+    the real mux-on-executor → demux+decode-on-executor path; ts_s only
+    comes out right if the demuxer reads mdhd/stts."""
+    import pandas as pd
+
+    from vite_spark.text.multimodal import mp4_media_from_docs, sample_mp4_frames
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 7, 45], "text": ["alpha", "beta", "gamma"]})
+    )
+    media = mp4_media_from_docs(docs)
+    out = sample_mp4_frames(media, max_frames=4).collect()
+    rows = {(r["media_id"], r["frame_idx"]): r for r in out}
+    for doc_id, text in [(0, "alpha"), (7, "beta"), (45, "gamma")]:
+        w, hh = doc_id % 15 + 16, doc_id % 11 + 16
+        n, fps = doc_id % 5 + 1, doc_id % 4 + 2
+        ns = min(n, 4)
+        h = hashlib.sha256(text.encode()).digest()
+        for j in range(ns):
+            k = j * n // ns
+            r = rows[(doc_id, k)]
+            assert (r["width"], r["height"], r["n_frames"]) == (w, hh, n)
+            assert r["ts_s"] == k / fps
+            assert r["mean_r"] == round(h[6 + 3 * k] / 255.0, 6)
+            assert r["mean_g"] == round(h[7 + 3 * k] / 255.0, 6)
+            assert r["mean_b"] == round(h[8 + 3 * k] / 255.0, 6)
+    assert len(out) == sum(min(d % 5 + 1, 4) for d in (0, 7, 45))

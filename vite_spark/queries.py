@@ -1591,6 +1591,55 @@ SELECT doc_id AS media_id,
 FROM f"""
 
 
+def q_multimodal_mp4_frames(spark, sf_dir):
+    """REAL CONTAINER demux + MOTION decode, driver-checked: progressive
+    MP4s built from the documents table (text/multimodal.mp4_media_from_
+    docs — pure-spec ISOBMFF muxer over the lossless H.265 track) are
+    demuxed by the pure-Python box walker (text/mp4.demux_mp4: moov/trak/
+    stbl walk, hvcC → Annex-B, stts/stsc/stsz/stco sample mapping) and
+    decoded by the system libde265 — no fake path. The PER-DOC frame rate
+    lives only in the container (mdhd timescale), so the ts_s column is
+    wrong unless the demuxer genuinely reads it; dims/frame counts are
+    cross-asserted between container metadata and decoded stream inside
+    the sampler. Byte size is compressor-dependent and not an output
+    column."""
+    from vite_spark.text.multimodal import mp4_media_from_docs, sample_mp4_frames
+
+    media = mp4_media_from_docs(_docs(spark, sf_dir))
+    return sample_mp4_frames(media, max_frames=MAX_FRAMES).select(
+        "media_id", "frame_idx", "ts_s", "width", "height", "n_frames",
+        "mean_r", "mean_g", "mean_b",
+    )
+
+
+# everything recomputed from the mp4_media_from_docs contract:
+# W = doc_id%15+16, H = doc_id%11+16, n_frames = doc_id%5+1, fps =
+# doc_id%4+2 (carried in mdhd/stts, read back by the demuxer), frame k
+# constant color = sha256(text)[6+3k : 9+3k]; same sampler rule as AVI
+SQL_MULTIMODAL_MP4 = f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+d AS (SELECT doc_id, hx,
+             doc_id % 15 + 16 AS w, doc_id % 11 + 16 AS hh,
+             doc_id % 5 + 1 AS n, doc_id % 4 + 2 AS fps
+      FROM h),
+s AS (SELECT doc_id, hx, w, hh, n, fps,
+             LEAST(n, {MAX_FRAMES}) AS ns
+      FROM d),
+f AS (SELECT doc_id, hx, w, hh, n, fps,
+             (unnest(range(ns)) * n) // ns AS k
+      FROM s)
+SELECT doc_id AS media_id,
+       CAST(k AS BIGINT) AS frame_idx,
+       k / CAST(fps AS DOUBLE) AS ts_s,
+       CAST(w AS BIGINT) AS width,
+       CAST(hh AS BIGINT) AS height,
+       CAST(n AS BIGINT) AS n_frames,
+       ROUND({_hexbyte_at('hx', '13 + 6 * k')} / 255.0, 6) AS mean_r,
+       ROUND({_hexbyte_at('hx', '15 + 6 * k')} / 255.0, 6) AS mean_g,
+       ROUND({_hexbyte_at('hx', '17 + 6 * k')} / 255.0, 6) AS mean_b
+FROM f"""
+
+
 IVF_CELLS, IVF_NPROBE, IVF_ITERS = 16, 2, 2
 
 
@@ -1854,5 +1903,8 @@ def registry() -> dict[str, tuple]:
         ),
         "multimodal_hevc_frames": (
             q_multimodal_hevc_frames, SQL_MULTIMODAL_HEVC,
+        ),
+        "multimodal_mp4_frames": (
+            q_multimodal_mp4_frames, SQL_MULTIMODAL_MP4,
         ),
     }

@@ -937,6 +937,58 @@ def hevc_media_from_docs(docs: DataFrame, fps: int = 6) -> DataFrame:
     )
 
 
+def mp4_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL MP4 payloads derived from the documents table —
+    the CONTAINER-demux driver fixture: each doc becomes a
+    (doc_id%5+1)-frame (16+doc_id%15) × (16+doc_id%11) progressive MP4
+    (text/mp4.mux_mp4) holding the same lossless 4:4:4 H.265 track the
+    raw-ES fixture uses, with a PER-DOC frame rate (doc_id%4+2 fps)
+    written into mdhd/stts — so the sampler's timestamps are only right
+    if the demuxer genuinely reads the container timing, not a
+    pass-through parameter. Frame k is the constant color
+    sha256(text)[6+3k : 9+3k]."""
+
+    def batch_fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from vite_spark.text.mp4 import mux_mp4
+        from vite_spark.text.syscodecs import encode_hevc
+
+        for pdf in batches:
+            payloads, mw, mh, dur = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.sha256((text or "").encode()).digest()
+                w = int(doc_id) % 15 + 16
+                ht = int(doc_id) % 11 + 16
+                nf = int(doc_id) % 5 + 1
+                fps = int(doc_id) % 4 + 2
+                frames = np.empty((nf, ht, w, 3), np.uint8)
+                for k in range(nf):
+                    frames[k] = (h[6 + 3 * k], h[7 + 3 * k], h[8 + 3 * k])
+                payloads.append(mux_mp4(encode_hevc(frames, fps), w, ht, fps))
+                mw.append(w)
+                mh.append(ht)
+                dur.append(nf / fps)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "payload": payloads,
+                    "mime": "video/mp4",
+                    "meta_width": pd.array(mw, dtype="Int64"),
+                    "meta_height": pd.array(mh, dtype="Int64"),
+                    "meta_duration_s": pd.array(dur, dtype="Float64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batch_fn, schema=MEDIA_SCHEMA
+    )
+
+
 VIDEO_FRAMES_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -1035,6 +1087,65 @@ def sample_hevc_frames(media: DataFrame, fps: int,
                     )
                 frames = decode_hevc(b)
                 n, h, w = frames.shape[:3]
+                ns = min(n, max_frames)
+                for j in range(ns):
+                    k = j * n // ns
+                    means = frames[k].reshape(-1, 3).mean(axis=0) / 255.0
+                    mid.append(i)
+                    idxs.append(k)
+                    tss.append(k / fps)
+                    ws.append(w)
+                    hs.append(h)
+                    nfs.append(n)
+                    nbs.append(len(b))
+                    mr.append(round(float(means[0]), 6))
+                    mg.append(round(float(means[1]), 6))
+                    mb.append(round(float(means[2]), 6))
+            yield pd.DataFrame(
+                {
+                    "media_id": mid, "frame_idx": idxs, "ts_s": tss,
+                    "width": ws, "height": hs, "n_frames": nfs,
+                    "n_bytes": nbs, "mean_r": mr, "mean_g": mg, "mean_b": mb,
+                }
+            )
+
+    return media.mapInPandas(batch_fn, schema=VIDEO_FRAMES_SCHEMA)
+
+
+def sample_mp4_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
+    """REAL CONTAINER-video frame sampling: demux the MP4 (text/mp4 —
+    pure-spec ISOBMFF walk to the hvc1 track's hvcC + sample tables),
+    decode the extracted Annex-B stream through the system libde265, and
+    fan out with the same even sampler as the AVI path. fps and dims come
+    from the CONTAINER (mdhd/stts, sample entry) — cross-asserted against
+    the decoded frames, so a sample-table bug can't pass silently."""
+
+    def batch_fn(batches):
+        import pandas as pd
+
+        from vite_spark.text.mp4 import demux_mp4, is_mp4
+        from vite_spark.text.syscodecs import decode_hevc
+
+        for pdf in batches:
+            mid, idxs, tss = [], [], []
+            ws, hs, nfs, nbs, mr, mg, mb = [], [], [], [], [], [], []
+            for i, b in zip(pdf["media_id"], pdf["payload"]):
+                if not is_mp4(b):
+                    raise NotImplementedError(
+                        "sample_mp4_frames takes progressive MP4 payloads; "
+                        "AVI goes to sample_avi_frames, raw H.265 to "
+                        "sample_hevc_frames"
+                    )
+                d = demux_mp4(b)
+                frames = decode_hevc(d["annexb"])
+                n, h, w = frames.shape[:3]
+                if (n != d["n_samples"] or w != d["width"]
+                        or h != d["height"]):
+                    raise ValueError(
+                        f"container says {d['n_samples']} samples "
+                        f"{d['width']}x{d['height']}, stream decoded "
+                        f"{n} frames {w}x{h}")
+                fps = d["fps"]
                 ns = min(n, max_frames)
                 for j in range(ns):
                     k = j * n // ns
