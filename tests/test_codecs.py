@@ -2207,3 +2207,55 @@ def test_mp4_media_from_docs_contract(spark):
             assert r["mean_g"] == round(h[7 + 3 * k] / 255.0, 6)
             assert r["mean_b"] == round(h[8 + 3 * k] / 255.0, 6)
     assert len(out) == sum(min(d % 5 + 1, 4) for d in (0, 7, 45))
+
+
+@pytest.mark.skipif(not _have_hevc(), reason="system libx265/libde265 not present")
+def test_sample_video_frames_dispatch(spark):
+    """One DataFrame mixing all three native video formats routes each
+    row to the right decoder and yields identical per-frame values for
+    identical content."""
+    import pandas as pd
+
+    from vite_spark.text.codecs import encode_avi
+    from vite_spark.text.mp4 import mux_mp4
+    from vite_spark.text.multimodal import sample_video_frames
+    from vite_spark.text.syscodecs import encode_hevc
+
+    frames = np.full((3, 16, 16, 3), 0, np.uint8)
+    frames[0], frames[1], frames[2] = (10, 20, 30), (40, 50, 60), (70, 80, 90)
+    es = encode_hevc(frames, fps=5)
+    payloads = {
+        1: encode_avi(frames, 5),
+        2: mux_mp4(es, 16, 16, 5),
+        3: es,
+    }
+    media = spark.createDataFrame(pd.DataFrame({
+        "media_id": list(payloads), "kind": ["video"] * 3,
+        "payload": list(payloads.values()),
+        "mime": ["video/x-msvideo", "video/mp4", "video/h265"],
+        "meta_width": pd.array([16] * 3, dtype="Int64"),
+        "meta_height": pd.array([16] * 3, dtype="Int64"),
+        "meta_duration_s": pd.array([0.6] * 3, dtype="Float64"),
+    }))
+    out = sample_video_frames(media, max_frames=4, default_fps=5).collect()
+    rows = {(r["media_id"], r["frame_idx"]): r for r in out}
+    assert len(out) == 9
+    for mid in payloads:
+        for k, (r_, g_, b_) in enumerate([(10, 20, 30), (40, 50, 60),
+                                          (70, 80, 90)]):
+            r = rows[(mid, k)]
+            assert (r["width"], r["height"], r["n_frames"]) == (16, 16, 3)
+            assert r["ts_s"] == k / 5
+            assert r["mean_r"] == round(r_ / 255.0, 6)
+            assert r["mean_g"] == round(g_ / 255.0, 6)
+            assert r["mean_b"] == round(b_ / 255.0, 6)
+    # unknown container still raises loudly
+    bad = spark.createDataFrame(pd.DataFrame({
+        "media_id": [9], "kind": ["video"], "payload": [b"\x1aE\xdf\xa3 mkv?"],
+        "mime": ["video/x-matroska"],
+        "meta_width": pd.array([1], dtype="Int64"),
+        "meta_height": pd.array([1], dtype="Int64"),
+        "meta_duration_s": pd.array([1.0], dtype="Float64"),
+    }))
+    with pytest.raises(Exception, match="undecodable video payload"):
+        sample_video_frames(bad).collect()
