@@ -1489,6 +1489,75 @@ SELECT doc_id AS media_id,
 FROM s"""
 
 
+def q_multimodal_flac_features(spark, sf_dir):
+    """REAL LOSSLESS-COMPRESSED audio decode (FLAC), driver-checked:
+    deterministic ramp-signal FLACs built from the documents table
+    (text/multimodal.flac_media_from_docs) are decoded by the vendored
+    pure-NumPy codec (text/flac.py — Rice/unary entropy decode, fixed
+    predictors, mid/side decorrelation for the 2-channel docs, CRC-8 and
+    CRC-16 verified per frame) — no fake path — and the STREAMINFO-
+    derived rate/channels, decoded sample count, duration, and the
+    sample-derived amplitude statistics are value-matched against a
+    closed-form SQL recomputation (arithmetic-series sums — exact dyadic
+    rationals in float64, so no ROUND). A Rice/predictor/decorrelation
+    bug flips the amplitudes; a STREAMINFO or frame-header misread flips
+    rate/channels/n_samples. Compressed byte size is entropy-dependent
+    and not an output column (same policy as the Motion-JPEG fixture)."""
+    from vite_spark.text.multimodal import (
+        extract_audio_features,
+        flac_media_from_docs,
+    )
+
+    media = flac_media_from_docs(_docs(spark, sf_dir))
+    f = extract_audio_features(media)   # fake=False: the REAL decode path
+    return f.select(
+        "media_id", "sample_rate", "channels", "n_samples",
+        "duration_s", "mean_amp", "rms_amp",
+    )
+
+
+# everything recomputed from the flac_media_from_docs contract:
+# ch = doc_id%2+1, sr = 16000 + doc_id%7*125, n = doc_id%277+9,
+# step = doc_id%5-2, v = (LE16(sha256(text)[10:12]) % 24001) - 12000,
+# channel-c signal = v + 512c + step*i. Closed forms:
+#   S  = Σ samples      = n·Σc a_c + ch·step·n(n−1)/2,   a_c = v + 512c
+#   Q  = Σ samples²     = n·Σc a_c² + 2·step·T1·Σc a_c + ch·step²·T2
+# with T1 = n(n−1)/2, T2 = (n−1)n(2n−1)/6. Every partial sum in the
+# NumPy side is an exact dyadic rational (numerators ≪ 2^53), so
+# S/32768.0/(n·ch) and SQRT(Q/1073741824.0/(n·ch)) are bit-identical
+# to x.mean() and sqrt((x·x).mean()) — no ROUND anywhere.
+SQL_MULTIMODAL_FLAC = f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+d AS (SELECT doc_id,
+             doc_id % 2 + 1 AS ch,
+             16000 + doc_id % 7 * 125 AS sr,
+             doc_id % 277 + 9 AS n,
+             doc_id % 5 - 2 AS step,
+             ({_hexbyte('hx', 21)} + 256 * {_hexbyte('hx', 23)})
+               % 24001 - 12000 AS v
+      FROM h),
+t AS (SELECT *,
+             n * (n - 1) // 2 AS t1,
+             (n - 1) * n * (2 * n - 1) // 6 AS t2,
+             ch * v + 512 * ch * (ch - 1) // 2 AS sum_a,
+             ch * v * v + 1024 * v * (ch * (ch - 1) // 2)
+               + 262144 * ((ch - 1) * ch * (2 * ch - 1) // 6) AS sum_a2
+      FROM d),
+agg AS (SELECT doc_id, ch, sr, n,
+               n * sum_a + ch * step * t1 AS s_sum,
+               n * sum_a2 + 2 * step * t1 * sum_a + ch * step * step * t2
+                 AS q_sum
+        FROM t)
+SELECT doc_id AS media_id,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(ch AS BIGINT) AS channels,
+       CAST(n AS BIGINT) AS n_samples,
+       n / CAST(sr AS DOUBLE) AS duration_s,
+       s_sum / 32768.0 / (n * ch) AS mean_amp,
+       SQRT(q_sum / 1073741824.0 / (n * ch)) AS rms_amp
+FROM agg"""
+
+
 def q_multimodal_mjpeg_frames(spark, sf_dir):
     """REAL COMPRESSED-video decode, driver-checked: deterministic
     Motion-JPEG AVIs built from the documents table
@@ -1875,6 +1944,9 @@ def registry() -> dict[str, tuple]:
         ),
         "multimodal_au_features": (
             q_multimodal_au_features, SQL_MULTIMODAL_AU,
+        ),
+        "multimodal_flac_features": (
+            q_multimodal_flac_features, SQL_MULTIMODAL_FLAC,
         ),
         "multimodal_bmp_features": (
             q_multimodal_bmp_features, SQL_MULTIMODAL_BMP,

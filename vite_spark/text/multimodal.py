@@ -781,6 +781,64 @@ def au_media_from_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def flac_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL FLAC payloads derived from the documents table
+    — the LOSSLESS-COMPRESSED audio driver fixture (text/flac.py; the
+    WAV/ADPCM/AU fixtures cover PCM and lossy-compressed little/big
+    endian, this one covers entropy-coded): each doc becomes a
+    (doc_id%2+1)-channel, (16000 + doc_id%7*125) Hz, (doc_id%277+9)-
+    sample stream whose channel-c signal is the ramp
+    ``v + 512*c + step*i`` with ``v = (u % 24001) - 12000`` (u = bytes
+    10..11 of sha256(text), little-endian) and ``step = doc_id%5 - 2``.
+    Ramps exercise the FIXED-predictor + Rice path (step=0 docs the
+    CONSTANT path; 2-channel docs the mid/side decorrelation), and
+    because FLAC is lossless the decoded rate / channels / sample count
+    / duration / mean / RMS are ALL closed-form SQL-expressible — every
+    intermediate sum is an exact dyadic rational in float64, so the
+    oracle matches bit-for-bit with no rounding. Compressed byte size is
+    entropy-dependent and deliberately not an output column (same policy
+    as the Motion-JPEG fixture)."""
+
+    def batch_fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from vite_spark.text.flac import encode_flac
+
+        for pdf in batches:
+            payloads, dur = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.sha256((text or "").encode()).digest()
+                ch = int(doc_id) % 2 + 1
+                sr = 16000 + int(doc_id) % 7 * 125
+                n = int(doc_id) % 277 + 9
+                step = int(doc_id) % 5 - 2
+                u = int.from_bytes(h[10:12], "little")
+                v = u % 24001 - 12000
+                i = np.arange(n, dtype=np.int64)[:, None]
+                c = np.arange(ch, dtype=np.int64)[None, :]
+                s = (v + 512 * c + step * i).astype(np.int16)
+                payloads.append(encode_flac(s, sr))
+                dur.append(n / sr)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                    "mime": "audio/flac",
+                    "meta_width": pd.array([None] * len(pdf), dtype="Int64"),
+                    "meta_height": pd.array([None] * len(pdf), dtype="Int64"),
+                    "meta_duration_s": pd.array(dur, dtype="Float64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batch_fn, schema=MEDIA_SCHEMA
+    )
+
+
 def avi_media_from_docs(docs: DataFrame, fps: int = 5) -> DataFrame:
     """Deterministic REAL uncompressed-AVI payloads derived from the
     documents table — the driver fixture for the native VIDEO decode
@@ -1251,8 +1309,10 @@ def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
 
     REAL for PCM16 WAV (little-endian RIFF), IMA-ADPCM WAV (format tag
     17 — the COMPRESSED audio path, 4-bit nibble expansion against the
-    public step table), and PCM16 AU (big-endian Sun audio) —
-    text/codecs.py decode_wav/decode_au: sample rate, channel count,
+    public step table), PCM16 AU (big-endian Sun audio), and FLAC
+    (text/flac.py — the LOSSLESS entropy-coded path: Rice/unary
+    residuals, fixed + LPC predictors, all four stereo decorrelations,
+    both frame CRCs verified) — sample rate, channel count,
     sample count, duration and amplitude statistics come from the
     decoded samples. Other payloads raise unless fake=True,
     where a deterministic sha256-seeded stub stands in (same contract as
@@ -1265,6 +1325,7 @@ def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
         import pandas as pd
 
         from vite_spark.text.codecs import decode_au, decode_wav, is_au, is_wav
+        from vite_spark.text.flac import decode_flac, is_flac
 
         for pdf in batches:
             n_bytes = pdf["payload"].map(lambda b: len(b) if b is not None else 0)
@@ -1279,6 +1340,11 @@ def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
                 elif is_au(b):
                     try:
                         decoded = decode_au(b)
+                    except ValueError:
+                        decoded = None
+                elif is_flac(b):
+                    try:
+                        decoded = decode_flac(b)
                     except ValueError:
                         decoded = None
                 if decoded is not None:
@@ -1300,7 +1366,7 @@ def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "only PCM16/IMA-ADPCM WAV and PCM16 AU decode "
+                        "only PCM16/IMA-ADPCM WAV, PCM16 AU and FLAC decode "
                         "natively (text/codecs.py); other audio formats "
                         "need codec "
                         "libraries not present in this environment — pass "
