@@ -170,17 +170,27 @@ def superstep_throughput(spark, edges, iters: int = 5, warmup: int = 2,
 
 
 def pagerank_throughput(spark, edges, iters: int = 5, warmup: int = 1,
-                        metrics=None) -> float:
+                        packed: bool = True, metrics=None) -> float:
     """edges/sec per PageRank iteration — the secondary scaling probe
-    (the north rule names PageRank/CC/LPA/triangles alongside Louvain;
-    this measures the engine's generic join+agg superstep shape, not the
-    packed-CSR kernel). tol=-1 forces exactly `iters` full iterations."""
+    (the north rule names PageRank/CC/LPA/triangles alongside Louvain).
+    packed=True runs the packed-CSR sharded-pack kernel
+    (kernels/csr_pr.py — the engine's production path); packed=False the
+    generic join+agg superstep shape (the multi-cluster fallback, kept as
+    a measured reference point). tol=-1 forces exactly `iters` full
+    iterations."""
     from vite_spark.algos.pagerank import pagerank
+    from vite_spark.config import EngineConfig
     from vite_spark.runtime.metrics import MetricsCollector
 
     m = metrics if metrics is not None else MetricsCollector()
     ne = edges.count()
-    pagerank(spark, edges, tol=-1.0, max_iter=iters, metrics=m)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    cfg = EngineConfig(
+        use_csr_kernel=packed,
+        scratch_dir=scratch,
+        pack_cache_dir=os.environ.get("SPARK_GRAFT_PACK_CACHE") or None,
+    )
+    pagerank(spark, edges, tol=-1.0, max_iter=iters, cfg=cfg, metrics=m)
     sup = [r for r in m.rows if r.get("kind") == "pagerank_superstep"][warmup:]
     wall = sum(r["wall_s"] for r in sup)
     return ne * len(sup) / wall
@@ -379,10 +389,16 @@ def scaling_worker(cores: int, nparts: int):
         iters = int(os.environ.get("SPARK_GRAFT_SCALING_ITERS", "5"))
         algo = os.environ.get("SPARK_GRAFT_SCALING_ALGO", "louvain")
         m = MetricsCollector()
-        if algo == "pagerank":
+        if algo.startswith("pagerank"):
+            # "pagerank" = packed-CSR kernel (production path);
+            # "pagerank_join" = the generic join+agg fallback shape
+            packed = algo != "pagerank_join"
             eps = pagerank_throughput(spark, edges, iters=iters, warmup=1,
-                                      metrics=m)
-            kind, mode = "pagerank_superstep", "pagerank_join_agg"
+                                      packed=packed, metrics=m)
+            kind = "pagerank_superstep"
+            mode = ("pagerank_" + "+".join(sorted(
+                {r.get("mode", "join_agg") for r in m.rows
+                 if r.get("kind") == kind})))
         else:
             eps = superstep_throughput(spark, edges, iters=iters, warmup=1,
                                        metrics=m)

@@ -407,7 +407,7 @@ def _csr_phase(
             for f in os.listdir(pack_dir):
                 if f.startswith(("mvu_", "mvd_", "flw_", "cur_", "ost_",
                                  "et_", "tm_", "mvc_", "colw_", "colr_",
-                                 "col_")):
+                                 "col_", "prc_", "rnk_")):
                     try:
                         os.remove(os.path.join(pack_dir, f))
                     except OSError:
@@ -453,6 +453,10 @@ def _csr_phase(
                 return None
             if routing is None:
                 routing = build_routes(spark, pack_dir, nparts)
+                if routing is None:
+                    # some dst is never a src (input not vertex-closed /
+                    # symmetrized) → shuffle-join path, same semantics
+                    return None
                 if not cleanup:   # cached pack: persist the manifest
                     tmp = os.path.join(pack_dir, f".mf.{os.getpid()}")
                     with open(tmp, "w") as fh:

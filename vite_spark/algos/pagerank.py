@@ -38,6 +38,21 @@ def pagerank(
     cfg = cfg or EngineConfig()
     metrics = metrics or MetricsCollector()
 
+    if cfg.use_csr_kernel:
+        # packed-CSR fast path on the sharded pack (kernels/csr_pr.py):
+        # one job per iteration, per-partition gather+bincount, exchange
+        # bounded by the ghost-set size. Falls back here (None) for
+        # non-local masters or inputs that are not vertex-closed (a dst
+        # never appearing as src carries dangling mass this path does not
+        # model). Results match this join path to float accumulation
+        # order; parity pytest-enforced.
+        from vite_spark.kernels.csr_pr import csr_pagerank
+
+        res = csr_pagerank(spark, edges, damping, tol, max_iter, weighted,
+                           cfg, metrics)
+        if res is not None:
+            return res
+
     verts = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))

@@ -1,0 +1,307 @@
+"""Packed-CSR PageRank on the sharded pack (north-rule first-class op).
+
+The join+agg PageRank (algos/pagerank.py) is the cluster-correct shape,
+but on one box its per-iteration cost is a full edge-table shuffle join —
+measured 0.539 per-core scaling efficiency 4→16 (BENCH.md r4), bounded by
+shuffle machinery, not by the algorithm. This kernel re-expresses the
+iteration over the SAME sharded CSR pack the Louvain kernel uses
+(kernels/csr_sharded.py: 1-D range ownership, per-partition sorted
+universe ux, pack-time req_{owner}_{reader} interest sets), exploiting a
+property Louvain doesn't have: **PageRank state is fully determined by
+the previous iteration's inbound messages** — no community aggregates, no
+tracked pulls, no replay chains.
+
+Per iteration, ONE job; task p:
+
+1. **Merge** r_{t-1} over own vertices: accumulate inbound contribution
+   spans `prc_{t-1}_{w}_{p}` through the static req_{p}_{w} index sets in
+   fixed ascending writer order (deterministic float order → every run
+   bit-reproducible), then r = (1-d)/n + d·inflow. Saved as `rnk_{t-1}_{p}`
+   (O(nv/p)); the L1 delta vs `rnk_{t-2}_{p}` rides the sentinel row —
+   the same two-scalar driver sync as the join path, one job late.
+2. **Scatter** contributions from r_{t-1}:
+   contrib = bincount(dstl, weights=coef·r[srcl]) over the partition's
+   universe, where coef = w/out_w (weighted) or 1/outdeg (unweighted) is a
+   pack-level static computed once (`coefw_{p}` / `coefu_{p}`). srcs are
+   always OWNED under range ownership, so ranks never need a remote pull —
+   the only exchange is the per-owner universe span `prc_{t}_{p}_{q}`
+   (dense, aligned with req_{q}_{p}: both are the ascending q-owned run of
+   the sorted universe — same invariant the Louvain dense advance uses).
+
+Per-iteration exchange volume is Σ_p |U_p| floats (the ghost-set size —
+Vite's exchange lower bound), compute is O(edges/p) gathers + one
+bincount, per-partition memory O(nv/p + |U_p|). Nothing O(nv) on any
+worker and nothing but scalars on the driver, so the plan survives a
+100× scale-up the same way the Louvain sharded kernel does.
+
+Preconditions (caller falls back to the join path on None): local master
+(shared pack filesystem), vertex-closed input (every dst also a src —
+build_routes detects this for free; open graphs have dangling mass the
+join path redistributes), non-empty edges.
+
+Semantics match algos/pagerank.pagerank exactly (same damping/base/
+convergence contract; float sums differ only in accumulation order) —
+parity pytest-enforced, and the driver's `pagerank` oracle row runs this
+path at sf0.01. Reference analog: Vite has no PageRank; the exchange
+pattern mirrors its fillRemoteCommunities send shape
+(/root/reference/louvain.cpp:2583-2954) reused from csr_sharded.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from vite_spark.kernels.csr import _atomic_save, _pid_frame
+from vite_spark.kernels.csr_sharded import (
+    _load_bounds,
+    _req_of,
+    _ux_owner_span,
+    build_routes,
+    pack_csr_partitions_sharded,
+)
+
+# Per-run scratch the pack-cache purge must clear (statics like coefu_/
+# coefw_ are pack-derived and deliberately kept across runs).
+PR_TRANSIENT_PREFIXES = ("prc_", "rnk_")
+
+
+def _prepare_pack(spark, edges, cfg, nparts):
+    """(pack_dir, nparts, info, routing, cleanup) — the sharded pack +
+    routes, reusing the persistent pack cache exactly like the Louvain
+    phase (same manifest.json, so a cached pack serves both algorithms).
+    Returns None when routing finds the input not vertex-closed."""
+    routing = None
+    info = None
+    pack_dir = None
+    cleanup = True
+    if cfg.pack_cache_dir:
+        pack_dir = os.path.join(cfg.pack_cache_dir, "vite_pack")
+        cleanup = False
+        mf = os.path.join(pack_dir, "manifest.json")
+        if os.path.exists(mf):
+            with open(mf) as fh:
+                man = json.load(fh)
+            info = man["info"]
+            nparts = man["nparts"]
+            routing = (
+                {int(k): v for k, v in man["owners_of"].items()},
+                {int(k): v for k, v in man["rdrs_of"].items()},
+            )
+            for f in os.listdir(pack_dir):
+                if f.startswith(PR_TRANSIENT_PREFIXES):
+                    try:
+                        os.remove(os.path.join(pack_dir, f))
+                    except OSError:
+                        pass
+    if info is None:
+        edges = edges.repartitionByRange(nparts, "src")
+        nparts = edges.rdd.getNumPartitions()
+        if pack_dir is None:
+            pack_dir = tempfile.mkdtemp(prefix="vite_csr_pr_",
+                                        dir=cfg.scratch_dir)
+        else:
+            os.makedirs(pack_dir, exist_ok=True)
+        info = pack_csr_partitions_sharded(edges, pack_dir, nparts)
+    if routing is None:
+        routing = build_routes(spark, pack_dir, nparts)
+        if routing is None:
+            if cleanup:
+                shutil.rmtree(pack_dir, ignore_errors=True)
+            return None
+        if not cleanup:
+            tmp = os.path.join(pack_dir, f".mf.{os.getpid()}")
+            with open(tmp, "w") as fh:
+                json.dump({
+                    "info": info, "nparts": nparts,
+                    "owners_of": routing[0], "rdrs_of": routing[1],
+                }, fh)
+            os.replace(tmp, os.path.join(pack_dir, "manifest.json"))
+    return pack_dir, nparts, info, routing, cleanup
+
+
+def _pr_job(spark, pack_dir, nparts, n, damping, t, routing, weighted,
+            compute_contrib):
+    """Job ``t``: merge r_{t-1} from inbound spans, report the L1 delta
+    vs r_{t-2}, and (when ``compute_contrib``) scatter iteration ``t``'s
+    contribution spans."""
+    owners_of, rdrs_of = routing
+    base = (1.0 - damping) / n
+    cname = "coefw" if weighted else "coefu"
+
+    def run(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            for pid in pdf["pid"]:
+                pid = int(pid)
+                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"),
+                              mmap_mode="r")
+                if len(own) == 0:
+                    yield pd.DataFrame({"pid": [pid], "delta": [0.0]})
+                    continue
+
+                # --- merge r_{t-1} over own (fixed writer order) ---
+                if t == 1:
+                    r = np.full(len(own), 1.0 / n)
+                else:
+                    acc = np.zeros(len(own))
+                    for q in sorted(rdrs_of.get(pid, ())):
+                        f = os.path.join(pack_dir, f"prc_{t - 1}_{q}_{pid}.npy")
+                        if not os.path.exists(f):
+                            continue
+                        req = _req_of(pack_dir, pid, q)
+                        vals = np.load(f)
+                        assert len(vals) == len(req), \
+                            "contribution span / req set mismatch"
+                        np.add.at(acc, req, vals)
+                    r = base + damping * acc
+                _atomic_save(
+                    os.path.join(pack_dir, f"rnk_{t - 1}_{pid}.npy"), r)
+                if t == 1:
+                    delta = 0.0
+                else:
+                    prev = (np.full(len(own), 1.0 / n) if t == 2 else
+                            np.load(os.path.join(
+                                pack_dir, f"rnk_{t - 2}_{pid}.npy"),
+                                mmap_mode="r"))
+                    delta = float(np.abs(r - prev).sum())
+                # consume-and-delete, one step delayed (retry-safe)
+                if t >= 3:
+                    for q in rdrs_of.get(pid, ()):
+                        try:
+                            os.remove(os.path.join(
+                                pack_dir, f"prc_{t - 2}_{q}_{pid}.npy"))
+                        except OSError:
+                            pass
+                    old = t - 4
+                    if old >= 0:
+                        try:
+                            os.remove(os.path.join(
+                                pack_dir, f"rnk_{old}_{pid}.npy"))
+                        except OSError:
+                            pass
+
+                # --- scatter contributions from r_{t-1} ---
+                if compute_contrib:
+                    srcl = np.load(os.path.join(
+                        pack_dir, f"srcl_{pid}.npy"), mmap_mode="r")
+                    cf = os.path.join(pack_dir, f"{cname}_{pid}.npy")
+                    if os.path.exists(cf):
+                        coef = np.load(cf, mmap_mode="r")
+                    else:
+                        if weighted:
+                            w = np.load(os.path.join(
+                                pack_dir, f"w_{pid}.npy"), mmap_mode="r")
+                            vdeg = np.load(os.path.join(
+                                pack_dir, f"vdeg_{pid}.npy"), mmap_mode="r")
+                            coef = w / vdeg[srcl]
+                        else:
+                            outdeg = np.bincount(srcl, minlength=len(own))
+                            coef = 1.0 / outdeg[srcl]
+                        _atomic_save(cf, coef)
+                    dstl = np.load(os.path.join(
+                        pack_dir, f"dstl_{pid}.npy"), mmap_mode="r")
+                    ux = np.load(os.path.join(pack_dir, f"ux_{pid}.npy"),
+                                 mmap_mode="r")
+                    contrib = np.bincount(
+                        dstl, weights=coef * r[srcl], minlength=len(ux))
+                    starts, bpids = _load_bounds(pack_dir)
+                    for q in owners_of.get(pid, ()):
+                        lo, hi = _ux_owner_span(ux, starts, bpids, q)
+                        _atomic_save(
+                            os.path.join(
+                                pack_dir, f"prc_{t}_{pid}_{int(q)}.npy"),
+                            contrib[lo:hi],
+                        )
+                yield pd.DataFrame({"pid": [pid], "delta": [delta]})
+
+    return _pid_frame(spark, nparts).mapInPandas(
+        run, schema="pid int, delta double"
+    )
+
+
+def csr_pagerank(spark, edges, damping, tol, max_iter, weighted, cfg,
+                 metrics):
+    """Packed-CSR PageRank driver. Returns the (id, rank) DataFrame, or
+    None when a precondition fails (caller runs the join path)."""
+    if not spark.sparkContext.master.startswith("local"):
+        return None
+    nparts = cfg.shuffle_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    prep = _prepare_pack(spark, edges, cfg, nparts)
+    if prep is None:
+        return None
+    pack_dir, nparts, info, routing, cleanup = prep
+    n = int(info["nv"])
+    if n == 0:
+        if cleanup:
+            shutil.rmtree(pack_dir, ignore_errors=True)
+        return None
+    ne = int(info["ne"])
+
+    try:
+        k_final = max_iter
+        t = 0
+        while True:
+            t += 1
+            contrib = t <= max_iter
+            t0 = time.time()
+            sent = _pr_job(spark, pack_dir, nparts, n, damping, t, routing,
+                           weighted, contrib).collect()
+            wall = time.time() - t0
+            delta_prev = float(sum(r["delta"] for r in sent))
+            if t <= max_iter:
+                # one row per contribution job — same row count and
+                # meaning as the join path's per-iteration records; the
+                # delta is known one job late (job t reports Δ_{t-1})
+                extra = {"l1_delta": delta_prev} if t >= 2 else {}
+                metrics.record(
+                    kind="pagerank_superstep", iter=t, wall_s=wall,
+                    edges_processed=ne, mode="csr_sharded_pr", **extra,
+                )
+            else:
+                metrics.record(kind="pagerank_finalize", iter=t,
+                               l1_delta=delta_prev, wall_s=wall)
+            if t >= 2 and delta_prev < tol:
+                k_final = t - 1
+                break
+            if t == max_iter + 1:
+                break
+
+        def emit(pdf_iter):
+            import pandas as pd
+
+            for pdf in pdf_iter:
+                for pid in pdf["pid"]:
+                    pid = int(pid)
+                    own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"),
+                                  mmap_mode="r")
+                    if len(own) == 0:
+                        continue
+                    r = np.load(os.path.join(
+                        pack_dir, f"rnk_{k_final}_{pid}.npy"))
+                    yield pd.DataFrame({"id": own, "rank": r})
+
+        out = _pid_frame(spark, nparts).mapInPandas(
+            emit, schema="id long, rank double"
+        ).localCheckpoint(eager=True)
+    finally:
+        if cleanup:
+            shutil.rmtree(pack_dir, ignore_errors=True)
+        else:
+            for f in os.listdir(pack_dir):
+                if f.startswith(PR_TRANSIENT_PREFIXES):
+                    try:
+                        os.remove(os.path.join(pack_dir, f))
+                    except OSError:
+                        pass
+    return out

@@ -240,7 +240,11 @@ def build_routes(spark, pack_dir: str, nparts: int):
 
     Returns (owners_of, rdrs_of): reader → owners of its universe, and the
     inverse writer → readers map (assembled on the driver from one tiny
-    row per partition)."""
+    row per partition). Returns None when some universe vertex is owned
+    by no partition (a dst that is never a src — the input is not
+    vertex-closed/symmetrized): the caller falls back to the join path
+    instead of crashing an executor, like every other _csr_phase
+    precondition failure."""
 
     def run(pdf_iter):
         import pandas as pd
@@ -250,31 +254,40 @@ def build_routes(spark, pack_dir: str, nparts: int):
                 pid = int(pid)
                 ux = np.load(os.path.join(pack_dir, f"ux_{pid}.npy"))
                 if len(ux) == 0:
-                    yield pd.DataFrame({"pid": [pid], "owners": [[]]})
+                    yield pd.DataFrame(
+                        {"pid": [pid], "owners": [[]], "ok": [True]})
                     continue
                 starts, bpids = _load_bounds(pack_dir)
+                if len(starts) == 0 or ux[0] < starts[0]:
+                    # a universe vertex below every owned range
+                    yield pd.DataFrame(
+                        {"pid": [pid], "owners": [[]], "ok": [False]})
+                    continue
                 ow = _owner_of(ux, starts, bpids)
                 owners = []
+                closed = True
                 for q in np.unique(ow):
                     sub = ux[ow == q]
                     own_q = np.load(os.path.join(pack_dir, f"own_{int(q)}.npy"))
                     pos, m = _positions(own_q, sub)
                     # symmetrized input ⇒ every universe vertex is some
                     # partition's src, and ranges make the owner unique
-                    assert bool(m.all()), (
-                        f"universe vertex owned by no partition "
-                        f"(reader {pid}, owner {int(q)})"
-                    )
+                    if not bool(m.all()):
+                        closed = False
+                        break
                     _atomic_save(
                         os.path.join(pack_dir, f"req_{int(q)}_{pid}.npy"),
                         pos.astype(np.int32),
                     )
                     owners.append(int(q))
-                yield pd.DataFrame({"pid": [pid], "owners": [owners]})
+                yield pd.DataFrame(
+                    {"pid": [pid], "owners": [owners], "ok": [closed]})
 
     rows = _pid_frame(spark, nparts).mapInPandas(
-        run, schema="pid int, owners array<int>"
+        run, schema="pid int, owners array<int>, ok boolean"
     ).collect()
+    if not all(r["ok"] for r in rows):
+        return None
     owners_of = {int(r["pid"]): list(r["owners"]) for r in rows}
     rdrs_of: dict[int, list[int]] = {p: [] for p in range(nparts)}
     for r_pid, owners in owners_of.items():
