@@ -407,7 +407,7 @@ def _csr_phase(
             for f in os.listdir(pack_dir):
                 if f.startswith(("mvu_", "mvd_", "flw_", "cur_", "ost_",
                                  "et_", "tm_", "mvc_", "colw_", "colr_",
-                                 "col_", "prc_", "rnk_")):
+                                 "col_", "prc_", "rnk_", "lown_")):
                     try:
                         os.remove(os.path.join(pack_dir, f))
                     except OSError:

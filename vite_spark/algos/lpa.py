@@ -27,6 +27,19 @@ def label_propagation(
     cfg = cfg or EngineConfig()
     metrics = metrics or MetricsCollector()
 
+    if cfg.use_csr_kernel:
+        # packed-CSR fast path on the sharded pack (kernels/csr_lpa.py):
+        # one job per iteration, owner-authored dense label exchange.
+        # Falls back here (None) for non-local masters, non-vertex-closed
+        # inputs, and non-integer weights (float-tied votes could resolve
+        # differently across summation orders). Labels are IDENTICAL to
+        # this join path on the integer-weight domain; pytest-enforced.
+        from vite_spark.kernels.csr_lpa import csr_lpa
+
+        res = csr_lpa(spark, edges, max_iter, cfg, metrics)
+        if res is not None:
+            return res
+
     e = (
         edges.select("src", "dst", "weight")
         .filter(F.col("src") != F.col("dst"))
