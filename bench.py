@@ -196,6 +196,37 @@ def pagerank_throughput(spark, edges, iters: int = 5, warmup: int = 1,
     return ne * len(sup) / wall
 
 
+def lpa_throughput(spark, edges, iters: int = 5, warmup: int = 1,
+                   packed: bool = True, metrics=None) -> float:
+    """edges/sec per label-propagation iteration — third scaling probe
+    (the north rule names PageRank/CC/LPA/triangles alongside Louvain).
+    packed=True runs the packed-CSR sharded-pack kernel
+    (kernels/csr_lpa.py — owner-authored dense label exchange, one job
+    per iteration); packed=False the generic join+agg vote shape. LPA
+    stops early only when NO label changes; on the ring-lattice scaling
+    input labels keep moving for far more than `iters` sweeps, so every
+    rep runs exactly `iters` full iterations (asserted below)."""
+    from vite_spark.algos.lpa import label_propagation
+    from vite_spark.config import EngineConfig
+    from vite_spark.runtime.metrics import MetricsCollector
+
+    m = metrics if metrics is not None else MetricsCollector()
+    ne = edges.count()
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    cfg = EngineConfig(
+        use_csr_kernel=packed,
+        scratch_dir=scratch,
+        pack_cache_dir=os.environ.get("SPARK_GRAFT_PACK_CACHE") or None,
+    )
+    label_propagation(spark, edges, max_iter=iters, cfg=cfg, metrics=m)
+    sup = [r for r in m.rows if r.get("kind") == "lpa_superstep"][warmup:]
+    assert len(sup) == iters - warmup, (
+        f"LPA converged early ({len(sup) + warmup}/{iters} iters) — "
+        "throughput would mix a partial sweep; grow the input")
+    wall = sum(r["wall_s"] for r in sup)
+    return ne * len(sup) / wall
+
+
 def synth_edges(spark, n_vertices: int = 200_000, avg_deg: int = 16,
                 seed: int = 42, parts: int = 64):
     """Deterministic synthetic edge table for the scaling run (seeded LCG
@@ -389,7 +420,16 @@ def scaling_worker(cores: int, nparts: int):
         iters = int(os.environ.get("SPARK_GRAFT_SCALING_ITERS", "5"))
         algo = os.environ.get("SPARK_GRAFT_SCALING_ALGO", "louvain")
         m = MetricsCollector()
-        if algo.startswith("pagerank"):
+        if algo.startswith("lpa"):
+            # "lpa" = packed-CSR kernel; "lpa_join" = join+agg vote shape
+            packed = algo != "lpa_join"
+            eps = lpa_throughput(spark, edges, iters=iters, warmup=1,
+                                 packed=packed, metrics=m)
+            kind = "lpa_superstep"
+            mode = ("lpa_" + "+".join(sorted(
+                {r.get("mode", "join_agg") for r in m.rows
+                 if r.get("kind") == kind})))
+        elif algo.startswith("pagerank"):
             # "pagerank" = packed-CSR kernel (production path);
             # "pagerank_join" = the generic join+agg fallback shape
             packed = algo != "pagerank_join"
