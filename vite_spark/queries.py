@@ -1709,6 +1709,57 @@ SELECT doc_id AS media_id,
 FROM f"""
 
 
+def q_multimodal_mkv_frames(spark, sf_dir):
+    """REAL EBML-container demux + MOTION decode, driver-checked:
+    Matroska files built from the documents table
+    (text/multimodal.mkv_media_from_docs — pure-spec EBML muxer over the
+    lossless H.265 track, cluster_frames=2 so every multi-frame file has
+    several Clusters) are demuxed by the pure-Python EBML walker
+    (text/mkv.demux_mkv: Segment/Info/Tracks/Cluster walk, CodecPrivate
+    hvcC → Annex-B, SimpleBlock reassembly across clusters) and decoded
+    by the system libde265 — no fake path. The PER-DOC frame rate lives
+    only in the container (track DefaultDuration), so the ts_s column is
+    wrong unless the EBML walker genuinely reads it; dims/frame counts
+    are cross-asserted between container metadata and decoded stream
+    inside the sampler. Byte size is compressor-dependent and not an
+    output column."""
+    from vite_spark.text.multimodal import mkv_media_from_docs, sample_mkv_frames
+
+    media = mkv_media_from_docs(_docs(spark, sf_dir))
+    return sample_mkv_frames(media, max_frames=MAX_FRAMES).select(
+        "media_id", "frame_idx", "ts_s", "width", "height", "n_frames",
+        "mean_r", "mean_g", "mean_b",
+    )
+
+
+# everything recomputed from the mkv_media_from_docs contract:
+# W = doc_id%14+16, H = doc_id%12+16, n_frames = doc_id%5+1, fps =
+# doc_id%3+2 (carried in DefaultDuration, read back by the EBML walker),
+# frame k constant color = sha256(text)[9+3k : 12+3k]; same sampler rule
+SQL_MULTIMODAL_MKV = f"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+d AS (SELECT doc_id, hx,
+             doc_id % 14 + 16 AS w, doc_id % 12 + 16 AS hh,
+             doc_id % 5 + 1 AS n, doc_id % 3 + 2 AS fps
+      FROM h),
+s AS (SELECT doc_id, hx, w, hh, n, fps,
+             LEAST(n, {MAX_FRAMES}) AS ns
+      FROM d),
+f AS (SELECT doc_id, hx, w, hh, n, fps,
+             (unnest(range(ns)) * n) // ns AS k
+      FROM s)
+SELECT doc_id AS media_id,
+       CAST(k AS BIGINT) AS frame_idx,
+       k / CAST(fps AS DOUBLE) AS ts_s,
+       CAST(w AS BIGINT) AS width,
+       CAST(hh AS BIGINT) AS height,
+       CAST(n AS BIGINT) AS n_frames,
+       ROUND({_hexbyte_at('hx', '19 + 6 * k')} / 255.0, 6) AS mean_r,
+       ROUND({_hexbyte_at('hx', '21 + 6 * k')} / 255.0, 6) AS mean_g,
+       ROUND({_hexbyte_at('hx', '23 + 6 * k')} / 255.0, 6) AS mean_b
+FROM f"""
+
+
 IVF_CELLS, IVF_NPROBE, IVF_ITERS = 16, 2, 2
 
 
@@ -1978,5 +2029,8 @@ def registry() -> dict[str, tuple]:
         ),
         "multimodal_mp4_frames": (
             q_multimodal_mp4_frames, SQL_MULTIMODAL_MP4,
+        ),
+        "multimodal_mkv_frames": (
+            q_multimodal_mkv_frames, SQL_MULTIMODAL_MKV,
         ),
     }

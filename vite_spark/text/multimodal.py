@@ -1047,6 +1047,61 @@ def mp4_media_from_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def mkv_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL Matroska payloads derived from the documents
+    table — the EBML-container driver fixture: each doc becomes a
+    (doc_id%5+1)-frame (16+doc_id%14) × (16+doc_id%12) MKV
+    (text/mkv.mux_mkv) holding the same lossless 4:4:4 H.265 track the
+    MP4 fixture uses, with a PER-DOC frame rate (doc_id%3+2 fps) written
+    into the track's DefaultDuration — so the sampler's timestamps are
+    only right if the EBML walker genuinely reads the container timing.
+    cluster_frames=2 forces multi-Cluster files, so cluster-base +
+    relative-timestamp reassembly is in the driver-checked path. Frame k
+    is the constant color sha256(text)[9+3k : 12+3k]."""
+
+    def batch_fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from vite_spark.text.mkv import mux_mkv
+        from vite_spark.text.syscodecs import encode_hevc
+
+        for pdf in batches:
+            payloads, mw, mh, dur = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = hashlib.sha256((text or "").encode()).digest()
+                w = int(doc_id) % 14 + 16
+                ht = int(doc_id) % 12 + 16
+                nf = int(doc_id) % 5 + 1
+                fps = int(doc_id) % 3 + 2
+                frames = np.empty((nf, ht, w, 3), np.uint8)
+                for k in range(nf):
+                    frames[k] = (h[9 + 3 * k], h[10 + 3 * k], h[11 + 3 * k])
+                payloads.append(
+                    mux_mkv(encode_hevc(frames, fps), w, ht, fps,
+                            cluster_frames=2))
+                mw.append(w)
+                mh.append(ht)
+                dur.append(nf / fps)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "payload": payloads,
+                    "mime": "video/x-matroska",
+                    "meta_width": pd.array(mw, dtype="Int64"),
+                    "meta_height": pd.array(mh, dtype="Int64"),
+                    "meta_duration_s": pd.array(dur, dtype="Float64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batch_fn, schema=MEDIA_SCHEMA
+    )
+
+
 VIDEO_FRAMES_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -1229,20 +1284,82 @@ def sample_mp4_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
     return media.mapInPandas(batch_fn, schema=VIDEO_FRAMES_SCHEMA)
 
 
+def sample_mkv_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
+    """REAL EBML-container frame sampling: demux the Matroska file
+    (text/mkv — pure-spec EBML walk to the HEVC track's CodecPrivate +
+    Cluster/SimpleBlock samples), decode the extracted Annex-B stream
+    through the system libde265, and fan out with the same even sampler
+    as the AVI/MP4 paths. fps and dims come from the CONTAINER
+    (DefaultDuration, PixelWidth/Height) — cross-asserted against the
+    decoded frames, so an EBML walk bug can't pass silently."""
+
+    def batch_fn(batches):
+        import pandas as pd
+
+        from vite_spark.text.mkv import demux_mkv, is_mkv
+        from vite_spark.text.syscodecs import decode_hevc
+
+        for pdf in batches:
+            mid, idxs, tss = [], [], []
+            ws, hs, nfs, nbs, mr, mg, mb = [], [], [], [], [], [], []
+            for i, b in zip(pdf["media_id"], pdf["payload"]):
+                if not is_mkv(b):
+                    raise NotImplementedError(
+                        "sample_mkv_frames takes Matroska payloads; MP4 "
+                        "goes to sample_mp4_frames, AVI to "
+                        "sample_avi_frames, raw H.265 to sample_hevc_frames"
+                    )
+                d = demux_mkv(b)
+                frames = decode_hevc(d["annexb"])
+                n, h, w = frames.shape[:3]
+                if (n != d["n_samples"] or w != d["width"]
+                        or h != d["height"]):
+                    raise ValueError(
+                        f"container says {d['n_samples']} samples "
+                        f"{d['width']}x{d['height']}, stream decoded "
+                        f"{n} frames {w}x{h}")
+                fps = d["fps"]
+                ns = min(n, max_frames)
+                for j in range(ns):
+                    k = j * n // ns
+                    means = frames[k].reshape(-1, 3).mean(axis=0) / 255.0
+                    mid.append(i)
+                    idxs.append(k)
+                    tss.append(k / fps)
+                    ws.append(w)
+                    hs.append(h)
+                    nfs.append(n)
+                    nbs.append(len(b))
+                    mr.append(round(float(means[0]), 6))
+                    mg.append(round(float(means[1]), 6))
+                    mb.append(round(float(means[2]), 6))
+            yield pd.DataFrame(
+                {
+                    "media_id": mid, "frame_idx": idxs, "ts_s": tss,
+                    "width": ws, "height": hs, "n_frames": nfs,
+                    "n_bytes": nbs, "mean_r": mr, "mean_g": mg, "mean_b": mb,
+                }
+            )
+
+    return media.mapInPandas(batch_fn, schema=VIDEO_FRAMES_SCHEMA)
+
+
 def sample_video_frames(media: DataFrame, max_frames: int = 4,
                         default_fps: int = 25) -> DataFrame:
     """Format-dispatching REAL frame sampler: routes each payload by its
     magic bytes — RIFF/AVI (raw-DIB or MJPEG) → the vendored RIFF walker,
-    MP4 → the ISOBMFF demuxer + libde265, raw Annex-B H.265 → libde265
-    with default_fps standing in for the timing a bare elementary stream
-    doesn't carry (ffmpeg's -framerate convention, default 25). Unknown
-    formats raise loudly. One decode per row; same even-sampling rule and
-    output schema everywhere."""
+    MP4 → the ISOBMFF demuxer + libde265, MKV → the EBML demuxer +
+    libde265, raw Annex-B H.265 → libde265 with default_fps standing in
+    for the timing a bare elementary stream doesn't carry (ffmpeg's
+    -framerate convention, default 25). Unknown formats raise loudly. One
+    decode per row; same even-sampling rule and output schema
+    everywhere."""
 
     def batch_fn(batches):
         import pandas as pd
 
         from vite_spark.text.codecs import decode_avi, is_avi
+        from vite_spark.text.mkv import demux_mkv, is_mkv
         from vite_spark.text.mp4 import demux_mp4, is_mp4
         from vite_spark.text.syscodecs import decode_hevc, is_hevc_annexb
 
@@ -1255,13 +1372,17 @@ def sample_video_frames(media: DataFrame, max_frames: int = 4,
                 elif is_mp4(b):
                     d = demux_mp4(b)
                     frames, fps = decode_hevc(d["annexb"]), d["fps"]
+                elif is_mkv(b):
+                    d = demux_mkv(b)
+                    frames, fps = decode_hevc(d["annexb"]), d["fps"]
                 elif is_hevc_annexb(b):
                     frames, fps = decode_hevc(b), default_fps
                 else:
                     raise NotImplementedError(
                         "undecodable video payload: AVI, progressive MP4 "
-                        "(HEVC), and Annex-B H.265 decode natively; other "
-                        "containers need a demuxer not present here"
+                        "(HEVC), Matroska (HEVC), and Annex-B H.265 decode "
+                        "natively; other containers need a demuxer not "
+                        "present here"
                     )
                 n, h, w = frames.shape[:3]
                 ns = min(n, max_frames)
