@@ -8,11 +8,15 @@ upsampling) and progressive SOF2 (multi-scan spectral selection +
 successive approximation, text/jpeg.py) — real compressed-format paths
 with zero external libraries, validated against real-world encoder
 output (baseline formats) and bit-identity to the baseline decode
-(progressive) in tests — AUDIO decode is REAL for PCM16 WAV, and VIDEO
-frame sampling is REAL for uncompressed raw-DIB AVI — public formats
-parsed by the vendored pure-NumPy codecs (text/codecs.py,
-text/jpeg.py) — so `extract_features` / `resize_media` /
-`extract_audio_features` / `sample_avi_frames` run an actual decode →
+(progressive) in tests — plus TIFF (none/PackBits/LZW + predictor), netpbm P1-P5,
+Sun raster, SGI RLE, and XBM. AUDIO decode is REAL for PCM16 WAV,
+IMA-ADPCM WAV, Sun AU, and FLAC (text/flac.py, RFC 9639 lossless), and
+VIDEO frame sampling is REAL for raw-DIB AVI, Motion-JPEG AVI, raw
+Annex-B H.265, MP4 (text/mp4.py ISOBMFF demux), and Matroska
+(text/mkv.py EBML demux) — public formats parsed by the vendored
+pure-NumPy codecs (text/codecs.py, text/jpeg.py, text/flac.py,
+text/mp4.py, text/mkv.py) — so `extract_features` / `resize_media` /
+`extract_audio_features` / `sample_*_frames` run an actual decode →
 pixel-or-sample-op → (re-encode) pipeline on those bytes (r2 VERDICT
 missing#2, r3 VERDICT next#7). On top of the vendored codecs, WebP
 (VP8/VP8L) and HEIF/AVIF (H.265 / AV1 intra stills) decode for REAL
@@ -22,8 +26,9 @@ loads) — and MOTION H.265 is real too: multi-frame Annex-B elementary
 streams with genuine inter (P) frames encode through libx265 and decode
 through the independent libde265 (syscodecs.encode_hevc/decode_hevc,
 lossless 4:4:4 → bit-exact roundtrip), sampled by sample_hevc_frames.
-What remains STUBBED, honestly: MP3 audio and compressed containers we
-have no demuxer for (MP4/MKV): those raise NotImplementedError unless
+What remains STUBBED, honestly: MP3 audio (see text/flac.py's
+docstring for why a from-memory Layer III decoder would be
+untrustworthy): it raises NotImplementedError unless
 `fake=True`, in which case a deterministic fake decoder (content-hash
 seeded dimensions/features) stands in so the pipeline shape is exercised
 end-to-end. With fake=True, real payloads still take the real path — the
