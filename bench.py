@@ -227,6 +227,48 @@ def lpa_throughput(spark, edges, iters: int = 5, warmup: int = 1,
     return ne * len(sup) / wall
 
 
+def cc_throughput(spark, edges, reps: int = 2, metrics=None) -> float:
+    """edges/sec for a FULL connected-components run (large-star/small-star
+    to fixpoint) — unlike the iterative probes this is a whole-job number:
+    the iteration count is data-determined and identical at every
+    parallelism level, so edges/total-wall compares cleanly. The first run
+    is the warmup (python worker spin-up, parquet page cache); the LAST
+    run is the measurement."""
+    from vite_spark.algos.components import connected_components
+    from vite_spark.runtime.metrics import MetricsCollector
+
+    m = metrics if metrics is not None else MetricsCollector()
+    ne = edges.count()
+    wall = None
+    for _ in range(max(2, reps)):
+        t0 = time.time()
+        connected_components(spark, edges, metrics=m).count()
+        wall = time.time() - t0
+        m.record(kind="cc_job", wall_s=wall, edges=ne)
+    return ne / wall
+
+
+def triangles_throughput(spark, edges, reps: int = 2, metrics=None) -> float:
+    """edges/sec for a FULL global triangle count (degree-oriented wedge
+    join). Whole-job wall like cc_throughput; warmup runs first, last run
+    measured. NOTE: wedge volume grows with the square of the oriented
+    degree — run this probe on a lighter input than the Louvain cert
+    (e.g. SPARK_GRAFT_SCALING_DEG=16), or the 4-core level dominates the
+    session."""
+    from vite_spark.algos.triangles import triangle_count
+    from vite_spark.runtime.metrics import MetricsCollector
+
+    m = metrics if metrics is not None else MetricsCollector()
+    ne = edges.count()
+    wall = None
+    for _ in range(max(2, reps)):
+        t0 = time.time()
+        triangle_count(spark, edges)      # returns the scalar count (an action)
+        wall = time.time() - t0
+        m.record(kind="triangles_job", wall_s=wall, edges=ne)
+    return ne / wall
+
+
 def synth_edges(spark, n_vertices: int = 200_000, avg_deg: int = 16,
                 seed: int = 42, parts: int = 64):
     """Deterministic synthetic edge table for the scaling run (seeded LCG
@@ -420,7 +462,15 @@ def scaling_worker(cores: int, nparts: int):
         iters = int(os.environ.get("SPARK_GRAFT_SCALING_ITERS", "5"))
         algo = os.environ.get("SPARK_GRAFT_SCALING_ALGO", "louvain")
         m = MetricsCollector()
-        if algo.startswith("lpa"):
+        if algo == "cc":
+            eps = cc_throughput(spark, edges, metrics=m)
+            kind = "cc_job"
+            mode = "cc_star_fixpoint"
+        elif algo == "triangles":
+            eps = triangles_throughput(spark, edges, metrics=m)
+            kind = "triangles_job"
+            mode = "triangles_wedge_join"
+        elif algo.startswith("lpa"):
             # "lpa" = packed-CSR kernel; "lpa_join" = join+agg vote shape
             packed = algo != "lpa_join"
             eps = lpa_throughput(spark, edges, iters=iters, warmup=1,
@@ -440,8 +490,10 @@ def scaling_worker(cores: int, nparts: int):
                 {r.get("mode", "join_agg") for r in m.rows
                  if r.get("kind") == kind})))
         else:
+            # "louvain" = packed-CSR kernels (production path);
+            # "louvain_join" = the shuffle-join superstep (tier-4 fallback)
             eps = superstep_throughput(spark, edges, iters=iters, warmup=1,
-                                       metrics=m)
+                                       csr=algo != "louvain_join", metrics=m)
             kind = "superstep"
             mode = "+".join(sorted({r.get("mode", "join") for r in m.rows
                                     if r.get("kind") == "superstep"}))
