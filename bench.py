@@ -228,24 +228,62 @@ def lpa_throughput(spark, edges, iters: int = 5, warmup: int = 1,
 
 
 def cc_throughput(spark, edges, reps: int = 2, metrics=None) -> float:
-    """edges/sec for a FULL connected-components run (large-star/small-star
+    """edges/sec for a FULL connected-components run on the JOIN path
+    (min-label propagation, one shuffle join + grouped min per superstep,
     to fixpoint) — unlike the iterative probes this is a whole-job number:
     the iteration count is data-determined and identical at every
     parallelism level, so edges/total-wall compares cleanly. The first run
     is the warmup (python worker spin-up, parquet page cache); the LAST
-    run is the measurement."""
+    run is the measurement. (An earlier BENCH.md row labeled this probe
+    "cc_star_fixpoint"; it has always measured the min-label join
+    fixpoint — the star algorithm is `connected_components_twophase` and
+    was never the probe. Corrected in place.)"""
     from vite_spark.algos.components import connected_components
+    from vite_spark.config import EngineConfig
     from vite_spark.runtime.metrics import MetricsCollector
 
     m = metrics if metrics is not None else MetricsCollector()
     ne = edges.count()
+    cfg = EngineConfig(use_csr_kernel=False)
     wall = None
     for _ in range(max(2, reps)):
         t0 = time.time()
-        connected_components(spark, edges, metrics=m).count()
+        connected_components(spark, edges, cfg=cfg, metrics=m).count()
         wall = time.time() - t0
         m.record(kind="cc_job", wall_s=wall, edges=ne)
     return ne / wall
+
+
+def cc_superstep_throughput(spark, edges, iters: int = 5, warmup: int = 1,
+                            packed: bool = True, metrics=None) -> float:
+    """edges/sec per connected-components superstep — the production-path
+    probe for the fourth north-rule-named algorithm. packed=True runs the
+    packed-CSR sharded-pack kernel (kernels/csr_cc.py — owner-authored
+    dense label exchange, gather + minimum.reduceat per iteration, one
+    job per iteration); packed=False the generic join+agg min shape. On
+    the ring-lattice scaling input the minimum label travels ~avg_deg/2
+    ring positions per iteration, so labels keep changing for far more
+    than `iters` sweeps — every rep runs exactly `iters` full iterations
+    (asserted below, same discipline as lpa_throughput)."""
+    from vite_spark.algos.components import connected_components
+    from vite_spark.config import EngineConfig
+    from vite_spark.runtime.metrics import MetricsCollector
+
+    m = metrics if metrics is not None else MetricsCollector()
+    ne = edges.count()
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    cfg = EngineConfig(
+        use_csr_kernel=packed,
+        scratch_dir=scratch,
+        pack_cache_dir=os.environ.get("SPARK_GRAFT_PACK_CACHE") or None,
+    )
+    connected_components(spark, edges, max_iter=iters, cfg=cfg, metrics=m)
+    sup = [r for r in m.rows if r.get("kind") == "cc_superstep"][warmup:]
+    assert len(sup) == iters - warmup, (
+        f"CC converged early ({len(sup) + warmup}/{iters} iters) — "
+        "throughput would mix a partial sweep; grow the input")
+    wall = sum(r["wall_s"] for r in sup)
+    return ne * len(sup) / wall
 
 
 def triangles_throughput(spark, edges, reps: int = 2, metrics=None) -> float:
@@ -462,10 +500,22 @@ def scaling_worker(cores: int, nparts: int):
         iters = int(os.environ.get("SPARK_GRAFT_SCALING_ITERS", "5"))
         algo = os.environ.get("SPARK_GRAFT_SCALING_ALGO", "louvain")
         m = MetricsCollector()
-        if algo == "cc":
+        if algo == "cc_fixpoint":
+            # whole-job min-label JOIN fixpoint (previously mislabeled
+            # "cc_star_fixpoint" in its BENCH.md row — same measurement)
             eps = cc_throughput(spark, edges, metrics=m)
             kind = "cc_job"
-            mode = "cc_star_fixpoint"
+            mode = "cc_minlabel_join_fixpoint"
+        elif algo.startswith("cc"):
+            # "cc" = packed-CSR kernel; "cc_join" = join+agg min shape
+            packed = algo != "cc_join"
+            eps = cc_superstep_throughput(spark, edges, iters=iters,
+                                          warmup=1, packed=packed,
+                                          metrics=m)
+            kind = "cc_superstep"
+            mode = ("cc_" + "+".join(sorted(
+                {r.get("mode", "join_agg") for r in m.rows
+                 if r.get("kind") == kind})))
         elif algo == "triangles":
             eps = triangles_throughput(spark, edges, metrics=m)
             kind = "triangles_job"

@@ -32,6 +32,20 @@ def connected_components(
     cfg = cfg or EngineConfig()
     metrics = metrics or MetricsCollector()
 
+    if cfg.use_csr_kernel:
+        # packed-CSR fast path on the sharded pack (kernels/csr_cc.py):
+        # one job per iteration, owner-authored dense label exchange,
+        # no grouping sort (pack row order gives the segments). Falls
+        # back here (None) for non-local masters and non-vertex-closed
+        # inputs. Same Jacobi operator on the same integers → iterates
+        # (labels AND per-iteration changed counts) are IDENTICAL to
+        # this join path; pytest-enforced.
+        from vite_spark.kernels.csr_cc import csr_cc
+
+        res = csr_cc(spark, edges, max_iter, cfg, metrics)
+        if res is not None:
+            return res
+
     e = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))

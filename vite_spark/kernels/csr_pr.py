@@ -70,9 +70,10 @@ from vite_spark.kernels.csr_sharded import (
 
 # Per-run scratch the pack-cache purge must clear (statics like coefu_/
 # coefw_ are pack-derived and deliberately kept across runs). Includes
-# the packed-LPA label files: csr_lpa shares _prepare_pack, so any
-# kernel opening a cached pack clears every sibling's run transients.
-PR_TRANSIENT_PREFIXES = ("prc_", "rnk_", "lown_")
+# the packed-LPA label files and packed-CC component files: csr_lpa and
+# csr_cc share _prepare_pack, so any kernel opening a cached pack clears
+# every sibling's run transients.
+PR_TRANSIENT_PREFIXES = ("prc_", "rnk_", "lown_", "cown_")
 
 
 def _prepare_pack(spark, edges, cfg, nparts):

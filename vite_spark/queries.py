@@ -230,12 +230,16 @@ FROM (SELECT DISTINCT src AS id FROM edges) v LEFT JOIN cnt c USING (id)"""
 
 def q_connected_components(spark, sf_dir):
     """True component labeling to FIXPOINT (no iteration cap — the r1 cap
-    of 12 was only an oracle-alignment device): large-star/small-star
-    converges in O(log² n) rounds on any diameter."""
-    from vite_spark.algos.components import connected_components_twophase
+    of 12 was only an oracle-alignment device). Runs the dispatching
+    `connected_components`, so at sf0.01 this row drives the PACKED-CSR
+    min-label kernel (kernels/csr_cc.py) against the recursive-CTE oracle
+    — the same driver-oracles-the-kernel pattern as `pagerank` and
+    `lpa_labels`. The independent large-star/small-star algorithm stays
+    driver-checked via `cc_sizes` / `cc_gini`."""
+    from vite_spark.algos.components import connected_components
 
     e = lineitem_part_edges(spark, sf_dir)
-    return connected_components_twophase(spark, e).select("id", "component")
+    return connected_components(spark, e).select("id", "component")
 
 
 # fixpoint oracle: recursive-UNION reachability closure (terminates when no
