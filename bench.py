@@ -286,22 +286,36 @@ def cc_superstep_throughput(spark, edges, iters: int = 5, warmup: int = 1,
     return ne * len(sup) / wall
 
 
-def triangles_throughput(spark, edges, reps: int = 2, metrics=None) -> float:
-    """edges/sec for a FULL global triangle count (degree-oriented wedge
-    join). Whole-job wall like cc_throughput; warmup runs first, last run
-    measured. NOTE: wedge volume grows with the square of the oriented
-    degree — run this probe on a lighter input than the Louvain cert
-    (e.g. SPARK_GRAFT_SCALING_DEG=16), or the 4-core level dominates the
-    session."""
+def triangles_throughput(spark, edges, reps: int = 2, packed: bool = True,
+                         metrics=None) -> float:
+    """edges/sec for a FULL global triangle count. packed=True runs the
+    packed-CSR kernel (kernels/csr_tri.py — rank-relabeled oriented pack,
+    wedge queries routed through per-reader scratch files, one probe
+    searchsorted per chunk; the pack cache makes reps after the first
+    measure only the wedge+probe jobs, like every other packed probe);
+    packed=False the degree-oriented wedge-JOIN shape (two shuffles of the
+    O(Σ outdeg²) wedge table — the multi-cluster fallback, kept as the
+    measured reference point). Whole-job wall like cc_throughput; warmup
+    runs first, last run measured. NOTE: wedge volume grows with the
+    square of the oriented degree — run this probe on a lighter input
+    than the Louvain cert (e.g. SPARK_GRAFT_SCALING_DEG=16), or the
+    4-core level dominates the session."""
     from vite_spark.algos.triangles import triangle_count
+    from vite_spark.config import EngineConfig
     from vite_spark.runtime.metrics import MetricsCollector
 
     m = metrics if metrics is not None else MetricsCollector()
     ne = edges.count()
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    cfg = EngineConfig(
+        use_csr_kernel=packed,
+        scratch_dir=scratch,
+        pack_cache_dir=os.environ.get("SPARK_GRAFT_PACK_CACHE") or None,
+    )
     wall = None
     for _ in range(max(2, reps)):
         t0 = time.time()
-        triangle_count(spark, edges)      # returns the scalar count (an action)
+        triangle_count(spark, edges, cfg=cfg, metrics=m)
         wall = time.time() - t0
         m.record(kind="triangles_job", wall_s=wall, edges=ne)
     return ne / wall
@@ -516,10 +530,18 @@ def scaling_worker(cores: int, nparts: int):
             mode = ("cc_" + "+".join(sorted(
                 {r.get("mode", "join_agg") for r in m.rows
                  if r.get("kind") == kind})))
-        elif algo == "triangles":
-            eps = triangles_throughput(spark, edges, metrics=m)
+        elif algo.startswith("triangles"):
+            # "triangles" = packed-CSR kernel; "triangles_join" = the
+            # degree-oriented wedge-join shape (measured reference point)
+            packed = algo != "triangles_join"
+            eps = triangles_throughput(spark, edges, packed=packed,
+                                       metrics=m)
             kind = "triangles_job"
-            mode = "triangles_wedge_join"
+            packed_modes = sorted(
+                {r.get("mode") for r in m.rows
+                 if r.get("kind") == "triangles_packed"})
+            mode = ("+".join(packed_modes) if packed_modes
+                    else "triangles_wedge_join")
         elif algo.startswith("lpa"):
             # "lpa" = packed-CSR kernel; "lpa_join" = join+agg vote shape
             packed = algo != "lpa_join"

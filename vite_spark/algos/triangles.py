@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from vite_spark.config import EngineConfig
+from vite_spark.runtime.metrics import MetricsCollector
 
 
 def _oriented(edges: DataFrame) -> DataFrame:
@@ -32,8 +33,24 @@ def _oriented(edges: DataFrame) -> DataFrame:
 
 
 def triangle_count(spark: SparkSession, edges: DataFrame,
-                   cfg: EngineConfig | None = None) -> int:
+                   cfg: EngineConfig | None = None,
+                   metrics: MetricsCollector | None = None) -> int:
     """Global triangle count."""
+    cfg = cfg or EngineConfig()
+    metrics = metrics or MetricsCollector()
+
+    if cfg.use_csr_kernel:
+        # packed-CSR fast path (kernels/csr_tri.py): identical
+        # degree-orientation algorithm, but the O(Σ outdeg²) wedge
+        # traffic moves through routed per-reader scratch files instead
+        # of two shuffles. Exact integer count — parity pytest-enforced.
+        # Falls back here (None) for non-local masters.
+        from vite_spark.kernels.csr_tri import csr_triangles
+
+        res = csr_triangles(spark, edges, cfg, metrics)
+        if res is not None:
+            return res
+
     o = _oriented(edges).persist()
     wedges = o.alias("a").join(
         o.alias("b"), F.col("a.dst") == F.col("b.src")
