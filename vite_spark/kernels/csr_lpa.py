@@ -89,9 +89,12 @@ def _lpa_votes(srcl, c_dst, w, ntrk, nown):
     return g_srcidx[bounds], win
 
 
-def _lpa_job(spark, pack_dir, nparts, t, routing):
+def _lpa_job(spark, pack_dir, nparts, t, routing, ckpt_dir=None):
     """Iteration ``t``: gather labels at t-1, vote, save lown_{t}; one
-    sentinel row (pid, changed) per partition."""
+    sentinel row (pid, changed) per partition. When ``ckpt_dir`` is set,
+    each task also copies its new state vector there
+    (runtime/iter_checkpoint.py layout; the driver commits the marker
+    after the job returns)."""
     owners_of, _ = routing
 
     def run(pdf_iter):
@@ -161,6 +164,10 @@ def _lpa_job(spark, pack_dir, nparts, t, routing):
                 changed = int((new_own != old_own).sum())
                 _atomic_save(
                     os.path.join(pack_dir, f"lown_{t}_{pid}.npy"), new_own)
+                if ckpt_dir is not None:
+                    from vite_spark.runtime.iter_checkpoint import \
+                        save_shard
+                    save_shard(ckpt_dir, pid, own, new_own)
                 old = t - 2
                 if old >= 1:
                     try:
@@ -195,18 +202,42 @@ def csr_lpa(spark, edges, max_iter, cfg, metrics):
             shutil.rmtree(pack_dir, ignore_errors=True)
         return None
 
-    try:
-        t_final = max_iter
-        for t in range(1, max_iter + 1):
+    from vite_spark.runtime import iter_checkpoint as ic
+
+    ckroot = cfg.checkpoint_dir
+    start_t = 0
+    if ckroot:
+        ck = ic.latest_complete(ckroot, "lpa")
+        if ck is not None and ic.validate(ck, info, nparts):
             t0 = time.time()
-            sent = _lpa_job(spark, pack_dir, nparts, t, routing).collect()
+            if ic.restore_job(spark, pack_dir, nparts,
+                              ic.iter_dir(ckroot, "lpa", ck["t"]),
+                              f"lown_{ck['t']}"):
+                start_t = min(int(ck["t"]), max_iter)
+                metrics.record(kind="lpa_resume", iter=start_t,
+                               wall_s=time.time() - t0,
+                               mode="csr_sharded_lpa")
+
+    try:
+        t_final = max(start_t, 1)
+        for t in range(start_t + 1, max_iter + 1):
+            t_final = t
+            ck_dir = None
+            if ckroot and t % max(cfg.checkpoint_every, 1) == 0:
+                ck_dir = ic.prepare_iter(ckroot, "lpa", t)
+            t0 = time.time()
+            sent = _lpa_job(spark, pack_dir, nparts, t, routing,
+                            ckpt_dir=ck_dir).collect()
             changed = int(sum(r["changed"] for r in sent))
+            if ck_dir is not None:
+                ic.mark_complete(ckroot, "lpa", t, {
+                    "changed": changed, "nv": int(info["nv"]),
+                    "ne": int(info["ne"]), "nparts": nparts})
             metrics.record(kind="lpa_superstep", iter=t, changed=changed,
                            wall_s=time.time() - t0,
                            edges_processed=int(info["ne"]),
                            mode="csr_sharded_lpa")
             if changed == 0:
-                t_final = t
                 break
 
         def emit(pdf_iter):

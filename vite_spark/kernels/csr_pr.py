@@ -157,10 +157,14 @@ def _merge_layout(pack_dir: str, pid: int, writers):
 
 
 def _pr_job(spark, pack_dir, nparts, n, damping, t, routing, weighted,
-            compute_contrib):
+            compute_contrib, ckpt_dir=None, restored=False):
     """Job ``t``: merge r_{t-1} from inbound spans, report the L1 delta
     vs r_{t-2}, and (when ``compute_contrib``) scatter iteration ``t``'s
-    contribution spans."""
+    contribution spans. ``ckpt_dir``: tasks also copy r_{t-1} there
+    (runtime/iter_checkpoint.py layout; driver commits the marker).
+    ``restored``: first job after a resume — r_{t-1} was just restored
+    into the pack, so skip the merge (no prc spans exist) and report an
+    inf delta (sentinel: unknown, never satisfies the tol check)."""
     owners_of, rdrs_of = routing
     base = (1.0 - damping) / n
     cname = "coefw" if weighted else "coefu"
@@ -178,7 +182,10 @@ def _pr_job(spark, pack_dir, nparts, n, damping, t, routing, weighted,
                     continue
 
                 # --- merge r_{t-1} over own (fixed writer order) ---
-                if t == 1:
+                if restored:
+                    r = np.load(os.path.join(
+                        pack_dir, f"rnk_{t - 1}_{pid}.npy"))
+                elif t == 1:
                     r = np.full(len(own), 1.0 / n)
                 else:
                     writers = sorted(rdrs_of.get(pid, ()))
@@ -194,9 +201,16 @@ def _pr_job(spark, pack_dir, nparts, n, damping, t, routing, weighted,
                     acc = np.bincount(idx, weights=vals,
                                       minlength=len(own))
                     r = base + damping * acc
-                _atomic_save(
-                    os.path.join(pack_dir, f"rnk_{t - 1}_{pid}.npy"), r)
-                if t == 1:
+                if not restored:
+                    _atomic_save(
+                        os.path.join(pack_dir, f"rnk_{t - 1}_{pid}.npy"), r)
+                    if ckpt_dir is not None:
+                        from vite_spark.runtime.iter_checkpoint import \
+                            save_shard
+                        save_shard(ckpt_dir, pid, own, r)
+                if restored:
+                    delta = float("inf")
+                elif t == 1:
                     delta = 0.0
                 else:
                     prev = (np.full(len(own), 1.0 / n) if t == 2 else
@@ -205,7 +219,7 @@ def _pr_job(spark, pack_dir, nparts, n, damping, t, routing, weighted,
                                 mmap_mode="r"))
                     delta = float(np.abs(r - prev).sum())
                 # consume-and-delete, one step delayed (retry-safe)
-                if t >= 3:
+                if t >= 3 and not restored:
                     for q in rdrs_of.get(pid, ()):
                         try:
                             os.remove(os.path.join(
@@ -279,22 +293,58 @@ def csr_pagerank(spark, edges, damping, tol, max_iter, weighted, cfg,
         return None
     ne = int(info["ne"])
 
+    import math
+
+    from vite_spark.runtime import iter_checkpoint as ic
+
+    ckroot = cfg.checkpoint_dir
+    resume_t = None
+    start_t = 0
+    if ckroot:
+        ck = ic.latest_complete(ckroot, "pagerank")
+        if ck is not None and ic.validate(ck, info, nparts):
+            k = min(int(ck["t"]), max_iter)   # checkpointed ranks r_k
+            t0 = time.time()
+            if ic.restore_job(spark, pack_dir, nparts,
+                              ic.iter_dir(ckroot, "pagerank", int(ck["t"])),
+                              f"rnk_{k}"):
+                # job k+1 re-scatters from the restored r_k (no prc spans
+                # survive a crash); merges resume at k+2
+                start_t = k
+                resume_t = k + 1
+                metrics.record(kind="pagerank_resume", iter=k,
+                               wall_s=time.time() - t0,
+                               mode="csr_sharded_pr")
+
     try:
         k_final = max_iter
-        t = 0
+        t = start_t
         while True:
             t += 1
             contrib = t <= max_iter
+            restored = t == resume_t
+            ck_dir = None
+            s = t - 1      # the state this job writes is r_{t-1}
+            if (ckroot and not restored and s >= 1
+                    and s % max(cfg.checkpoint_every, 1) == 0):
+                ck_dir = ic.prepare_iter(ckroot, "pagerank", s)
             t0 = time.time()
             sent = _pr_job(spark, pack_dir, nparts, n, damping, t, routing,
-                           weighted, contrib).collect()
+                           weighted, contrib, ckpt_dir=ck_dir,
+                           restored=restored).collect()
             wall = time.time() - t0
             delta_prev = float(sum(r["delta"] for r in sent))
+            if ck_dir is not None:
+                ic.mark_complete(ckroot, "pagerank", s, {
+                    "l1_delta": delta_prev, "nv": n, "ne": ne,
+                    "nparts": nparts})
             if t <= max_iter:
                 # one row per contribution job — same row count and
                 # meaning as the join path's per-iteration records; the
-                # delta is known one job late (job t reports Δ_{t-1})
-                extra = {"l1_delta": delta_prev} if t >= 2 else {}
+                # delta is known one job late (job t reports Δ_{t-1});
+                # unknown (inf) right after a resume
+                extra = ({"l1_delta": delta_prev}
+                         if t >= 2 and not math.isinf(delta_prev) else {})
                 metrics.record(
                     kind="pagerank_superstep", iter=t, wall_s=wall,
                     edges_processed=ne, mode="csr_sharded_pr", **extra,
