@@ -97,8 +97,8 @@ def test_non_symmetric_input_same_contract_as_join_path(spark):
 
 
 def test_chunked_flush_parity(spark, monkeypatch):
-    """Force multi-chunk per-reader files: FLUSH_PAIRS=64 on a graph with
-    thousands of wedges must change nothing but the file count."""
+    """Force many small remote-probe batches: FLUSH_PAIRS=64 on a graph
+    with thousands of wedges must change nothing but the batch count."""
     from vite_spark.kernels import csr_tri
 
     monkeypatch.setattr(csr_tri, "FLUSH_PAIRS", 64)

@@ -42,9 +42,12 @@ def triangle_count(spark: SparkSession, edges: DataFrame,
     if cfg.use_csr_kernel:
         # packed-CSR fast path (kernels/csr_tri.py): identical
         # degree-orientation algorithm, but the O(Σ outdeg²) wedge
-        # traffic moves through routed per-reader scratch files instead
-        # of two shuffles. Exact integer count — parity pytest-enforced.
-        # Falls back here (None) for non-local masters.
+        # volume never materializes — one job probes closing edges
+        # against immutable pack-time key arrays (local bulk in place,
+        # remote residue via static-index mmap reads) instead of moving
+        # the wedge table through two shuffles. Exact integer count —
+        # parity pytest-enforced. Falls back here (None) for non-local
+        # masters.
         from vite_spark.kernels.csr_tri import csr_triangles
 
         res = csr_triangles(spark, edges, cfg, metrics)
@@ -63,9 +66,26 @@ def triangle_count(spark: SparkSession, edges: DataFrame,
 
 
 def triangles_per_vertex(spark: SparkSession, edges: DataFrame,
-                         cfg: EngineConfig | None = None) -> DataFrame:
+                         cfg: EngineConfig | None = None,
+                         metrics: MetricsCollector | None = None) -> DataFrame:
     """(id, triangles) — every triangle credited to each of its 3 vertices.
     Vertices in no triangle are included with 0."""
+    cfg = cfg or EngineConfig()
+    metrics = metrics or MetricsCollector()
+
+    if cfg.use_csr_kernel:
+        # packed-CSR fast path (kernels/csr_tri_vertex.py): same pack and
+        # probe strategy as the global kernel above, emitting per-rank
+        # triangle credits instead of scalars; the only shuffle is the
+        # groupBy over the ghost-set-bounded credit table. Exact equality
+        # with the join path pytest-enforced. Falls back here (None) for
+        # non-local masters.
+        from vite_spark.kernels.csr_tri_vertex import csr_triangles_per_vertex
+
+        res = csr_triangles_per_vertex(spark, edges, cfg, metrics)
+        if res is not None:
+            return res
+
     o = _oriented(edges).persist()
     wedges = o.alias("a").join(
         o.alias("b"), F.col("a.dst") == F.col("b.src")

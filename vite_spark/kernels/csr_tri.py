@@ -28,25 +28,32 @@ Pack phase (once per input, cached like the Louvain pack):
    bounds.npz ownership table). Max oriented out-degree is bounded by
    ~sqrt(2m) (the arboricity argument), so no segment is hub-sized.
 
-Count phase (TWO jobs, no shuffle of wedges through Spark):
+Count phase (ONE job, no shuffle, no barrier):
 
-1. **Wedge job** — task p enumerates, per owned segment, all pairs
-   (v, w) = (dst[i], dst[i+k]) within the segment (per-segment dst is
-   ascending = orientation order, so v < w and each candidate closing
-   edge is queried in its stored direction exactly once). Pairs are
-   routed to owner(v) by the bounds table (the getOwner analog,
-   /root/reference/distgraph.hpp:260-271) and written as per-reader
-   int64 files `twq_{reader}_{writer}_{chunk}.npy` — the same
-   worker-to-worker file exchange medium every packed kernel here uses
-   (shared scratch on a real cluster). Chunked flushes bound memory to
-   O(FLUSH) regardless of wedge volume.
-2. **Probe job** — task q loads its (src,dst)-sorted rows ONCE as a
+3. **Probe keys**: each partition's (src,dst)-sorted rows collapse to a
    single strictly-increasing int64 key array
-   `srcl * (|ux|+1) + dstl`, maps each incoming query (v, w) to local
-   coordinates by two searchsorteds (v ∉ own or w ∉ ux → not an edge),
-   and counts hits with one searchsorted per chunk. Queries whose v has
-   no out-edges at all (above every range, or in a range gap) were
-   already dropped by the router — they cannot be edges.
+   `krw_{pid}.npy = srcl * (|ux|+1) + dstl` — built once at pack time
+   (one more pack artifact), so closing-edge membership is one
+   searchsorted against an IMMUTABLE file.
+
+Task p enumerates, per owned segment, all pairs
+(v, w) = (dst[i], dst[i+k]) within the segment (per-segment dst is
+ascending = orientation order, so v < w and each candidate closing edge
+is queried in its stored direction exactly once). Each query is a
+membership test against owner(v)'s key array (owner by the bounds
+table — the getOwner analog, /root/reference/distgraph.hpp:260-271):
+local queries (owner == p, the bulk under range partitioning) are
+answered against p's own arrays with zero per-wedge searchsorteds (the
+positions are pack coordinates the enumerator already holds); remote
+queries are batched per owner to O(FLUSH) memory and probed directly
+against the owner's `own/ux/krw` files. Those files are STATIC
+pack-time artifacts, so reading them from any task is a lookup into an
+immutable distributed index — a broadcast-join shape, not a
+mutable-state exchange — which is why no second job or barrier is
+needed. Single box: one read-only mmap copy in the page cache shared
+by every worker. Real cluster: the same shared pack store the kernel
+already requires (the reads are rank-sorted batches, one seek + one
+sequential range per batch per owner).
 
 Total = Σ hits: every triangle {a<b<c in rank order} is counted exactly
 once, as wedge (b, c) at apex a with closing edge (b, c). The count is
@@ -55,18 +62,23 @@ sharded kernel) — and equals algos/triangles.triangle_count on every
 input (same orientation, same distinct/self-loop handling;
 pytest-enforced parity).
 
-Scale shape: per-partition memory O(edges/p + FLUSH); wedge traffic
-O(Σ outdeg²) bytes moves through the scratch filesystem ONCE, against
-the join path's two shuffles of the same volume plus sort machinery;
-nothing on the driver but per-partition scalars. All int64 key
-arithmetic is explicit-cast (NumPy 1.x value-based casting — the r3
-int32-overflow lesson, kernels/csr.py:199).
+Scale shape: per-partition memory O(edges/p + FLUSH); the O(Σ outdeg²)
+wedge volume never materializes anywhere — not in a shuffle (the join
+path moves it through TWO exchanges), not even on scratch (the first
+packed design routed it through per-reader files; the local fraction
+plus static-index probes removed the files entirely) — it exists only
+as per-pass NumPy transients inside the enumerating task. Nothing on
+the driver but per-partition scalars. All int64 key arithmetic is
+explicit-cast (NumPy 1.x value-based casting — the r3 int32-overflow
+lesson, kernels/csr.py:199).
 
 Preconditions (caller falls back to the join path on None): local
 master (shared pack filesystem). Reference analog: Vite has no triangle
-counting; the per-reader routed exchange mirrors its exchangeVertexReqs
-shape (/root/reference/louvain.cpp:3251-3397) reused from
-csr_sharded.py.
+counting; the owner routing reuses csr_sharded.py's getOwner bounds
+table, and the remote probe replaces its exchangeVertexReqs-style
+request exchange (/root/reference/louvain.cpp:3251-3397) with one-sided
+reads of immutable pack state — legal here precisely because, unlike
+Louvain community state, the closing-edge index never changes.
 """
 
 from __future__ import annotations
@@ -79,17 +91,37 @@ import time
 
 import numpy as np
 
-from vite_spark.kernels.csr import _atomic_save, _pid_frame
+from vite_spark.kernels.csr import _atomic_save
 from vite_spark.kernels.csr_sharded import (
     _load_bounds,
     _positions,
     pack_csr_partitions_sharded,
 )
 
+# routed-query files written by the pre-r4 two-job design; scrubbed from
+# reused pack caches so stale files can't linger
 TRI_TRANSIENT_PREFIXES = ("twq_",)
 
-# pairs buffered per wedge task before flushing to per-reader files
+# remote wedge queries buffered per task before a probe batch (bounds
+# per-task memory; bigger batches amortize the per-owner searchsorteds)
 FLUSH_PAIRS = 8_000_000
+
+
+def _pid_tasks(spark, nparts):
+    """pid frame with ~2 tasks per core instead of one task per pid: the
+    count-phase jobs' per-pid work items are independent and every run()
+    loop already iterates the pids inside its frame, so grouping pids per
+    task changes nothing about the result — but it removes the per-task
+    python-runner handshake (~50-85 ms/task measured on this host) that
+    dominated the probe job's wall (a no-op 64-task mapInPandas job
+    measured 5.5 s at 4 cores). 2× parallelism keeps enough slack for
+    stragglers on skewed pid blocks."""
+    from pyspark.sql import functions as F
+
+    par = max(1, spark.sparkContext.defaultParallelism)
+    ntasks = max(1, min(nparts, 2 * par))
+    return spark.range(0, nparts, 1, ntasks).select(
+        F.col("id").cast("int").alias("pid"))
 
 
 def _rank_by_degree(spark, e, nparts):
@@ -158,6 +190,9 @@ def _prepare_tri_pack(spark, edges, cfg, nparts):
         if os.path.exists(mf):
             with open(mf) as fh:
                 man = json.load(fh)
+            if not os.path.exists(os.path.join(pack_dir, "krw_0.npy")):
+                # cache written before probe keys were pack-time artifacts
+                _build_probe_keys(spark, pack_dir, man["nparts"])
             return pack_dir, man["nparts"], man["info"], False
     if pack_dir is None:
         pack_dir = tempfile.mkdtemp(prefix="vite_csr_tri_",
@@ -183,12 +218,59 @@ def _prepare_tri_pack(spark, edges, cfg, nparts):
     # inputs — the pack's file set is per ACTUAL partition
     nparts = oriented.rdd.getNumPartitions()
     info = pack_csr_partitions_sharded(oriented, pack_dir, nparts)
+    _build_probe_keys(spark, pack_dir, nparts)
     ranks.unpersist()
     d2.unpersist()
     if not cleanup:
         with open(os.path.join(pack_dir, "manifest.json"), "w") as fh:
             json.dump({"info": info, "nparts": nparts}, fh)
     return pack_dir, nparts, info, cleanup
+
+
+def _build_probe_keys(spark, pack_dir, nparts):
+    """One job at pack time: per partition, save the strictly-increasing
+    closing-edge key array `krw_{pid}.npy` (srcl·(|ux|+1) + dstl — rows
+    are (src, dst)-sorted, so the composite is sorted). Both count-phase
+    jobs membership-test against it via read-only mmap, so the array is
+    built once per pack and lives once in the page cache instead of
+    being recomputed into fresh private pages per task per run (fresh
+    first-touch is host-serialized — BENCH.md host physics — and was the
+    probe job's dominant cost, not the searchsorteds)."""
+
+    def run(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            for pid in pdf["pid"]:
+                pid = int(pid)
+                sp = os.path.join(pack_dir, f"srcl_{pid}.npy")
+                if not os.path.exists(sp):
+                    # empty input: the pack job may not materialize every
+                    # partition's files (the count jobs only run for
+                    # ne > 0) — write empty keys so the krw file set is
+                    # complete for the cache-validity check
+                    _atomic_save(os.path.join(pack_dir, f"krw_{pid}.npy"),
+                                 np.empty(0, np.int64))
+                    yield pd.DataFrame({"pid": [pid], "n": [0]})
+                    continue
+                srcl = np.load(sp, mmap_mode="r")
+                dstl = np.load(os.path.join(pack_dir, f"dstl_{pid}.npy"),
+                               mmap_mode="r")
+                ux = np.load(os.path.join(pack_dir, f"ux_{pid}.npy"),
+                             mmap_mode="r")
+                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"),
+                              mmap_mode="r")
+                stride = np.int64(len(ux) + 1)
+                assert len(own) < 2 ** 62 // max(int(stride), 1), \
+                    "probe key would overflow int64"
+                keys = (np.asarray(srcl, np.int64) * stride
+                        + np.asarray(dstl, np.int64))
+                _atomic_save(
+                    os.path.join(pack_dir, f"krw_{pid}.npy"), keys)
+                yield pd.DataFrame({"pid": [pid], "n": [len(keys)]})
+
+    _pid_tasks(spark, nparts).mapInPandas(
+        run, schema="pid int, n long").collect()
 
 
 def _clear_transients(pack_dir):
@@ -200,13 +282,48 @@ def _clear_transients(pack_dir):
                 pass
 
 
-def _wedge_job(spark, pack_dir, nparts, flush_pairs):
-    """Enumerate + route wedge queries; one sentinel row (pid, wedges).
-    ``flush_pairs`` is closure-captured (not read as a module global) so
-    the executor-side value is the driver's at dispatch time."""
+def _count_job(spark, pack_dir, nparts, flush_pairs):
+    """Enumerate wedge queries, probe local ones in place and remote
+    ones against the owners' static index files; one sentinel row
+    (pid, wedges, queries, tri).
+
+    Local shortcut: a query (v, w) whose closing edge would live in THIS
+    partition (owner(v) == pid — rows are src-range-partitioned) is
+    answered immediately against the partition's own sorted key array
+    with positions the enumerator already holds. Range partitioning
+    preserves rank locality (rank ≈ id order on near-regular graphs, and
+    graphs with any neighborhood structure keep most wedge endpoints
+    near the apex), so the local fraction is the bulk of the volume —
+    measured ~90% on the scaling input. The remote residue is batched
+    per owner (``flush_pairs`` bounds memory; closure-captured so the
+    executor-side value is the driver's at dispatch time) and probed
+    against the owner's immutable ``own/ux/krw`` pack files via
+    read-only mmap — static data, so no barrier, no second job, no
+    exchange files."""
 
     def run(pdf_iter):
         import pandas as pd
+
+        # per-task cache of remote owners' static arrays (mmap handles)
+        stats: dict = {}
+
+        def owner_stats(q):
+            st = stats.get(q)
+            if st is None:
+                op = os.path.join(pack_dir, f"own_{q}.npy")
+                if not os.path.exists(op):
+                    st = ()   # owner has no rows → no closing edges
+                else:
+                    own_q = np.load(op, mmap_mode="r")
+                    ux_q = np.load(
+                        os.path.join(pack_dir, f"ux_{q}.npy"),
+                        mmap_mode="r")
+                    krw_q = np.load(
+                        os.path.join(pack_dir, f"krw_{q}.npy"),
+                        mmap_mode="r")
+                    st = (own_q, ux_q, np.int64(len(ux_q) + 1), krw_q)
+                stats[q] = st
+            return st
 
         for pdf in pdf_iter:
             for pid in pdf["pid"]:
@@ -216,10 +333,14 @@ def _wedge_job(spark, pack_dir, nparts, flush_pairs):
                 nrows = len(srcl)
                 if nrows == 0:
                     yield pd.DataFrame(
-                        {"pid": [pid], "wedges": [np.int64(0)]})
+                        {"pid": [pid], "wedges": [np.int64(0)],
+                         "queries": [np.int64(0)],
+                         "tri": [np.int64(0)]})
                     continue
-                ux = np.load(os.path.join(pack_dir, f"ux_{pid}.npy"))
-                dstl = np.load(os.path.join(pack_dir, f"dstl_{pid}.npy"))
+                ux = np.load(os.path.join(pack_dir, f"ux_{pid}.npy"),
+                             mmap_mode="r")
+                dstl = np.load(os.path.join(pack_dir, f"dstl_{pid}.npy"),
+                               mmap_mode="r")
                 dst_g = np.asarray(ux, np.int64)[
                     np.asarray(dstl, np.int64)]
                 srcl64 = np.asarray(srcl, np.int64)
@@ -230,22 +351,56 @@ def _wedge_job(spark, pack_dir, nparts, flush_pairs):
                 row_end = np.repeat(seg_end, lens)
                 idx = np.arange(nrows, dtype=np.int64)
                 starts_b, bpids = _load_bounds(pack_dir)
+                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"),
+                              mmap_mode="r")
+                stride = np.int64(len(ux) + 1)
+                # pack-time closing-edge key array, one page-cache copy
+                # shared with the probe job and across reps
+                key_rows = np.load(
+                    os.path.join(pack_dir, f"krw_{pid}.npy"),
+                    mmap_mode="r")
+                # per-ROW precomputes hoisted out of the k-passes (each
+                # pass's v = dst_g[i] re-queries the same rows):
+                #   owner pid of dst_g (bounds routing),
+                #   position of dst_g in own + found mask (local-probe v),
+                # and w's ux position per pass is just dstl[i+k] — dstl
+                # IS the ux index, so the local probe needs no
+                # per-wedge searchsorted at all.
+                rpos_b = np.searchsorted(
+                    starts_b, dst_g, side="right") - 1
+                rq = np.where(
+                    rpos_b >= 0,
+                    np.asarray(bpids, np.int64)[np.maximum(rpos_b, 0)],
+                    np.int64(-1))
+                rvl, rok = _positions(own, dst_g)
+                rvl64 = rvl.astype(np.int64)
+                dstl64 = np.asarray(dstl, np.int64)
 
                 bufs: dict = {}
-                chunk: dict = {}
                 buffered = 0
                 wedges = 0
+                queries = 0
+                tri = 0
 
                 def flush():
-                    nonlocal buffered
+                    nonlocal buffered, queries, tri
                     for q, arrs in bufs.items():
                         arr = (np.concatenate(arrs, axis=1)
                                if len(arrs) > 1 else arrs[0])
-                        c = chunk.get(q, 0)
-                        chunk[q] = c + 1
-                        _atomic_save(
-                            os.path.join(pack_dir,
-                                         f"twq_{q}_{pid}_{c}.npy"), arr)
+                        queries += arr.shape[1]
+                        st = owner_stats(q)
+                        if not st:
+                            continue
+                        own_q, ux_q, stride_q, krw_q = st
+                        vl, okv = _positions(own_q, arr[0])
+                        wl, okw = _positions(ux_q, arr[1])
+                        ok = okv & okw
+                        if not ok.any():
+                            continue
+                        kq = (vl[ok].astype(np.int64) * stride_q
+                              + wl[ok].astype(np.int64))
+                        _, found = _positions(krw_q, kq)
+                        tri += int(found.sum())
                     bufs.clear()
                     buffered = 0
 
@@ -259,15 +414,33 @@ def _wedge_job(spark, pack_dir, nparts, flush_pairs):
                     if not m.any():
                         break
                     i = idx[m]
+                    qs = rq[i]
+                    ok = qs >= 0      # v below every range: no out-edges
+                    i, qs = i[ok], qs[ok]
+                    wedges += len(i)
+                    if not len(i):
+                        continue
+                    loc = qs == pid
+                    if loc.any():
+                        # the same membership test as the remote probe,
+                        # on this partition's rows; v's own position and
+                        # w's ux position come from the hoisted per-row
+                        # arrays — zero searchsorteds beyond the
+                        # key-array membership test itself
+                        il = i[loc]
+                        okb = rok[il]
+                        if okb.any():
+                            ilk = il[okb]
+                            kq = (rvl64[ilk] * stride
+                                  + dstl64[ilk + k])
+                            _, found = _positions(key_rows, kq)
+                            tri += int(found.sum())
+                        rem = ~loc
+                        i, qs = i[rem], qs[rem]
+                    if not len(i):
+                        continue
                     v = dst_g[i]
                     w = dst_g[i + k]
-                    pos = np.searchsorted(starts_b, v, side="right") - 1
-                    ok = pos >= 0     # v below every range: no out-edges
-                    v, w, pos = v[ok], w[ok], pos[ok]
-                    wedges += len(v)
-                    if not len(v):
-                        continue
-                    qs = np.asarray(bpids, np.int64)[pos]
                     order = np.argsort(qs, kind="stable")
                     qs, v, w = qs[order], v[order], w[order]
                     qb = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
@@ -280,59 +453,12 @@ def _wedge_job(spark, pack_dir, nparts, flush_pairs):
                         flush()
                 flush()
                 yield pd.DataFrame(
-                    {"pid": [pid], "wedges": [np.int64(wedges)]})
+                    {"pid": [pid], "wedges": [np.int64(wedges)],
+                     "queries": [np.int64(queries)],
+                     "tri": [np.int64(tri)]})
 
-    return _pid_frame(spark, nparts).mapInPandas(
-        run, schema="pid int, wedges long")
-
-
-def _probe_job(spark, pack_dir, nparts):
-    """Closing-edge membership tests; sentinel rows (pid, tri, queries)."""
-
-    def run(pdf_iter):
-        import pandas as pd
-
-        for pdf in pdf_iter:
-            for pid in pdf["pid"]:
-                pid = int(pid)
-                prefix = f"twq_{pid}_"
-                files = [f for f in os.listdir(pack_dir)
-                         if f.startswith(prefix)]
-                if not files:
-                    yield pd.DataFrame({"pid": [pid], "tri": [np.int64(0)],
-                                        "queries": [np.int64(0)]})
-                    continue
-                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"))
-                ux = np.load(os.path.join(pack_dir, f"ux_{pid}.npy"))
-                srcl = np.load(os.path.join(pack_dir, f"srcl_{pid}.npy"))
-                dstl = np.load(os.path.join(pack_dir, f"dstl_{pid}.npy"))
-                stride = np.int64(len(ux) + 1)
-                assert len(own) < 2 ** 62 // max(int(stride), 1), \
-                    "probe key would overflow int64"
-                key_rows = (np.asarray(srcl, np.int64) * stride
-                            + np.asarray(dstl, np.int64))
-                tri = 0
-                nq = 0
-                for f in sorted(files):
-                    a = np.load(os.path.join(pack_dir, f))
-                    v = np.asarray(a[0], np.int64)
-                    w = np.asarray(a[1], np.int64)
-                    nq += len(v)
-                    if len(own) == 0 or len(v) == 0:
-                        continue
-                    vl, okv = _positions(own, v)
-                    wl, okw = _positions(ux, w)
-                    ok = okv & okw
-                    if not ok.any():
-                        continue
-                    kq = vl[ok].astype(np.int64) * stride + wl[ok]
-                    _, found = _positions(key_rows, kq)
-                    tri += int(found.sum())
-                yield pd.DataFrame({"pid": [pid], "tri": [np.int64(tri)],
-                                    "queries": [np.int64(nq)]})
-
-    return _pid_frame(spark, nparts).mapInPandas(
-        run, schema="pid int, tri long, queries long")
+    return _pid_tasks(spark, nparts).mapInPandas(
+        run, schema="pid int, wedges long, queries long, tri long")
 
 
 def csr_triangles(spark, edges, cfg, metrics) -> int | None:
@@ -351,23 +477,18 @@ def csr_triangles(spark, edges, cfg, metrics) -> int | None:
                            wall_s=0.0, wedges=0, queries=0,
                            edges_oriented=0, triangles=0)
             return 0
-        _clear_transients(pack_dir)
+        _clear_transients(pack_dir)  # scrub pre-r4 caches' routed files
         t0 = time.time()
-        wsent = _wedge_job(spark, pack_dir, nparts, FLUSH_PAIRS).collect()
+        sent = _count_job(spark, pack_dir, nparts, FLUSH_PAIRS).collect()
         t1 = time.time()
-        psent = _probe_job(spark, pack_dir, nparts).collect()
-        t2 = time.time()
-        tri = int(sum(r["tri"] for r in psent))
+        tri = int(sum(r["tri"] for r in sent))
         metrics.record(
             kind="triangles_packed", mode="tri_csr_packed",
-            wall_s=t2 - t0, wedge_wall_s=round(t1 - t0, 3),
-            probe_wall_s=round(t2 - t1, 3),
-            wedges=int(sum(r["wedges"] for r in wsent)),
-            queries=int(sum(r["queries"] for r in psent)),
+            wall_s=t1 - t0,
+            wedges=int(sum(r["wedges"] for r in sent)),
+            queries=int(sum(r["queries"] for r in sent)),
             edges_oriented=int(info["ne"]), triangles=tri)
         return tri
     finally:
         if cleanup:
             shutil.rmtree(pack_dir, ignore_errors=True)
-        else:
-            _clear_transients(pack_dir)

@@ -228,6 +228,59 @@ SELECT v.id, COALESCE(c.triangles, 0) AS triangles
 FROM (SELECT DISTINCT src AS id FROM edges) v LEFT JOIN cnt c USING (id)"""
 
 
+def q_clustering_coefficient(spark, sf_dir):
+    """Per-vertex local clustering coefficient 2·T(v)/(d(v)·(d(v)−1))
+    on the simple undirected graph (0.0 when d < 2) — derived from the
+    per-vertex triangle counts (at driver scale the PACKED per-vertex
+    kernel, kernels/csr_tri_vertex.py) and the distinct-neighbor degree.
+    Both engines evaluate the identical double expression on exact
+    int64 inputs, so the values hash-match bit-for-bit."""
+    from vite_spark.algos.triangles import triangles_per_vertex
+
+    e = lineitem_part_edges(spark, sf_dir)
+    tri = triangles_per_vertex(spark, e)
+    und = (e.select("src", "dst")
+           .filter(F.col("src") != F.col("dst")).distinct())
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d"))
+    return tri.join(deg, "id", "left").select(
+        "id",
+        F.when(
+            F.coalesce(F.col("d"), F.lit(0)) >= 2,
+            F.lit(2.0) * F.col("triangles")
+            / (F.col("d") * (F.col("d") - 1)),
+        ).otherwise(F.lit(0.0)).alias("lcc"),
+    )
+
+
+SQL_CLUSTERING_COEFFICIENT = f"""WITH {EDGES_CTE},
+und AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+o AS (
+  SELECT u.src, u.dst FROM und u
+  JOIN deg a ON a.id = u.src JOIN deg b ON b.id = u.dst
+  WHERE a.d < b.d OR (a.d = b.d AND u.src < u.dst)
+),
+tri AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM o e1 JOIN o e2 ON e1.dst = e2.src JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+cnt AS (
+  SELECT id, COUNT(*) AS triangles FROM (
+    SELECT u AS id FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri
+  ) GROUP BY id
+),
+tv AS (
+  SELECT v.id, COALESCE(c.triangles, 0) AS triangles
+  FROM (SELECT DISTINCT src AS id FROM edges) v LEFT JOIN cnt c USING (id)
+)
+SELECT tv.id,
+       CASE WHEN COALESCE(d.d, 0) >= 2
+            THEN CAST(2 AS DOUBLE) * tv.triangles / (d.d * (d.d - 1))
+            ELSE CAST(0 AS DOUBLE) END AS lcc
+FROM tv LEFT JOIN deg d USING (id)"""
+
+
 def q_connected_components(spark, sf_dir):
     """True component labeling to FIXPOINT (no iteration cap — the r1 cap
     of 12 was only an oracle-alignment device). Runs the dispatching
@@ -1939,6 +1992,8 @@ def registry() -> dict[str, tuple]:
         "modularity_singleton": (q_modularity_singleton, SQL_MODULARITY_SINGLETON),
         "triangles_total": (q_triangles_total, SQL_TRIANGLES_TOTAL),
         "triangles_by_vertex": (q_triangles_by_vertex, SQL_TRIANGLES_BY_VERTEX),
+        "clustering_coefficient": (
+            q_clustering_coefficient, SQL_CLUSTERING_COEFFICIENT),
         "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
         "cc_sizes": (q_cc_sizes, SQL_CC_SIZES),
         "cc_gini": (q_cc_gini, SQL_CC_GINI),
