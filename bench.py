@@ -290,13 +290,15 @@ def triangles_throughput(spark, edges, reps: int = 2, packed: bool = True,
                          metrics=None) -> float:
     """edges/sec for a FULL global triangle count. packed=True runs the
     packed-CSR kernel (kernels/csr_tri.py — rank-relabeled oriented pack,
-    wedge queries routed through per-reader scratch files, one probe
-    searchsorted per chunk; the pack cache makes reps after the first
-    measure only the wedge+probe jobs, like every other packed probe);
+    ONE count job: local wedges probed in place against pack coordinates,
+    remote residue batched against the owners' immutable own/ux/krw index
+    files via read-only mmap; the pack cache makes reps after the first
+    measure only the count job, like every other packed probe);
     packed=False the degree-oriented wedge-JOIN shape (two shuffles of the
     O(Σ outdeg²) wedge table — the multi-cluster fallback, kept as the
     measured reference point). Whole-job wall like cc_throughput; warmup
-    runs first, last run measured. NOTE: wedge volume grows with the
+    runs first, last run measured; the exact integer total must be
+    identical across reps (asserted). NOTE: wedge volume grows with the
     square of the oriented degree — run this probe on a lighter input
     than the Louvain cert (e.g. SPARK_GRAFT_SCALING_DEG=16), or the
     4-core level dominates the session."""
@@ -313,11 +315,15 @@ def triangles_throughput(spark, edges, reps: int = 2, packed: bool = True,
         pack_cache_dir=os.environ.get("SPARK_GRAFT_PACK_CACHE") or None,
     )
     wall = None
+    totals = []
     for _ in range(max(2, reps)):
         t0 = time.time()
-        triangle_count(spark, edges, cfg=cfg, metrics=m)
+        totals.append(triangle_count(spark, edges, cfg=cfg, metrics=m))
         wall = time.time() - t0
-        m.record(kind="triangles_job", wall_s=wall, edges=ne)
+        m.record(kind="triangles_job", wall_s=wall, edges=ne,
+                 triangles=totals[-1])
+    assert len(set(totals)) == 1, \
+        f"triangle total varied across reps: {totals}"
     return ne / wall
 
 
