@@ -281,6 +281,47 @@ SELECT tv.id,
 FROM tv LEFT JOIN deg d USING (id)"""
 
 
+BFS_LANDMARKS = 4
+
+
+def q_bfs_landmarks(spark, sf_dir):
+    """Multi-source BFS (algos/bfs.py): hop distance from every vertex to
+    each of the 4 smallest vertex ids, run to FIXPOINT. At sf0.01 this
+    drives the PACKED-CSR kernel (kernels/csr_bfs.py — owner-authored
+    dense distance matrices, one 2-D minimum.reduceat per sweep) against
+    the recursive-closure oracle — the driver-oracles-the-kernel pattern
+    of `pagerank` / `connected_components` / `lpa_labels`. Reachable
+    pairs only, long format (id, landmark, dist)."""
+    from vite_spark.algos.bfs import shortest_paths
+
+    e = lineitem_part_edges(spark, sf_dir)
+    lms = [int(r["src"]) for r in
+           e.select("src").distinct().orderBy("src")
+           .limit(BFS_LANDMARKS).collect()]
+    return shortest_paths(spark, e, lms)
+
+
+# Distance oracle: recursive closure over (id, landmark, d) triples with a
+# depth bound. Unlike the CC closure (finite pair set), distance triples on
+# a cyclic graph grow with d forever, so the recursion needs the d < 32
+# cap; MIN(d) under the cap equals the true fixpoint distance whenever
+# every eccentricity < 32 — the sf0.01 co-occurrence graph's diameter is
+# ~4 (dense near-clique), asserted ≤ 31 by test_bfs_oracle_cap_slack.
+SQL_BFS_LANDMARKS = f"""WITH RECURSIVE {EDGES_CTE},
+lm AS (
+  SELECT src AS lm FROM (SELECT DISTINCT src FROM edges)
+  ORDER BY src LIMIT {BFS_LANDMARKS}
+),
+walk(id, landmark, d) AS (
+  SELECT lm, lm, CAST(0 AS BIGINT) FROM lm
+  UNION
+  SELECT e.src, w.landmark, w.d + 1
+  FROM walk w JOIN edges e ON e.dst = w.id
+  WHERE w.d < 32
+)
+SELECT id, landmark, MIN(d) AS dist FROM walk GROUP BY id, landmark"""
+
+
 def q_connected_components(spark, sf_dir):
     """True component labeling to FIXPOINT (no iteration cap — the r1 cap
     of 12 was only an oracle-alignment device). Runs the dispatching
@@ -1994,6 +2035,7 @@ def registry() -> dict[str, tuple]:
         "triangles_by_vertex": (q_triangles_by_vertex, SQL_TRIANGLES_BY_VERTEX),
         "clustering_coefficient": (
             q_clustering_coefficient, SQL_CLUSTERING_COEFFICIENT),
+        "bfs_landmarks": (q_bfs_landmarks, SQL_BFS_LANDMARKS),
         "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
         "cc_sizes": (q_cc_sizes, SQL_CC_SIZES),
         "cc_gini": (q_cc_gini, SQL_CC_GINI),
