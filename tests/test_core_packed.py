@@ -1,0 +1,101 @@
+"""k-core decomposition (algos/core.py + kernels/csr_core.py):
+packed-vs-join exact coreness parity, truth vs networkx core_number,
+input normalization (direction/multi-edge/self-loop invariance), and the
+oracle unroll slack."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from vite_spark import fixtures as fx
+from vite_spark.algos.core import coreness
+from vite_spark.config import EngineConfig
+from vite_spark.runtime.metrics import MetricsCollector
+
+
+def _modes(m):
+    return {r.get("mode") for r in m.rows if r.get("kind") == "core_superstep"}
+
+
+def _iters(m):
+    return [r["changed"] for r in m.rows if r.get("kind") == "core_superstep"]
+
+
+def _cores(df):
+    return {r["id"]: r["coreness"] for r in df.collect()}
+
+
+def _nx_truth(s, d):
+    import networkx as nx
+
+    G = nx.Graph()
+    G.add_edges_from((int(a), int(b)) for a, b in zip(s, d) if a != b)
+    return nx.core_number(G)
+
+
+def test_packed_matches_join_and_networkx_karate(spark):
+    s, d, w, nv = fx.karate()
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+    mp, mj = MetricsCollector(), MetricsCollector()
+    got = _cores(coreness(spark, edges, metrics=mp))
+    assert _modes(mp) == {"csr_sharded_hindex"}
+    ref = _cores(coreness(
+        spark, edges, cfg=EngineConfig(use_csr_kernel=False), metrics=mj))
+    assert _modes(mj) == {"join_hindex"}
+    assert got == ref
+    assert got == _nx_truth(s, d)
+    # identical H-index iterates → same changed counts, same sweep count
+    assert _iters(mp) == _iters(mj)
+
+
+def test_random_graph_with_dirt_matches_networkx(spark):
+    """One-directional rows, duplicates and self-loops must all be
+    normalized away — coreness is over the simple undirected graph."""
+    rng = np.random.default_rng(11)
+    nv, ne = 400, 1400
+    ids = np.sort(rng.choice(20 * nv, nv, replace=False))
+    a = ids[rng.integers(0, nv, ne)]
+    b = ids[rng.integers(0, nv, ne)]
+    s = np.concatenate([a, a[:200], ids[:10]])   # dupes + self-loops
+    d = np.concatenate([b, b[:200], ids[:10]])
+    w = np.ones(len(s))
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": s, "dst": d, "weight": w}))
+    mp = MetricsCollector()
+    got = _cores(coreness(spark, edges, metrics=mp))
+    assert _modes(mp) == {"csr_sharded_hindex"}
+    ref = _cores(coreness(
+        spark, edges, cfg=EngineConfig(use_csr_kernel=False)))
+    assert got == ref
+    assert got == _nx_truth(s, d)
+
+
+def test_path_graph_worst_case_convergence(spark):
+    """A path graph is the H-index fixpoint's slow case (information
+    crawls one hop per sweep) — parity must hold across many sweeps."""
+    n = 60
+    s = np.arange(n - 1)
+    d = np.arange(1, n)
+    edges = spark.createDataFrame(pd.DataFrame(
+        {"src": s, "dst": d, "weight": np.ones(n - 1)}))
+    mp = MetricsCollector()
+    got = _cores(coreness(spark, edges, metrics=mp))
+    assert got == _nx_truth(s, d)
+    assert all(v == 1 for v in got.values())
+
+
+def test_kcore_oracle_slack(spark):
+    """The SQL oracle unrolls KCORE_ORACLE_ROUNDS H-index sweeps; the
+    engine's fixpoint on the driver graph must converge in HALF that or
+    fewer (extra unrolled rounds are no-ops after convergence, so slack
+    going down is the early warning, not a failure at the boundary)."""
+    from vite_spark.derive import lineitem_part_edges
+    from vite_spark.queries import KCORE_ORACLE_ROUNDS
+
+    e = lineitem_part_edges(spark, "/root/testdata/sf0.001")
+    m = MetricsCollector()
+    coreness(spark, e, metrics=m)
+    sweeps = len(_iters(m))
+    assert sweeps <= KCORE_ORACLE_ROUNDS // 2, \
+        f"oracle unroll slack eroded: {sweeps} sweeps"

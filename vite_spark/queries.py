@@ -322,6 +322,55 @@ walk(id, landmark, d) AS (
 SELECT id, landmark, MIN(d) AS dist FROM walk GROUP BY id, landmark"""
 
 
+KCORE_ORACLE_ROUNDS = 24
+
+
+def q_kcore(spark, sf_dir):
+    """Coreness (k-core number) per vertex via the H-index fixpoint
+    (algos/core.py — Lü et al. 2016). At sf0.01 this drives the
+    PACKED-CSR kernel (kernels/csr_core.py: one lexsort + max.reduceat
+    per sweep over a fresh sharded pack of the simplified graph) against
+    the unrolled-sweep oracle below — the driver-oracles-the-kernel
+    pattern. The engine runs to FIXPOINT; the oracle unrolls
+    KCORE_ORACLE_ROUNDS sweeps, which equals the fixpoint whenever
+    convergence lands within the unroll (H-index values are stationary
+    after convergence, so extra rounds are no-ops) — convergence-round
+    slack is pytest-asserted (test_core_packed.test_kcore_oracle_slack)."""
+    from vite_spark.algos.core import coreness
+
+    e = lineitem_part_edges(spark, sf_dir)
+    return coreness(spark, e)
+
+
+def _kcore_sql(rounds: int) -> str:
+    # AS MATERIALIZED is load-bearing: DuckDB inlines single-reference
+    # CTEs, and inlining this chain re-derives every earlier stage inside
+    # each later one — measured >8 min for the 24-round unroll at sf0.01
+    # vs 0.9 s materialized (each stage computed exactly once).
+    stages = []
+    for s in range(1, rounds + 1):
+        stages.append(f"""c{s} AS MATERIALIZED (
+  SELECT src AS id, MAX(LEAST(c, rn)) AS c FROM (
+    SELECT u.src, p.c,
+           ROW_NUMBER() OVER (PARTITION BY u.src ORDER BY p.c DESC) AS rn
+    FROM und u JOIN c{s - 1} p ON p.id = u.dst
+  ) GROUP BY src
+)""")
+    return f"""WITH {EDGES_CTE},
+und AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
+  ) WHERE src <> dst
+),
+c0 AS MATERIALIZED (
+  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS c FROM und GROUP BY src),
+{", ".join(stages)}
+SELECT id, c AS coreness FROM c{rounds}"""
+
+
+SQL_KCORE = _kcore_sql(KCORE_ORACLE_ROUNDS)
+
+
 def q_connected_components(spark, sf_dir):
     """True component labeling to FIXPOINT (no iteration cap — the r1 cap
     of 12 was only an oracle-alignment device). Runs the dispatching
@@ -2036,6 +2085,7 @@ def registry() -> dict[str, tuple]:
         "clustering_coefficient": (
             q_clustering_coefficient, SQL_CLUSTERING_COEFFICIENT),
         "bfs_landmarks": (q_bfs_landmarks, SQL_BFS_LANDMARKS),
+        "kcore": (q_kcore, SQL_KCORE),
         "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
         "cc_sizes": (q_cc_sizes, SQL_CC_SIZES),
         "cc_gini": (q_cc_gini, SQL_CC_GINI),
