@@ -61,3 +61,31 @@ def test_graphframe(spark):
     gf = GraphFrame.from_edges(e)
     assert gf.nv == 3 and gf.two_m == pytest.approx(4.0)
     assert gf.constant == pytest.approx(0.25)
+
+
+def test_degree_assortativity_matches_networkx(spark):
+    """Karate club: networkx degree_assortativity_coefficient is the
+    published ground truth (-0.4756); the engine's exact-int64
+    sufficient statistics must reproduce it. Dirt rows (self-loops,
+    duplicate directions) must be normalized away."""
+    import networkx as nx
+
+    from vite_spark import fixtures as fx
+    from vite_spark.graph import degree_assortativity
+
+    s, d, w, nv = fx.karate()
+    edges = fx.to_spark_edges(spark, (s, d, w, nv))
+    got = degree_assortativity(edges).collect()[0]["assortativity"]
+    G = nx.Graph()
+    G.add_edges_from((int(a), int(b)) for a, b in zip(s, d) if a != b)
+    want = nx.degree_assortativity_coefficient(G)
+    assert got == pytest.approx(want, abs=5e-7)
+    # self-loops and repeated rows change nothing
+    dirty = edges.unionByName(
+        spark.createDataFrame(
+            [(0, 0, 9.0), (0, 1, 1.0)], "src long, dst long, weight double"
+        )
+    )
+    assert (
+        degree_assortativity(dirty).collect()[0]["assortativity"] == got
+    )

@@ -90,6 +90,50 @@ def graph_stats(edges: DataFrame) -> dict:
     }
 
 
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman, PRL 89 208701, 2002) of
+    the simple undirected graph: the Pearson correlation of the degree
+    pairs (d(src), d(dst)) over the directed non-loop edge rows. Returns
+    a single-row DataFrame (assortativity double, rounded 6dp).
+
+    Degrees are distinct-neighbor counts (weights ignored), so every
+    accumulated term is a small int64 — the five sufficient statistics
+    (M, Σjk, Σj, Σk, Σj², Σk²) are EXACT in any accumulation order, and
+    the final double formula is evaluated once on identical integers in
+    every engine. One distinct + two broadcast-ready joins + one agg: a
+    map-side-combinable shuffle per step, nothing O(nv) on the driver."""
+    und = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d"))
+    jk = (
+        und.join(deg.select(F.col("id").alias("src"),
+                            F.col("d").alias("dj")), "src")
+        .join(deg.select(F.col("id").alias("dst"),
+                         F.col("d").alias("dk")), "dst")
+    )
+    s = jk.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("dj") * F.col("dk")).alias("sjk"),
+        F.sum("dj").alias("sj"),
+        F.sum("dk").alias("sk"),
+        F.sum(F.col("dj") * F.col("dj")).alias("sjj"),
+        F.sum(F.col("dk") * F.col("dk")).alias("skk"),
+    )
+    # formula in DOUBLE on the exact integer statistics: products of the
+    # int64 sums would overflow long on big graphs, and both engines
+    # evaluate the identical IEEE expression on identical inputs
+    md, jkd = F.col("m").cast("double"), F.col("sjk").cast("double")
+    jd, kd = F.col("sj").cast("double"), F.col("sk").cast("double")
+    jjd, kkd = F.col("sjj").cast("double"), F.col("skk").cast("double")
+    num = md * jkd - jd * kd
+    den = F.sqrt((md * jjd - jd * jd) * (md * kkd - kd * kd))
+    return s.select(F.round(num / den, 6).alias("assortativity"))
+
+
 def check_symmetry(edges: DataFrame) -> int:
     """Count of (src,dst,weight) rows without a matching mirror. 0 == valid."""
     e = edges.select("src", "dst", "weight")

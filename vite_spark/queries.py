@@ -161,6 +161,34 @@ SELECT (SELECT COUNT(DISTINCT src) FROM edges) AS nv,
        (SELECT MAX(vdeg) FROM deg) AS max_vdeg"""
 
 
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity coefficient (graph.py:degree_assortativity —
+    Newman 2002): Pearson correlation of (d(src), d(dst)) over directed
+    non-loop edges, degrees = distinct-neighbor counts. The sufficient
+    statistics are exact int64 sums; the final double formula is
+    evaluated identically in both engines."""
+    from vite_spark.graph import degree_assortativity
+
+    e = lineitem_part_edges(spark, sf_dir)
+    return degree_assortativity(e)
+
+
+SQL_ASSORTATIVITY = f"""WITH {EDGES_CTE},
+und AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+         CAST(SUM(a.d * b.d) AS DOUBLE) AS sjk,
+         CAST(SUM(a.d) AS DOUBLE) AS sj, CAST(SUM(b.d) AS DOUBLE) AS sk,
+         CAST(SUM(a.d * a.d) AS DOUBLE) AS sjj,
+         CAST(SUM(b.d * b.d) AS DOUBLE) AS skk
+  FROM und u JOIN deg a ON a.id = u.src JOIN deg b ON b.id = u.dst
+)
+SELECT ROUND((m * sjk - sj * sk)
+             / SQRT((m * sjj - sj * sj) * (m * skk - sk * sk)), 6)
+       AS assortativity FROM s"""
+
+
 def q_modularity_singleton(spark, sf_dir):
     """Q of the identity partition: e-term = self-loop weight (0 here),
     a-term = Σ vdeg² · (1/2m)² — the Louvain L11 formula on init state."""
@@ -2079,6 +2107,7 @@ def registry() -> dict[str, tuple]:
         "cooccur_edges": (q_cooccur_edges, SQL_COOCCUR_EDGES),
         "degrees": (q_degrees, SQL_DEGREES),
         "graph_stats": (q_graph_stats, SQL_GRAPH_STATS),
+        "assortativity": (q_assortativity, SQL_ASSORTATIVITY),
         "modularity_singleton": (q_modularity_singleton, SQL_MODULARITY_SINGLETON),
         "triangles_total": (q_triangles_total, SQL_TRIANGLES_TOTAL),
         "triangles_by_vertex": (q_triangles_by_vertex, SQL_TRIANGLES_BY_VERTEX),
