@@ -155,3 +155,96 @@ def test_bfs_oracle_cap_slack(spark):
     df = q_bfs_landmarks(spark, "/root/testdata/sf0.001")
     mx = df.agg({"dist": "max"}).collect()[0][0]
     assert mx <= 16, f"oracle cap slack eroded: max dist {mx}"
+
+
+# ------------------------------------------------------ weighted (SSSP)
+
+def _numpy_sssp(s, d, w, landmarks):
+    """Independent truth: Dijkstra over the REVERSE adjacency from each
+    landmark (min total weight over directed paths v → lm)."""
+    import collections
+    import heapq
+
+    radj = collections.defaultdict(list)
+    for a, b, ww in zip(s, d, w):
+        radj[int(b)].append((int(a), float(ww)))
+    out = {}
+    for lm in landmarks:
+        best = {int(lm): 0.0}
+        h = [(0.0, int(lm))]
+        while h:
+            dist, v = heapq.heappop(h)
+            if dist > best.get(v, np.inf):
+                continue
+            for u, ww in radj[v]:
+                nd = dist + ww
+                if nd < best.get(u, np.inf):
+                    best[u] = nd
+                    heapq.heappush(h, (nd, u))
+        for v, dd in best.items():
+            out[(v, int(lm))] = dd
+    return out
+
+
+def test_sssp_packed_matches_join_and_dijkstra(spark):
+    """Integer weights 1–5 on a multi-component random graph: packed
+    min-plus kernel ≡ join path ≡ an independent Dijkstra, exactly."""
+    s, d, w = _rand_sym_edges(13)
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": s, "dst": d, "weight": w}))
+    lms = sorted(np.unique(s)[:3].tolist())
+    mp, mj = MetricsCollector(), MetricsCollector()
+    got = _dists(shortest_paths(spark, edges, lms, weighted=True,
+                                metrics=mp))
+    assert _modes(mp) == {"csr_sharded_sssp"}
+    ref = _dists(shortest_paths(
+        spark, edges, lms, weighted=True,
+        cfg=EngineConfig(use_csr_kernel=False), metrics=mj))
+    assert _modes(mj) == {"join_minplus"}
+    assert got == ref
+    assert got == _numpy_sssp(s, d, w, lms)
+    # weighted ≠ hop distance somewhere (weights 1-5 reroute some pair)
+    hops = _numpy_bfs(s, d, lms)
+    assert any(got[k] != hops[k] for k in got)
+
+
+def test_sssp_directed_weighted_parity(spark):
+    """Directed cycle with one expensive chord: the min-plus fixpoint
+    must prefer the longer-but-cheaper path, identically on both paths."""
+    n = 30
+    s = np.r_[np.arange(n), [5]]
+    d = np.r_[(np.arange(n) + 1) % n, [20]]
+    w = np.r_[np.ones(n), [100.0]]
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": s, "dst": d, "weight": w}))
+    mp = MetricsCollector()
+    got = _dists(shortest_paths(spark, edges, [20], weighted=True,
+                                metrics=mp))
+    assert _modes(mp) == {"csr_sharded_sssp"}
+    ref = _dists(shortest_paths(
+        spark, edges, [20], weighted=True,
+        cfg=EngineConfig(use_csr_kernel=False)))
+    assert got == ref
+    assert got == _numpy_sssp(s, d, w, [20])
+    # the 100-weight chord 5→20 loses to the 15-hop unit path
+    assert got[(5, 20)] == 15.0
+
+
+def test_sssp_rejects_nonpositive_weights(spark):
+    import pytest
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2], "dst": [2, 1],
+                      "weight": [1.0, 0.0]}))
+    with pytest.raises(ValueError, match="positive"):
+        shortest_paths(spark, edges, [1], weighted=True)
+
+
+def test_sssp_oracle_cap_slack(spark):
+    """The SQL oracle bounds path cost at d < 16; the engine's fixpoint
+    costs on the driver graph must sit FAR below the cap."""
+    from vite_spark.queries import q_sssp_landmarks
+
+    df = q_sssp_landmarks(spark, "/root/testdata/sf0.001")
+    mx = df.agg({"dist": "max"}).collect()[0][0]
+    assert mx <= 8, f"oracle cap slack eroded: max cost {mx}"

@@ -48,15 +48,31 @@ def shortest_paths(
     max_iter: int = 200,
     cfg: EngineConfig | None = None,
     metrics: MetricsCollector | None = None,
+    weighted: bool = False,
 ) -> DataFrame:
     """(id, landmark, dist) over reachable pairs; landmarks must be graph
     vertices (a non-vertex landmark routes to the join path, where it
-    yields only its own (lm, lm, 0) row)."""
+    yields only its own (lm, lm, 0) row).
+
+    ``weighted=True`` is landmark SSSP: dist (double) = minimum total
+    edge WEIGHT over directed paths to the landmark — the min-plus
+    Bellman-Ford relaxation ``d(v) = min(d(v), min_(v,u) d(u) + w(v,u))``
+    run to fixpoint. Requires strictly positive weights (validated with
+    one agg — min-plus diverges on ≤0 cycles). min and a single + per
+    relaxation have no accumulation-order ambiguity, so join path and
+    packed kernel produce identical doubles; with integer-valued weights
+    (< 2^53) every value is exact."""
     cfg = cfg or EngineConfig()
     metrics = metrics or MetricsCollector()
     lms = sorted(set(int(x) for x in landmarks))
     if not lms:
         raise ValueError("shortest_paths needs at least one landmark")
+    if weighted:
+        wmin = edges.agg(F.min("weight").alias("w")).collect()[0]["w"]
+        if wmin is not None and wmin <= 0:
+            raise ValueError(
+                f"weighted shortest_paths needs positive weights, "
+                f"min(weight) = {wmin}")
 
     if cfg.use_csr_kernel:
         # packed-CSR fast path (kernels/csr_bfs.py): falls back here
@@ -64,7 +80,8 @@ def shortest_paths(
         # landmarks that are not graph vertices.
         from vite_spark.kernels.csr_bfs import csr_shortest_paths
 
-        res = csr_shortest_paths(spark, edges, lms, max_iter, cfg, metrics)
+        res = csr_shortest_paths(spark, edges, lms, max_iter, cfg, metrics,
+                                 weighted=weighted)
         if res is not None:
             return res
 
@@ -72,15 +89,18 @@ def shortest_paths(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     e = (
-        edges.select("src", "dst")
+        edges.select("src", "dst", "weight")
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
         .repartition(nparts, "dst")
         .persist()
     )
     dist = spark.createDataFrame(
         [(lm, lm, 0) for lm in lms], "id long, landmark long, dist long"
-    ).persist()
+    )
+    if weighted:
+        dist = dist.withColumn("dist", F.col("dist").cast("double"))
+    dist = dist.persist()
+    step = F.col("weight") if weighted else F.lit(1)
     stat = (len(lms), 0)  # (pairs, sum of dist) — monotone fixpoint probe
 
     for it in range(1, max_iter + 1):
@@ -90,7 +110,7 @@ def shortest_paths(
             .select(
                 F.col("src").alias("id"),
                 "landmark",
-                (F.col("dist") + F.lit(1)).alias("dist"),
+                (F.col("dist") + step).alias("dist"),
             )
         )
         new_dist = (
@@ -102,17 +122,22 @@ def shortest_paths(
         row = new_dist.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
         ).collect()[0]
-        new_stat = (int(row["n"]), int(row["s"]))
+        # entries only ever decrease and pairs are only added, so the
+        # exact (count, sum) pair is stable iff nothing changed (sum
+        # exact: int64 hops, or integer-valued doubles < 2^53)
+        new_stat = (int(row["n"]), float(row["s"]))
         # pairs only get added, and in unweighted BFS a pair's first
         # distance is already minimal — so "changed" per iteration is
         # exactly the newly-reached pair count, matching the packed
-        # kernel's per-entry changed count iterate-for-iterate
+        # kernel's per-entry changed count iterate-for-iterate (weighted
+        # runs improve existing entries too — their kernel parity is on
+        # final distances, not per-iteration counts)
         changed = new_stat[0] - stat[0]
         dist.unpersist()
         dist = new_dist
         metrics.record(kind="bfs_superstep", iter=it, changed=changed,
                        wall_s=time.time() - t0, landmarks=len(lms),
-                       mode="join_min")
+                       mode="join_minplus" if weighted else "join_min")
         if new_stat == stat:
             break
         stat = new_stat

@@ -78,14 +78,20 @@ BFS_TRANSIENT_PREFIXES = ("bfd_",)
 INF = np.int64(2) ** 62
 
 
-def _bfs_job(spark, pack_dir, nparts, t, routing, landmarks):
+def _bfs_job(spark, pack_dir, nparts, t, routing, landmarks,
+             weighted=False):
     """Iteration ``t``: gather the (|U_p|, L) distance block at t-1,
-    per-src 2-D neighbor min + 1, save bfd_{t}; one sentinel row
-    (pid, changed, seeded) per partition. ``seeded`` (t == 1 only) counts
-    owned landmark rows — the driver validates Σ seeded == L."""
+    per-src 2-D neighbor min + 1 (or + edge weight under ``weighted`` —
+    the min-plus Bellman-Ford relaxation; distances are then float64,
+    exact for integer-valued weights < 2^53, and min-plus has no
+    accumulation-order ambiguity regardless), save bfd_{t}; one sentinel
+    row (pid, changed, seeded) per partition. ``seeded`` (t == 1 only)
+    counts owned landmark rows — the driver validates Σ seeded == L."""
     owners_of, _ = routing
     lms = np.asarray(sorted(landmarks), dtype=np.int64)
     L = len(lms)
+    dt = np.float64 if weighted else np.int64
+    inf = np.float64(np.inf) if weighted else INF
 
     def run(pdf_iter):
         import pandas as pd
@@ -106,14 +112,14 @@ def _bfs_job(spark, pack_dir, nparts, t, routing, landmarks):
                 # --- gather curr (|U_p|, L) at t-1 ---
                 seeded = 0
                 if t == 1:
-                    curr = np.full((len(ux), L), INF, np.int64)
+                    curr = np.full((len(ux), L), inf, dt)
                     pos = np.searchsorted(ux, lms)
                     okl = (pos < len(ux))
                     okl[okl] &= np.asarray(ux, np.int64)[pos[okl]] == lms[okl]
                     curr[pos[okl], np.flatnonzero(okl)] = 0
                 else:
                     starts, bpids = _load_bounds(pack_dir)
-                    curr = np.empty((len(ux), L), np.int64)
+                    curr = np.empty((len(ux), L), dt)
                     for q in owners_of.get(pid, ()):
                         lo, hi = _ux_owner_span(ux, starts, bpids, q)
                         req = _req_of(pack_dir, q, pid)
@@ -135,10 +141,17 @@ def _bfs_job(spark, pack_dir, nparts, t, routing, landmarks):
                     np.r_[True, srcl[1:] != srcl[:-1]])
                 assert len(starts_seg) == len(own), \
                     "pack invariant broken: segments must enumerate own"
-                nbr_min = np.minimum.reduceat(
-                    curr[np.asarray(dstl, np.int64), :], starts_seg,
-                    axis=0)
-                new_own = np.minimum(old_own, nbr_min + 1)
+                relax = curr[np.asarray(dstl, np.int64), :]
+                if weighted:
+                    w = np.load(os.path.join(
+                        pack_dir, f"w_{pid}.npy"), mmap_mode="r")
+                    # inf + w stays inf: unreached neighbors never relax
+                    relax = relax + np.asarray(w, np.float64)[:, None]
+                    nbr_min = np.minimum.reduceat(relax, starts_seg, axis=0)
+                    new_own = np.minimum(old_own, nbr_min)
+                else:
+                    nbr_min = np.minimum.reduceat(relax, starts_seg, axis=0)
+                    new_own = np.minimum(old_own, nbr_min + 1)
 
                 changed = int((new_own != old_own).sum())
                 _atomic_save(
@@ -159,10 +172,12 @@ def _bfs_job(spark, pack_dir, nparts, t, routing, landmarks):
     )
 
 
-def csr_shortest_paths(spark, edges, landmarks, max_iter, cfg, metrics):
-    """Packed-CSR landmark-BFS driver. Returns the (id, landmark, dist)
-    DataFrame over reachable pairs, or None when a precondition fails
-    (caller runs the join path): non-local master, input not
+def csr_shortest_paths(spark, edges, landmarks, max_iter, cfg, metrics,
+                       weighted=False):
+    """Packed-CSR landmark-BFS / weighted-SSSP driver. Returns the
+    (id, landmark, dist) DataFrame over reachable pairs (dist long for
+    hop counts, double under ``weighted``), or None when a precondition
+    fails (caller runs the join path): non-local master, input not
     vertex-closed, or a landmark that is not a graph vertex."""
     if not spark.sparkContext.master.startswith("local"):
         return None
@@ -193,7 +208,7 @@ def csr_shortest_paths(spark, edges, landmarks, max_iter, cfg, metrics):
             t_final = t
             t0 = time.time()
             sent = _bfs_job(spark, pack_dir, nparts, t, routing,
-                            lms).collect()
+                            lms, weighted=weighted).collect()
             changed = int(sum(r["changed"] for r in sent))
             if t == 1:
                 seeded = int(sum(r["seeded"] for r in sent))
@@ -205,7 +220,9 @@ def csr_shortest_paths(spark, edges, landmarks, max_iter, cfg, metrics):
             metrics.record(kind="bfs_superstep", iter=t, changed=changed,
                            wall_s=time.time() - t0,
                            edges_processed=int(info["ne"]),
-                           landmarks=len(lms), mode="csr_sharded_bfs")
+                           landmarks=len(lms),
+                           mode="csr_sharded_sssp" if weighted
+                           else "csr_sharded_bfs")
             if changed == 0:
                 break
 
@@ -224,7 +241,8 @@ def csr_shortest_paths(spark, edges, landmarks, max_iter, cfg, metrics):
                         continue
                     d = np.load(os.path.join(
                         pack_dir, f"bfd_{t_final}_{pid}.npy"))
-                    ii, jj = np.nonzero(d < INF)
+                    ii, jj = np.nonzero(
+                        np.isfinite(d) if weighted else d < INF)
                     yield pd.DataFrame({
                         "id": np.asarray(own, np.int64)[ii],
                         "landmark": lmv[jj],
@@ -232,7 +250,9 @@ def csr_shortest_paths(spark, edges, landmarks, max_iter, cfg, metrics):
                     })
 
         out = _pid_frame(spark, nparts).mapInPandas(
-            emit, schema="id long, landmark long, dist long"
+            emit,
+            schema="id long, landmark long, dist "
+                   + ("double" if weighted else "long"),
         ).localCheckpoint(eager=True)
     finally:
         if cleanup:

@@ -350,6 +350,44 @@ walk(id, landmark, d) AS (
 SELECT id, landmark, MIN(d) AS dist FROM walk GROUP BY id, landmark"""
 
 
+def q_sssp_landmarks(spark, sf_dir):
+    """Weighted landmark SSSP (algos/bfs.py weighted=True): minimum total
+    edge weight over directed paths to each of the 4 smallest vertex ids,
+    min-plus Bellman-Ford to FIXPOINT — at sf0.01 the PACKED kernel
+    (kernels/csr_bfs.py, float64 distance matrices) against the weighted
+    recursive-closure oracle. Reachable pairs, (id, landmark, dist:double);
+    weights are integer-valued co-occurrence counts, so every distance is
+    exact."""
+    from vite_spark.algos.bfs import shortest_paths
+
+    e = lineitem_part_edges(spark, sf_dir)
+    lms = [int(r["src"]) for r in
+           e.select("src").distinct().orderBy("src")
+           .limit(BFS_LANDMARKS).collect()]
+    return shortest_paths(spark, e, lms, weighted=True)
+
+
+# Weighted distance oracle: the BFS closure with d accumulating edge
+# WEIGHT instead of 1. Weights are integers ≥ 1, so path costs under the
+# cap form a finite set and the recursion terminates; MIN(d) under the cap
+# equals the true fixpoint whenever every finite SSSP cost < 16 — max
+# observed cost is 3.0 at sf0.01 (dense near-clique, weight-1 majority),
+# asserted ≤ 8 by test_sssp_oracle_cap_slack.
+SQL_SSSP_LANDMARKS = f"""WITH RECURSIVE {EDGES_CTE},
+lm AS (
+  SELECT src AS lm FROM (SELECT DISTINCT src FROM edges)
+  ORDER BY src LIMIT {BFS_LANDMARKS}
+),
+walk(id, landmark, d) AS (
+  SELECT lm, lm, CAST(0 AS DOUBLE) FROM lm
+  UNION
+  SELECT e.src, w.landmark, w.d + e.weight
+  FROM walk w JOIN edges e ON e.dst = w.id
+  WHERE w.d + e.weight < 16
+)
+SELECT id, landmark, MIN(d) AS dist FROM walk GROUP BY id, landmark"""
+
+
 KCORE_ORACLE_ROUNDS = 24
 
 
@@ -2114,6 +2152,7 @@ def registry() -> dict[str, tuple]:
         "clustering_coefficient": (
             q_clustering_coefficient, SQL_CLUSTERING_COEFFICIENT),
         "bfs_landmarks": (q_bfs_landmarks, SQL_BFS_LANDMARKS),
+        "sssp_landmarks": (q_sssp_landmarks, SQL_SSSP_LANDMARKS),
         "kcore": (q_kcore, SQL_KCORE),
         "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
         "cc_sizes": (q_cc_sizes, SQL_CC_SIZES),
