@@ -309,6 +309,52 @@ SELECT tv.id,
 FROM tv LEFT JOIN deg d USING (id)"""
 
 
+LINKPRED_TOPK = 500
+LINKPRED_CAP = 1 << 10
+
+
+def q_link_prediction(spark, sf_dir):
+    """Link prediction (algos/linkpred.py): the top 500 NON-adjacent
+    pairs by common-neighbor count, with Jaccard / Adamic-Adar /
+    preferential-attachment scores. Candidates come from wedge
+    enumeration through centers of degree ≤ 1024 (the hub cap that
+    bounds the wedge shuffle by 2·ne·cap — part of the score definition,
+    shared with the oracle; it does not bind on the driver graph, pinned
+    by test_linkpred.py). All-integer (cn DESC, u, v) selection order,
+    exact int64 cn/pa, one-division jaccard; aa rounded to 6 (float SUM
+    order is engine-specific)."""
+    from vite_spark.algos.linkpred import link_prediction_topk
+
+    e = lineitem_part_edges(spark, sf_dir)
+    return link_prediction_topk(
+        spark, e, k=LINKPRED_TOPK, max_center_degree=LINKPRED_CAP)
+
+
+SQL_LINK_PREDICTION = f"""WITH {EDGES_CTE},
+und AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+cadj AS (
+  SELECT u.src AS w, u.dst AS n, d.d AS dw
+  FROM und u JOIN deg d ON d.id = u.src WHERE d.d <= {LINKPRED_CAP}
+),
+pair AS (
+  SELECT a.n AS u, b.n AS v, COUNT(*) AS cn,
+         SUM(1.0 / LN(a.dw)) AS aa_raw
+  FROM cadj a JOIN cadj b ON a.w = b.w AND a.n < b.n
+  GROUP BY a.n, b.n
+),
+nonadj AS (
+  SELECT p.* FROM pair p
+  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.src = p.u AND e.dst = p.v)
+)
+SELECT n.u, n.v, n.cn,
+       CAST(n.cn AS DOUBLE) / (a.d + b.d - n.cn) AS jaccard,
+       ROUND(n.aa_raw, 6) AS aa,
+       a.d * b.d AS pa
+FROM nonadj n JOIN deg a ON a.id = n.u JOIN deg b ON b.id = n.v
+ORDER BY n.cn DESC, n.u, n.v LIMIT {LINKPRED_TOPK}"""
+
+
 BFS_LANDMARKS = 4
 
 
@@ -2151,6 +2197,7 @@ def registry() -> dict[str, tuple]:
         "triangles_by_vertex": (q_triangles_by_vertex, SQL_TRIANGLES_BY_VERTEX),
         "clustering_coefficient": (
             q_clustering_coefficient, SQL_CLUSTERING_COEFFICIENT),
+        "link_prediction": (q_link_prediction, SQL_LINK_PREDICTION),
         "bfs_landmarks": (q_bfs_landmarks, SQL_BFS_LANDMARKS),
         "sssp_landmarks": (q_sssp_landmarks, SQL_SSSP_LANDMARKS),
         "kcore": (q_kcore, SQL_KCORE),
