@@ -434,6 +434,46 @@ walk(id, landmark, d) AS (
 SELECT id, landmark, MIN(d) AS dist FROM walk GROUP BY id, landmark"""
 
 
+def q_centrality_landmarks(spark, sf_dir):
+    """Landmark closeness + harmonic centrality (algos/centrality.py):
+    distances from the 4-smallest-id landmark set via the same
+    PACKED-CSR multi-source BFS kernel as `bfs_landmarks`, then one
+    groupBy — the Eppstein–Wang estimate, O(|L|·ne) at any nv. Exact
+    int64 reached/Σdist; closeness/harmonic rounded to 6 (≤4-term float
+    SUM order is engine-specific)."""
+    from vite_spark.algos.centrality import landmark_centrality
+
+    e = lineitem_part_edges(spark, sf_dir)
+    lms = [int(r["src"]) for r in
+           e.select("src").distinct().orderBy("src")
+           .limit(BFS_LANDMARKS).collect()]
+    return landmark_centrality(spark, e, lms)
+
+
+SQL_CENTRALITY_LANDMARKS = f"""WITH RECURSIVE {EDGES_CTE},
+lm AS (
+  SELECT src AS lm FROM (SELECT DISTINCT src FROM edges)
+  ORDER BY src LIMIT {BFS_LANDMARKS}
+),
+walk(id, landmark, d) AS (
+  SELECT lm, lm, CAST(0 AS BIGINT) FROM lm
+  UNION
+  SELECT e.src, w.landmark, w.d + 1
+  FROM walk w JOIN edges e ON e.dst = w.id
+  WHERE w.d < 32
+),
+dist AS (SELECT id, landmark, MIN(d) AS dist FROM walk GROUP BY id, landmark),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+agg AS (
+  SELECT id, COUNT(*) AS reached, SUM(dist) AS sd, SUM(1.0 / dist) AS h
+  FROM dist WHERE dist > 0 GROUP BY id
+)
+SELECT v.id, COALESCE(a.reached, 0) AS reached,
+       ROUND(COALESCE(CAST(a.reached AS DOUBLE) / a.sd, 0.0), 6) AS closeness,
+       ROUND(COALESCE(a.h, 0.0), 6) AS harmonic
+FROM verts v LEFT JOIN agg a USING (id)"""
+
+
 KCORE_ORACLE_ROUNDS = 24
 
 
@@ -2200,6 +2240,8 @@ def registry() -> dict[str, tuple]:
         "link_prediction": (q_link_prediction, SQL_LINK_PREDICTION),
         "bfs_landmarks": (q_bfs_landmarks, SQL_BFS_LANDMARKS),
         "sssp_landmarks": (q_sssp_landmarks, SQL_SSSP_LANDMARKS),
+        "centrality_landmarks": (
+            q_centrality_landmarks, SQL_CENTRALITY_LANDMARKS),
         "kcore": (q_kcore, SQL_KCORE),
         "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
         "cc_sizes": (q_cc_sizes, SQL_CC_SIZES),
