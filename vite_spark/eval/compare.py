@@ -170,3 +170,44 @@ def write_communities_sharded(
         .write.mode("overwrite")
         .text(path)
     )
+
+
+def community_conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community conductance φ(S) = cut(S) / min(vol(S), 2m − vol(S))
+    over a community assignment ``labels(id, label)`` of the symmetric
+    directed edge table — the standard internal quality score the
+    reference's ground-truth machinery (compare.cpp:58-336) cannot give
+    when no ground truth exists.
+
+    vol(S) = Σ weight of directed rows with src ∈ S (so internal edges
+    count twice, the cut once — the usual volume convention); cut(S) = Σ
+    weight of rows leaving S; self-loops land in vol, never in cut. The
+    whole-graph community has min(vol, 2m−vol) = 0 → φ ≡ 0.0 by
+    convention. One edges→labels join per endpoint + one groupBy; 2m is
+    a 1-row aggregate broadcast by crossJoin — no driver collect. With
+    integer-valued weights vol/cut are exact in float64; φ is one
+    division + LEAST, rounded to 6.
+
+    Returns (label, vol, cut, conductance).
+    """
+    la = labels.select(F.col("id").alias("src"), F.col("label").alias("lu"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("lv"))
+    two_m = edges.agg(F.sum("weight").alias("m2"))
+    per = (
+        edges.join(la, "src").join(lb, "dst")
+        .groupBy(F.col("lu").alias("label"))
+        .agg(
+            F.sum("weight").alias("vol"),
+            F.sum(
+                F.when(F.col("lu") != F.col("lv"), F.col("weight"))
+                .otherwise(F.lit(0.0))
+            ).alias("cut"),
+        )
+    )
+    den = F.least(F.col("vol"), F.col("m2") - F.col("vol"))
+    return per.crossJoin(F.broadcast(two_m)).select(
+        "label", "vol", "cut",
+        F.round(
+            F.when(den > 0, F.col("cut") / den).otherwise(F.lit(0.0)), 6
+        ).alias("conductance"),
+    )

@@ -640,7 +640,9 @@ def _louvain_sweeps_sql(k: int, final: str = "labels") -> str:
     argmax, singleton-swap guard), from the singleton init.
 
     final="labels" → (id, comm) after sweep k; final="q" → 1-row (q6,)
-    modularity of that assignment (same formula as louvain.modularity_of).
+    modularity of that assignment (same formula as louvain.modularity_of);
+    final="conductance" → per-community (label, vol, cut, conductance) of
+    that assignment (same algebra as eval/compare.community_conductance).
     """
     parts = [
         f"WITH {EDGES_CTE},",
@@ -700,6 +702,20 @@ cinfo{s} AS MATERIALIZED (
     body = body[: body.rstrip().rfind(",")]  # trailing comma of the last CTE
     if final == "labels":
         return body + f"\nSELECT id, comm FROM lab{k}"
+    if final == "conductance":
+        return body + f""",
+tm AS (SELECT SUM(weight) AS m2 FROM edges),
+pe AS (
+  SELECT a.comm AS label, SUM(e.weight) AS vol,
+         SUM(CASE WHEN a.comm <> b.comm THEN e.weight ELSE 0.0 END) AS cut
+  FROM edges e JOIN lab{k} a ON a.id = e.src JOIN lab{k} b ON b.id = e.dst
+  GROUP BY a.comm
+)
+SELECT label, vol, cut,
+       ROUND(CASE WHEN LEAST(vol, (SELECT m2 FROM tm) - vol) > 0
+                  THEN cut / LEAST(vol, (SELECT m2 FROM tm) - vol)
+                  ELSE 0.0 END, 6) AS conductance
+FROM pe"""
     return body + f"""
 SELECT ROUND(
   (SELECT SUM(CASE WHEN ls.comm = ld.comm THEN e.weight ELSE 0.0 END)
@@ -731,6 +747,29 @@ def q_louvain_sweep2_q(spark, sf_dir):
     return spark.createDataFrame([(q,)], "q double").select(
         F.round("q", 6).alias("q6")
     )
+
+
+def q_community_conductance(spark, sf_dir):
+    """Per-community conductance (eval/compare.py community_conductance)
+    of the 2-sweep Louvain assignment — the same labels the
+    `louvain_sweep2` row oracles, here summarized per community: one
+    edges→labels join per endpoint + one groupBy, 2m broadcast from a
+    1-row aggregate. vol/cut are exact (integer-valued weights); φ is one
+    division + LEAST, rounded to 6. Unlike the LPA/CC fixpoints (which
+    converge to whole components, cut ≡ 0), the 2-sweep assignment has
+    hundreds of communities with real cut mass — a non-degenerate check."""
+    from vite_spark.algos.louvain import louvain_sweeps
+    from vite_spark.eval.compare import community_conductance
+
+    e = lineitem_part_edges(spark, sf_dir).persist()
+    lab = louvain_sweeps(spark, e, LOUVAIN_SWEEPS_K)
+    out = community_conductance(
+        e, lab.select("id", F.col("comm").alias("label")))
+    return out
+
+
+SQL_COMMUNITY_CONDUCTANCE = _louvain_sweeps_sql(
+    LOUVAIN_SWEEPS_K, final="conductance")
 
 
 def q_louvain_assignment(spark, sf_dir):
@@ -801,6 +840,8 @@ lab{i} AS MATERIALIZED (
 
 
 SQL_LPA_LABELS = _lpa_sql(LPA_ITERS)
+
+
 
 
 # ------------------------------------------------------------- repos→edges
@@ -2252,6 +2293,8 @@ def registry() -> dict[str, tuple]:
         "louvain_sweep2": (q_louvain_sweep2, SQL_LOUVAIN_SWEEP2),
         "louvain_sweep2_q": (q_louvain_sweep2_q, SQL_LOUVAIN_SWEEP2_Q),
         "lpa_labels": (q_lpa_labels, SQL_LPA_LABELS),
+        "community_conductance": (
+            q_community_conductance, SQL_COMMUNITY_CONDUCTANCE),
         # ingestion / derivation
         "repos_edges": (q_repos_edges, SQL_REPOS_EDGES),
         "sha256_gate": (q_sha256_gate, SQL_SHA256_GATE),
