@@ -36,6 +36,63 @@ from vite_spark.config import EngineConfig
 from vite_spark.runtime.metrics import MetricsCollector
 
 
+def eigenvector_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    iters: int = 10,
+    weighted: bool = True,
+    cfg: EngineConfig | None = None,
+    metrics: MetricsCollector | None = None,
+) -> DataFrame:
+    """(id, score): ``iters`` steps of power iteration on the (weighted)
+    adjacency from x₀ = 1, L1-normalized ONCE at the end — power
+    iteration is scale-invariant, and deferring the normalization keeps
+    every step a single join+agg with no mid-iteration global barrier
+    (float64 headroom covers λ^iters for any realistic spectral radius
+    at the fixed small ``iters``; the norm is one extra 1-row aggregate).
+
+    Rides the same packed-CSR kernel as PageRank (kernels/csr_pr.py
+    mode="eigen": identical merge/scatter jobs, adjacency coefficients,
+    no teleport) with this join+agg superstep as the cluster-shape
+    fallback; per-path float sums differ only in accumulation order."""
+    cfg = cfg or EngineConfig()
+    metrics = metrics or MetricsCollector()
+    if cfg.use_csr_kernel:
+        from vite_spark.kernels.csr_pr import csr_pagerank
+
+        res = csr_pagerank(spark, edges, 1.0, 0.0, iters, weighted,
+                           cfg, metrics, mode="eigen")
+        if res is not None:
+            return res.select("id", F.col("rank").alias("score"))
+
+    verts = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))).distinct().persist()
+    wcol = F.col("weight") if weighted else F.lit(1.0)
+    e = edges.select("src", "dst", wcol.alias("w")).persist()
+    x = verts.select("id", F.lit(1.0).alias("v")).persist()
+    for t in range(iters):
+        prev = x
+        nxt = (
+            e.join(x.select(F.col("id").alias("src"), "v"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("w") * F.col("v")).alias("v"))
+        )
+        # zero-indegree vertices keep an explicit 0.0 row
+        x = (
+            verts.join(nxt, "id", "left")
+            .select("id", F.coalesce("v", F.lit(0.0)).alias("v"))
+            .persist()
+        )
+        if (t + 1) % 5 == 0:
+            x = x.localCheckpoint(eager=True)   # bound lineage growth
+        prev.unpersist()
+        metrics.record(kind="eigen_superstep", iter=t + 1, mode="join")
+    total = x.agg(F.sum("v").alias("s"))
+    out = x.crossJoin(F.broadcast(total)).select(
+        "id", (F.col("v") / F.col("s")).alias("score"))
+    return out
+
+
 def landmark_centrality(
     spark: SparkSession,
     edges: DataFrame,

@@ -157,17 +157,30 @@ def _merge_layout(pack_dir: str, pid: int, writers):
 
 
 def _pr_job(spark, pack_dir, nparts, n, damping, t, routing, weighted,
-            compute_contrib, ckpt_dir=None, restored=False):
+            compute_contrib, ckpt_dir=None, restored=False,
+            mode="pagerank"):
     """Job ``t``: merge r_{t-1} from inbound spans, report the L1 delta
     vs r_{t-2}, and (when ``compute_contrib``) scatter iteration ``t``'s
     contribution spans. ``ckpt_dir``: tasks also copy r_{t-1} there
     (runtime/iter_checkpoint.py layout; driver commits the marker).
     ``restored``: first job after a resume — r_{t-1} was just restored
     into the pack, so skip the merge (no prc spans exist) and report an
-    inf delta (sentinel: unknown, never satisfies the tol check)."""
+    inf delta (sentinel: unknown, never satisfies the tol check).
+
+    ``mode``: "pagerank" → r = (1-d)/n + d·inflow over STOCHASTIC
+    coefficients (w/out_w resp. 1/outdeg), x₀ = 1/n. "eigen" → plain
+    power iteration over the ADJACENCY coefficients (w resp. 1),
+    r = inflow, x₀ = 1 — normalization is deferred to the emit (power
+    iteration is scale-invariant; float64 headroom covers λ^iters for
+    any realistic spectral radius at fixed small iters)."""
     owners_of, rdrs_of = routing
-    base = (1.0 - damping) / n
-    cname = "coefw" if weighted else "coefu"
+    eigen = mode == "eigen"
+    base = 0.0 if eigen else (1.0 - damping) / n
+    init = 1.0 if eigen else 1.0 / n
+    if eigen:
+        cname = "w" if weighted else None
+    else:
+        cname = "coefw" if weighted else "coefu"
 
     def run(pdf_iter):
         import pandas as pd
@@ -186,7 +199,7 @@ def _pr_job(spark, pack_dir, nparts, n, damping, t, routing, weighted,
                     r = np.load(os.path.join(
                         pack_dir, f"rnk_{t - 1}_{pid}.npy"))
                 elif t == 1:
-                    r = np.full(len(own), 1.0 / n)
+                    r = np.full(len(own), init)
                 else:
                     writers = sorted(rdrs_of.get(pid, ()))
                     idx, offs = _merge_layout(pack_dir, pid, writers)
@@ -213,7 +226,7 @@ def _pr_job(spark, pack_dir, nparts, n, damping, t, routing, weighted,
                 elif t == 1:
                     delta = 0.0
                 else:
-                    prev = (np.full(len(own), 1.0 / n) if t == 2 else
+                    prev = (np.full(len(own), init) if t == 2 else
                             np.load(os.path.join(
                                 pack_dir, f"rnk_{t - 2}_{pid}.npy"),
                                 mmap_mode="r"))
@@ -238,26 +251,36 @@ def _pr_job(spark, pack_dir, nparts, n, damping, t, routing, weighted,
                 if compute_contrib:
                     srcl = np.load(os.path.join(
                         pack_dir, f"srcl_{pid}.npy"), mmap_mode="r")
-                    cf = os.path.join(pack_dir, f"{cname}_{pid}.npy")
-                    if os.path.exists(cf):
-                        coef = np.load(cf, mmap_mode="r")
+                    if cname is None:              # eigen, unweighted
+                        coef = None
+                    elif cname == "w":             # eigen, weighted:
+                        coef = np.load(os.path.join(   # the pack static
+                            pack_dir, f"w_{pid}.npy"), mmap_mode="r")
                     else:
-                        if weighted:
-                            w = np.load(os.path.join(
-                                pack_dir, f"w_{pid}.npy"), mmap_mode="r")
-                            vdeg = np.load(os.path.join(
-                                pack_dir, f"vdeg_{pid}.npy"), mmap_mode="r")
-                            coef = w / vdeg[srcl]
+                        cf = os.path.join(pack_dir, f"{cname}_{pid}.npy")
+                        if os.path.exists(cf):
+                            coef = np.load(cf, mmap_mode="r")
                         else:
-                            outdeg = np.bincount(srcl, minlength=len(own))
-                            coef = 1.0 / outdeg[srcl]
-                        _atomic_save(cf, coef)
+                            if weighted:
+                                w = np.load(os.path.join(
+                                    pack_dir, f"w_{pid}.npy"), mmap_mode="r")
+                                vdeg = np.load(os.path.join(
+                                    pack_dir, f"vdeg_{pid}.npy"),
+                                    mmap_mode="r")
+                                coef = w / vdeg[srcl]
+                            else:
+                                outdeg = np.bincount(srcl,
+                                                     minlength=len(own))
+                                coef = 1.0 / outdeg[srcl]
+                            _atomic_save(cf, coef)
                     dstl = np.load(os.path.join(
                         pack_dir, f"dstl_{pid}.npy"), mmap_mode="r")
                     ux = np.load(os.path.join(pack_dir, f"ux_{pid}.npy"),
                                  mmap_mode="r")
+                    gathered = (r[srcl] if coef is None
+                                else coef * r[srcl])
                     contrib = np.bincount(
-                        dstl, weights=coef * r[srcl], minlength=len(ux))
+                        dstl, weights=gathered, minlength=len(ux))
                     starts, bpids = _load_bounds(pack_dir)
                     for q in owners_of.get(pid, ()):
                         lo, hi = _ux_owner_span(ux, starts, bpids, q)
@@ -274,9 +297,15 @@ def _pr_job(spark, pack_dir, nparts, n, damping, t, routing, weighted,
 
 
 def csr_pagerank(spark, edges, damping, tol, max_iter, weighted, cfg,
-                 metrics):
+                 metrics, mode="pagerank"):
     """Packed-CSR PageRank driver. Returns the (id, rank) DataFrame, or
-    None when a precondition fails (caller runs the join path)."""
+    None when a precondition fails (caller runs the join path).
+
+    ``mode="eigen"`` runs the same job loop as deferred-normalization
+    power iteration (see _pr_job): caller passes damping=1.0, tol=0.0
+    and a fixed max_iter; the emit normalizes by the global L1 mass."""
+    algo = "eigen" if mode == "eigen" else "pagerank"
+    mode_str = "csr_sharded_eigen" if mode == "eigen" else "csr_sharded_pr"
     if not spark.sparkContext.master.startswith("local"):
         return None
     nparts = cfg.shuffle_partitions or int(
@@ -301,20 +330,20 @@ def csr_pagerank(spark, edges, damping, tol, max_iter, weighted, cfg,
     resume_t = None
     start_t = 0
     if ckroot:
-        ck = ic.latest_complete(ckroot, "pagerank")
+        ck = ic.latest_complete(ckroot, algo)
         if ck is not None and ic.validate(ck, info, nparts):
             k = min(int(ck["t"]), max_iter)   # checkpointed ranks r_k
             t0 = time.time()
             if ic.restore_job(spark, pack_dir, nparts,
-                              ic.iter_dir(ckroot, "pagerank", int(ck["t"])),
+                              ic.iter_dir(ckroot, algo, int(ck["t"])),
                               f"rnk_{k}"):
                 # job k+1 re-scatters from the restored r_k (no prc spans
                 # survive a crash); merges resume at k+2
                 start_t = k
                 resume_t = k + 1
-                metrics.record(kind="pagerank_resume", iter=k,
+                metrics.record(kind=f"{algo}_resume", iter=k,
                                wall_s=time.time() - t0,
-                               mode="csr_sharded_pr")
+                               mode=mode_str)
 
     try:
         k_final = max_iter
@@ -327,15 +356,15 @@ def csr_pagerank(spark, edges, damping, tol, max_iter, weighted, cfg,
             s = t - 1      # the state this job writes is r_{t-1}
             if (ckroot and not restored and s >= 1
                     and s % max(cfg.checkpoint_every, 1) == 0):
-                ck_dir = ic.prepare_iter(ckroot, "pagerank", s)
+                ck_dir = ic.prepare_iter(ckroot, algo, s)
             t0 = time.time()
             sent = _pr_job(spark, pack_dir, nparts, n, damping, t, routing,
                            weighted, contrib, ckpt_dir=ck_dir,
-                           restored=restored).collect()
+                           restored=restored, mode=mode).collect()
             wall = time.time() - t0
             delta_prev = float(sum(r["delta"] for r in sent))
             if ck_dir is not None:
-                ic.mark_complete(ckroot, "pagerank", s, {
+                ic.mark_complete(ckroot, algo, s, {
                     "l1_delta": delta_prev, "nv": n, "ne": ne,
                     "nparts": nparts})
             if t <= max_iter:
@@ -346,17 +375,39 @@ def csr_pagerank(spark, edges, damping, tol, max_iter, weighted, cfg,
                 extra = ({"l1_delta": delta_prev}
                          if t >= 2 and not math.isinf(delta_prev) else {})
                 metrics.record(
-                    kind="pagerank_superstep", iter=t, wall_s=wall,
-                    edges_processed=ne, mode="csr_sharded_pr", **extra,
+                    kind=f"{algo}_superstep", iter=t, wall_s=wall,
+                    edges_processed=ne, mode=mode_str, **extra,
                 )
             else:
-                metrics.record(kind="pagerank_finalize", iter=t,
+                metrics.record(kind=f"{algo}_finalize", iter=t,
                                l1_delta=delta_prev, wall_s=wall)
             if t >= 2 and delta_prev < tol:
                 k_final = t - 1
                 break
             if t == max_iter + 1:
                 break
+
+        norm = 1.0
+        if mode == "eigen":
+            # deferred L1 normalization: one tiny job of per-partition
+            # partial sums (nparts scalars), fixed ascending-pid
+            # summation order on the driver → deterministic total
+            def psum(pdf_iter):
+                import pandas as pd
+
+                for pdf in pdf_iter:
+                    for pid in pdf["pid"]:
+                        pid = int(pid)
+                        f = os.path.join(pack_dir,
+                                         f"rnk_{k_final}_{pid}.npy")
+                        s = (float(np.load(f, mmap_mode="r").sum())
+                             if os.path.exists(f) else 0.0)
+                        yield pd.DataFrame({"pid": [pid], "s": [s]})
+
+            rows = _pid_frame(spark, nparts).mapInPandas(
+                psum, schema="pid int, s double").collect()
+            norm = float(sum(r["s"] for r in
+                             sorted(rows, key=lambda r: r["pid"])))
 
         def emit(pdf_iter):
             import pandas as pd
@@ -370,7 +421,7 @@ def csr_pagerank(spark, edges, damping, tol, max_iter, weighted, cfg,
                         continue
                     r = np.load(os.path.join(
                         pack_dir, f"rnk_{k_final}_{pid}.npy"))
-                    yield pd.DataFrame({"id": own, "rank": r})
+                    yield pd.DataFrame({"id": own, "rank": r / norm})
 
         out = _pid_frame(spark, nparts).mapInPandas(
             emit, schema="id long, rank double"

@@ -623,6 +623,53 @@ pr AS (
 SELECT id, ROUND(rank, 6) AS rank FROM pr WHERE it = {PR_ITERS}"""
 
 
+EIGEN_ITERS = 10
+
+
+def q_eigenvector(spark, sf_dir):
+    """Eigenvector centrality (algos/centrality.py): 10 power-iteration
+    steps on the weighted adjacency from x₀ = 1, L1-normalized once at
+    the end (scale-invariant, so the normalization defers). At sf0.01
+    this drives the PACKED-CSR kernel (kernels/csr_pr.py mode="eigen" —
+    the same merge/scatter jobs as `pagerank`, adjacency coefficients,
+    no teleport) against the unrolled-CTE oracle — the
+    driver-oracles-the-kernel pattern. Scores rounded to 6 (float SUM
+    order is engine-specific)."""
+    from vite_spark.algos.centrality import eigenvector_centrality
+
+    e = lineitem_part_edges(spark, sf_dir)
+    r = eigenvector_centrality(spark, e, iters=EIGEN_ITERS)
+    return r.select("id", F.round("score", 6).alias("score"))
+
+
+def _eigen_sql(iters: int) -> str:
+    # AS MATERIALIZED for the same reason as the LPA/k-core unrolls:
+    # inlining the chain re-derives every earlier stage inside each later
+    # one. Zero-indegree vertices keep explicit 0.0 rows at every stage,
+    # matching both engine paths.
+    parts = [
+        f"WITH {EDGES_CTE},",
+        """verts AS (SELECT DISTINCT src AS id FROM edges
+           UNION SELECT DISTINCT dst FROM edges),
+x0 AS MATERIALIZED (SELECT id, 1.0 AS v FROM verts),""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""x{i} AS MATERIALIZED (
+  SELECT t.id, COALESCE(s.v, 0.0) AS v FROM verts t
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(e.weight * x.v) AS v
+    FROM edges e JOIN x{i - 1} x ON x.id = e.src GROUP BY e.dst
+  ) s USING (id)
+),""")
+    body = "\n".join(parts)
+    body = body[: body.rstrip().rfind(",")]
+    return body + (f"\nSELECT id, ROUND(v / (SELECT SUM(v) FROM x{iters}),"
+                   f" 6) AS score FROM x{iters}")
+
+
+SQL_EIGENVECTOR = _eigen_sql(EIGEN_ITERS)
+
+
 # Full Louvain / convergence protocol: driver-side convergence loop — not
 # expressible in one SQL statement; rows-only driver check + exact pytest
 # parity vs the NumPy oracle. The SWEEP SEMANTICS themselves (L4 counter,
@@ -2288,6 +2335,7 @@ def registry() -> dict[str, tuple]:
         "cc_sizes": (q_cc_sizes, SQL_CC_SIZES),
         "cc_gini": (q_cc_gini, SQL_CC_GINI),
         "pagerank": (q_pagerank, SQL_PAGERANK),
+        "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
         "louvain_assignment": (q_louvain_assignment, None),
         "louvain_summary": (q_louvain_summary, None),
         "louvain_sweep2": (q_louvain_sweep2, SQL_LOUVAIN_SWEEP2),
