@@ -29,14 +29,21 @@ def pagerank(
     weighted: bool = False,
     cfg: EngineConfig | None = None,
     metrics: MetricsCollector | None = None,
+    seeds=None,
 ) -> DataFrame:
     """Returns (id, rank). Vertices = distinct src ∪ dst of ``edges``.
 
     ``edges`` may be directed; the canonical symmetrized table yields the
     undirected PageRank. Dangling mass is redistributed uniformly.
+
+    ``seeds``: an iterable of vertex ids → PERSONALIZED PageRank: the
+    teleport distribution s(v) becomes uniform over the seed set instead
+    of over all vertices (r = (1-d)·s + d·(inflow + dangling·s); x₀ = s).
+    Same kernel, same join path — only the base/init vectors change.
     """
     cfg = cfg or EngineConfig()
     metrics = metrics or MetricsCollector()
+    seed_list = sorted(set(int(x) for x in seeds)) if seeds else None
 
     if cfg.use_csr_kernel:
         # packed-CSR fast path on the sharded pack (kernels/csr_pr.py):
@@ -49,7 +56,7 @@ def pagerank(
         from vite_spark.kernels.csr_pr import csr_pagerank
 
         res = csr_pagerank(spark, edges, damping, tol, max_iter, weighted,
-                           cfg, metrics)
+                           cfg, metrics, seeds=seed_list)
         if res is not None:
             return res
 
@@ -76,8 +83,17 @@ def pagerank(
     )
     trans.count()
 
-    ranks = verts.select("id", F.lit(1.0 / n).alias("rank")).persist()
-    base = (1.0 - damping) / n
+    if seed_list is None:
+        init_col = F.lit(1.0 / n)
+        svec = F.lit(1.0 / n)            # uniform teleport density
+        base_col = F.lit((1.0 - damping) / n)
+    else:
+        k = len(seed_list)
+        is_seed = F.col("id").isin(seed_list)
+        init_col = F.when(is_seed, 1.0 / k).otherwise(0.0)
+        svec = F.when(is_seed, 1.0 / k).otherwise(0.0)
+        base_col = F.when(is_seed, (1.0 - damping) / k).otherwise(0.0)
+    ranks = verts.select("id", init_col.alias("rank")).persist()
 
     # vertices without out-edges (never any on a symmetrized table) —
     # checked once so symmetric graphs skip the per-iteration dangling scan
@@ -110,9 +126,10 @@ def pagerank(
             .select(
                 "id",
                 (
-                    F.lit(base)
+                    base_col
                     + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                       + F.lit(dangling) * svec)
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

@@ -158,7 +158,7 @@ def _merge_layout(pack_dir: str, pid: int, writers):
 
 def _pr_job(spark, pack_dir, nparts, n, damping, t, routing, weighted,
             compute_contrib, ckpt_dir=None, restored=False,
-            mode="pagerank"):
+            mode="pagerank", seeds=None):
     """Job ``t``: merge r_{t-1} from inbound spans, report the L1 delta
     vs r_{t-2}, and (when ``compute_contrib``) scatter iteration ``t``'s
     contribution spans. ``ckpt_dir``: tasks also copy r_{t-1} there
@@ -172,11 +172,19 @@ def _pr_job(spark, pack_dir, nparts, n, damping, t, routing, weighted,
     power iteration over the ADJACENCY coefficients (w resp. 1),
     r = inflow, x₀ = 1 — normalization is deferred to the emit (power
     iteration is scale-invariant; float64 headroom covers λ^iters for
-    any realistic spectral radius at fixed small iters)."""
+    any realistic spectral radius at fixed small iters).
+
+    ``seeds`` (sorted int64 array, pagerank mode only) → PERSONALIZED
+    teleport: base/init become the seed-uniform vector (1-d)·s resp. s
+    with s(v) = 1/|seeds| on seeds else 0 — per-partition np.isin over
+    own, everything else identical (closed graphs have no dangling
+    mass, so no redistribution term is needed on this path)."""
     owners_of, rdrs_of = routing
     eigen = mode == "eigen"
     base = 0.0 if eigen else (1.0 - damping) / n
     init = 1.0 if eigen else 1.0 / n
+    if seeds is not None:
+        seeds = np.asarray(seeds, dtype=np.int64)
     if eigen:
         cname = "w" if weighted else None
     else:
@@ -195,11 +203,15 @@ def _pr_job(spark, pack_dir, nparts, n, damping, t, routing, weighted,
                     continue
 
                 # --- merge r_{t-1} over own (fixed writer order) ---
+                if seeds is not None:
+                    svec = np.isin(own, seeds).astype(np.float64)
+                    svec /= len(seeds)
                 if restored:
                     r = np.load(os.path.join(
                         pack_dir, f"rnk_{t - 1}_{pid}.npy"))
                 elif t == 1:
-                    r = np.full(len(own), init)
+                    r = svec.copy() if seeds is not None \
+                        else np.full(len(own), init)
                 else:
                     writers = sorted(rdrs_of.get(pid, ()))
                     idx, offs = _merge_layout(pack_dir, pid, writers)
@@ -213,7 +225,9 @@ def _pr_job(spark, pack_dir, nparts, n, damping, t, routing, weighted,
                         vals[offs[i]:offs[i + 1]] = v
                     acc = np.bincount(idx, weights=vals,
                                       minlength=len(own))
-                    r = base + damping * acc
+                    bvec = ((1.0 - damping) * svec
+                            if seeds is not None else base)
+                    r = bvec + damping * acc
                 if not restored:
                     _atomic_save(
                         os.path.join(pack_dir, f"rnk_{t - 1}_{pid}.npy"), r)
@@ -226,7 +240,8 @@ def _pr_job(spark, pack_dir, nparts, n, damping, t, routing, weighted,
                 elif t == 1:
                     delta = 0.0
                 else:
-                    prev = (np.full(len(own), init) if t == 2 else
+                    prev = ((svec if seeds is not None else
+                             np.full(len(own), init)) if t == 2 else
                             np.load(os.path.join(
                                 pack_dir, f"rnk_{t - 2}_{pid}.npy"),
                                 mmap_mode="r"))
@@ -297,14 +312,15 @@ def _pr_job(spark, pack_dir, nparts, n, damping, t, routing, weighted,
 
 
 def csr_pagerank(spark, edges, damping, tol, max_iter, weighted, cfg,
-                 metrics, mode="pagerank"):
+                 metrics, mode="pagerank", seeds=None):
     """Packed-CSR PageRank driver. Returns the (id, rank) DataFrame, or
     None when a precondition fails (caller runs the join path).
 
     ``mode="eigen"`` runs the same job loop as deferred-normalization
     power iteration (see _pr_job): caller passes damping=1.0, tol=0.0
     and a fixed max_iter; the emit normalizes by the global L1 mass."""
-    algo = "eigen" if mode == "eigen" else "pagerank"
+    algo = ("eigen" if mode == "eigen" else
+            "ppr" if seeds is not None else "pagerank")
     mode_str = "csr_sharded_eigen" if mode == "eigen" else "csr_sharded_pr"
     if not spark.sparkContext.master.startswith("local"):
         return None
@@ -360,7 +376,8 @@ def csr_pagerank(spark, edges, damping, tol, max_iter, weighted, cfg,
             t0 = time.time()
             sent = _pr_job(spark, pack_dir, nparts, n, damping, t, routing,
                            weighted, contrib, ckpt_dir=ck_dir,
-                           restored=restored, mode=mode).collect()
+                           restored=restored, mode=mode,
+                           seeds=seeds).collect()
             wall = time.time() - t0
             delta_prev = float(sum(r["delta"] for r in sent))
             if ck_dir is not None:

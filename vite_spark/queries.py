@@ -623,6 +623,49 @@ pr AS (
 SELECT id, ROUND(rank, 6) AS rank FROM pr WHERE it = {PR_ITERS}"""
 
 
+PPR_SEEDS = 4
+
+
+def q_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (algos/pagerank.py seeds=...): teleport
+    uniform over the 4 smallest vertex ids instead of all vertices —
+    the same PACKED-CSR kernel and job loop as `pagerank`, only the
+    base/init vectors change (per-partition np.isin over owned ids).
+    10 fixed iterations against the seeded recursive-CTE oracle."""
+    from vite_spark.algos.pagerank import pagerank
+
+    e = lineitem_part_edges(spark, sf_dir)
+    seeds = [int(r["src"]) for r in
+             e.select("src").distinct().orderBy("src")
+             .limit(PPR_SEEDS).collect()]
+    r = pagerank(spark, e, damping=0.85, tol=0.0, max_iter=PR_ITERS,
+                 seeds=seeds)
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
+SQL_PPR = f"""WITH RECURSIVE {EDGES_CTE},
+outw AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+trans AS (SELECT e.src, e.dst, 1.0 / o.od AS p FROM edges e JOIN outw o USING (src)),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+sd AS (SELECT id FROM verts ORDER BY id LIMIT {PPR_SEEDS}),
+kk AS (SELECT COUNT(*) AS k FROM sd),
+pr AS (
+  SELECT 0 AS it, id,
+         CASE WHEN id IN (SELECT id FROM sd)
+              THEN 1.0 / (SELECT k FROM kk) ELSE 0.0 END AS rank
+  FROM verts
+  UNION ALL
+  SELECT p.it + 1 AS it, t.dst AS id,
+         CASE WHEN t.dst IN (SELECT id FROM sd)
+              THEN 0.15 / (SELECT k FROM kk) ELSE 0.0 END
+         + 0.85 * SUM(p.rank * t.p) AS rank
+  FROM pr p JOIN trans t ON t.src = p.id
+  WHERE p.it < {PR_ITERS}
+  GROUP BY p.it + 1, t.dst
+)
+SELECT id, ROUND(rank, 6) AS rank FROM pr WHERE it = {PR_ITERS}"""
+
+
 EIGEN_ITERS = 10
 
 
@@ -2336,6 +2379,7 @@ def registry() -> dict[str, tuple]:
         "cc_gini": (q_cc_gini, SQL_CC_GINI),
         "pagerank": (q_pagerank, SQL_PAGERANK),
         "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
+        "personalized_pagerank": (q_personalized_pagerank, SQL_PPR),
         "louvain_assignment": (q_louvain_assignment, None),
         "louvain_summary": (q_louvain_summary, None),
         "louvain_sweep2": (q_louvain_sweep2, SQL_LOUVAIN_SWEEP2),
