@@ -623,6 +623,92 @@ pr AS (
 SELECT id, ROUND(rank, 6) AS rank FROM pr WHERE it = {PR_ITERS}"""
 
 
+# On the sf0.01 co-occurrence graph σ tops out at 0.23 (median 0.10):
+# it is a weakly-similar near-clique. ε=0.16/μ=5 lands in the regime
+# where all four SCAN roles exist (369 cores, 19 clusters, 791 borders,
+# 840 outliers) — a non-degenerate driver check of every branch.
+SCAN_EPS = 0.16
+SCAN_MU = 5
+
+_SCAN_SIG_CTES = f"""und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+anch AS (
+  SELECT u.src AS u, u.dst AS v, a.d AS du, b.d AS dv
+  FROM und u JOIN deg a ON a.id = u.src JOIN deg b ON b.id = u.dst
+  WHERE a.d < b.d OR (a.d = b.d AND u.src < u.dst)
+),
+cn AS (
+  SELECT h.u, h.v, COUNT(*) AS cn
+  FROM anch h JOIN und x ON x.src = h.u
+  JOIN und y ON y.src = h.v AND y.dst = x.dst
+  GROUP BY h.u, h.v
+),
+sig AS MATERIALIZED (
+  SELECT LEAST(h.u, h.v) AS u, GREATEST(h.u, h.v) AS v,
+         (COALESCE(c.cn, 0) + 2) / SQRT((h.du + 1) * (h.dv + 1)) AS sigma
+  FROM anch h LEFT JOIN cn c ON c.u = h.u AND c.v = h.v
+)"""
+
+
+def q_scan_similarity(spark, sf_dir):
+    """SCAN structural edge similarity (algos/scan.py): σ(u,v) =
+    (cn+2)/sqrt((du+1)(dv+1)) per undirected edge, wedge join anchored at
+    the lower-(deg,id) endpoint. σ is bit-deterministic (integer inputs,
+    IEEE sqrt/divide), so no rounding."""
+    from vite_spark.algos.scan import scan_similarity
+
+    e = lineitem_part_edges(spark, sf_dir)
+    return scan_similarity(spark, e)
+
+
+SQL_SCAN_SIMILARITY = (
+    f"WITH {EDGES_CTE},\n{_SCAN_SIG_CTES}\nSELECT u, v, sigma FROM sig")
+
+
+def q_scan_clusters(spark, sf_dir):
+    """SCAN clustering (algos/scan.py, Xu et al. 2007): cores = vertices
+    with ≥ SCAN_MU ε-similar neighbors at ε = SCAN_EPS; clusters =
+    connected components of core–core ε-edges (the PACKED-CSR CC kernel
+    runs the propagation); borders attach to the min adjacent core
+    cluster; outliers/hubs = -1. All thresholds are part of the
+    definition, shared with the recursive-closure oracle."""
+    from vite_spark.algos.scan import scan_clusters
+
+    e = lineitem_part_edges(spark, sf_dir)
+    return scan_clusters(spark, e, eps=SCAN_EPS, mu=SCAN_MU)
+
+
+SQL_SCAN_CLUSTERS = f"""WITH RECURSIVE {EDGES_CTE},
+{_SCAN_SIG_CTES},
+sym AS MATERIALIZED (
+  SELECT u, v, sigma FROM sig
+  UNION ALL SELECT v AS u, u AS v, sigma FROM sig),
+epsn AS MATERIALIZED (SELECT u, v FROM sym WHERE sigma >= {SCAN_EPS}),
+cores AS MATERIALIZED (
+  SELECT u AS id FROM epsn GROUP BY u HAVING COUNT(*) >= {SCAN_MU}),
+cedges AS MATERIALIZED (
+  SELECT e.u AS src, e.v AS dst FROM epsn e
+  JOIN cores a ON a.id = e.u JOIN cores b ON b.id = e.v
+  UNION ALL SELECT id, id FROM cores),
+cc AS (
+  SELECT id, id AS lab FROM cores
+  UNION
+  SELECT e.src, c.lab FROM cc c JOIN cedges e ON e.dst = c.id
+),
+ccl AS (SELECT id, MIN(lab) AS cluster FROM cc GROUP BY id),
+border AS (
+  SELECT e.u AS id, MIN(c.cluster) AS bcluster
+  FROM epsn e JOIN ccl c ON c.id = e.v
+  WHERE e.u NOT IN (SELECT id FROM cores)
+  GROUP BY e.u
+),
+verts AS (SELECT DISTINCT src AS id FROM edges)
+SELECT v.id, COALESCE(l.cluster, b.bcluster, -1) AS cluster
+FROM verts v LEFT JOIN ccl l ON l.id = v.id
+LEFT JOIN border b ON b.id = v.id"""
+
+
 PPR_SEEDS = 4
 
 
@@ -2374,6 +2460,8 @@ def registry() -> dict[str, tuple]:
         "centrality_landmarks": (
             q_centrality_landmarks, SQL_CENTRALITY_LANDMARKS),
         "kcore": (q_kcore, SQL_KCORE),
+        "scan_similarity": (q_scan_similarity, SQL_SCAN_SIMILARITY),
+        "scan_clusters": (q_scan_clusters, SQL_SCAN_CLUSTERS),
         "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
         "cc_sizes": (q_cc_sizes, SQL_CC_SIZES),
         "cc_gini": (q_cc_gini, SQL_CC_GINI),
