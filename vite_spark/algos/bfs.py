@@ -144,3 +144,38 @@ def shortest_paths(
 
     e.unpersist()
     return dist
+
+
+def double_sweep_diameter(
+    spark: SparkSession,
+    edges: DataFrame,
+    cfg: EngineConfig | None = None,
+    metrics: MetricsCollector | None = None,
+) -> DataFrame:
+    """Double-sweep diameter lower bound (the classical 2-sweep BFS
+    heuristic, exact on trees and near-exact on small-world graphs;
+    Magnien/Latapy/Habib 2009): BFS from the smallest vertex id u0,
+    take the farthest vertex u1 (max dist, ties → min id), BFS again
+    from u1 — ecc(u1) ≥ every distance realized from u1, so it lower
+    bounds the diameter of u0's component.
+
+    One row (u0, u1, ecc0, diameter_lb), all exact int64. Two runs of
+    :func:`shortest_paths` (the packed multi-source kernel), plus TWO
+    single-row driver syncs (the argmax pivot between sweeps and the
+    final max) — the same scalar-sync budget as a convergence check,
+    independent of graph size."""
+    u0 = int(edges.select(F.min("src").alias("m")).collect()[0]["m"])
+    d0 = shortest_paths(spark, edges, [u0], cfg=cfg, metrics=metrics)
+    far = d0.orderBy(F.col("dist").desc(), F.col("id").asc()).limit(1) \
+        .collect()[0]
+    u1, ecc0 = int(far["id"]), int(far["dist"])
+    d1 = shortest_paths(spark, edges, [u1], cfg=cfg, metrics=metrics)
+    return (
+        d1.agg(F.max("dist").alias("diameter_lb"))
+        .select(
+            F.lit(u0).cast("long").alias("u0"),
+            F.lit(u1).cast("long").alias("u1"),
+            F.lit(ecc0).cast("long").alias("ecc0"),
+            F.col("diameter_lb").cast("long"),
+        )
+    )

@@ -434,6 +434,39 @@ walk(id, landmark, d) AS (
 SELECT id, landmark, MIN(d) AS dist FROM walk GROUP BY id, landmark"""
 
 
+def q_diameter_2sweep(spark, sf_dir):
+    """Double-sweep diameter lower bound (algos/bfs.py
+    double_sweep_diameter): BFS from the smallest id, re-BFS from the
+    farthest vertex (ties → min id) — both sweeps on the PACKED-CSR BFS
+    kernel. One row (u0, u1, ecc0, diameter_lb), exact int64."""
+    from vite_spark.algos.bfs import double_sweep_diameter
+
+    e = lineitem_part_edges(spark, sf_dir)
+    return double_sweep_diameter(spark, e)
+
+
+SQL_DIAMETER_2SWEEP = f"""WITH RECURSIVE {EDGES_CTE},
+u0 AS (SELECT MIN(src) AS id FROM edges),
+w0(id, d) AS (
+  SELECT id, CAST(0 AS BIGINT) FROM u0
+  UNION
+  SELECT e.src, w.d + 1 FROM w0 w JOIN edges e ON e.dst = w.id
+  WHERE w.d < 32
+),
+d0 AS (SELECT id, MIN(d) AS d FROM w0 GROUP BY id),
+far AS (SELECT id, d FROM d0 ORDER BY d DESC, id ASC LIMIT 1),
+w1(id, d) AS (
+  SELECT id, CAST(0 AS BIGINT) FROM far
+  UNION
+  SELECT e.src, w.d + 1 FROM w1 w JOIN edges e ON e.dst = w.id
+  WHERE w.d < 32
+),
+d1 AS (SELECT id, MIN(d) AS d FROM w1 GROUP BY id)
+SELECT (SELECT id FROM u0) AS u0, (SELECT id FROM far) AS u1,
+       (SELECT d FROM far) AS ecc0,
+       (SELECT MAX(d) FROM d1) AS diameter_lb"""
+
+
 def q_centrality_landmarks(spark, sf_dir):
     """Landmark closeness + harmonic centrality (algos/centrality.py):
     distances from the 4-smallest-id landmark set via the same
@@ -2459,6 +2492,7 @@ def registry() -> dict[str, tuple]:
         "sssp_landmarks": (q_sssp_landmarks, SQL_SSSP_LANDMARKS),
         "centrality_landmarks": (
             q_centrality_landmarks, SQL_CENTRALITY_LANDMARKS),
+        "diameter_2sweep": (q_diameter_2sweep, SQL_DIAMETER_2SWEEP),
         "kcore": (q_kcore, SQL_KCORE),
         "scan_similarity": (q_scan_similarity, SQL_SCAN_SIMILARITY),
         "scan_clusters": (q_scan_clusters, SQL_SCAN_CLUSTERS),
