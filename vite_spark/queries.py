@@ -660,6 +660,65 @@ SELECT id, ROUND(rank, 6) AS rank FROM pr WHERE it = {PR_ITERS}"""
 # it is a weakly-similar near-clique. ε=0.16/μ=5 lands in the regime
 # where all four SCAN roles exist (369 cores, 19 clusters, 791 borders,
 # 840 outliers) — a non-degenerate driver check of every branch.
+KTRUSS_K = 12
+KTRUSS_ORACLE_ROUNDS = 10
+
+
+def q_ktruss(spark, sf_dir):
+    """k-truss subgraph (algos/truss.py, k=12): synchronous support
+    peeling to fixpoint — every surviving edge has ≥ k-2 triangles
+    within the truss. The engine runs to FIXPOINT (5 rounds at sf0.01,
+    1127 surviving edges); the oracle unrolls KTRUSS_ORACLE_ROUNDS
+    rounds, which equals the fixpoint whenever convergence lands within
+    the unroll (peeling a fixpoint is a no-op) — convergence-round slack
+    pytest-asserted (test_truss.test_ktruss_oracle_slack). Output
+    (u, v, support), support exact int64 within the truss."""
+    from vite_spark.algos.truss import ktruss
+
+    e = lineitem_part_edges(spark, sf_dir)
+    return ktruss(spark, e, KTRUSS_K)
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    # AS MATERIALIZED is load-bearing for unrolled chains (see _kcore_sql)
+    parts = [
+        f"WITH {EDGES_CTE},",
+        """t0 AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM (SELECT DISTINCT src, dst FROM edges)
+  WHERE src < dst),""",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""sym{i} AS (SELECT u, v FROM t{p}
+  UNION ALL SELECT v, u FROM t{p}),
+sup{i} AS (
+  SELECT t.u, t.v, COUNT(*) AS c FROM t{p} t
+  JOIN sym{i} a ON a.u = t.u JOIN sym{i} b ON b.u = t.v AND b.v = a.v
+  GROUP BY t.u, t.v
+),
+t{i} AS MATERIALIZED (
+  SELECT t.u, t.v FROM t{p} t LEFT JOIN sup{i} s ON s.u = t.u AND s.v = t.v
+  WHERE COALESCE(s.c, 0) >= {k - 2}
+),""")
+    parts.append(f"""symf AS (SELECT u, v FROM t{rounds}
+  UNION ALL SELECT v, u FROM t{rounds}),
+supf AS (
+  SELECT t.u, t.v, COUNT(*) AS c FROM t{rounds} t
+  JOIN symf a ON a.u = t.u JOIN symf b ON b.u = t.v AND b.v = a.v
+  GROUP BY t.u, t.v
+)
+SELECT t.u, t.v, COALESCE(s.c, 0) AS support
+FROM t{rounds} t LEFT JOIN supf s ON s.u = t.u AND s.v = t.v""")
+    return "\n".join(parts)
+
+
+SQL_KTRUSS = _ktruss_sql(KTRUSS_K, KTRUSS_ORACLE_ROUNDS)
+
+
+# On the sf0.01 co-occurrence graph σ tops out at 0.23 (median 0.10):
+# it is a weakly-similar near-clique. ε=0.16/μ=5 lands in the regime
+# where all four SCAN roles exist (369 cores, 19 clusters, 791 borders,
+# 840 outliers) — a non-degenerate driver check of every branch.
 SCAN_EPS = 0.16
 SCAN_MU = 5
 
@@ -2494,6 +2553,7 @@ def registry() -> dict[str, tuple]:
             q_centrality_landmarks, SQL_CENTRALITY_LANDMARKS),
         "diameter_2sweep": (q_diameter_2sweep, SQL_DIAMETER_2SWEEP),
         "kcore": (q_kcore, SQL_KCORE),
+        "ktruss": (q_ktruss, SQL_KTRUSS),
         "scan_similarity": (q_scan_similarity, SQL_SCAN_SIMILARITY),
         "scan_clusters": (q_scan_clusters, SQL_SCAN_CLUSTERS),
         "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
