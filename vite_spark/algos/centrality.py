@@ -93,6 +93,81 @@ def eigenvector_centrality(
     return out
 
 
+def hits(
+    spark: SparkSession,
+    edges: DataFrame,
+    iters: int = 10,
+    weighted: bool = True,
+    cfg: EngineConfig | None = None,
+    metrics: MetricsCollector | None = None,
+) -> DataFrame:
+    """(id, hub, authority): Kleinberg's HITS on a DIRECTED edge table,
+    ``iters`` full iterations from h₀ = 1:
+
+        a_t(v) = Σ_{u→v} w(u,v) · h_{t-1}(u)      (authority ← in-links)
+        h_t(u) = Σ_{u→v} w(u,v) · a_t(v)          (hub ← out-links)
+
+    Like :func:`eigenvector_centrality`, normalization (L1) is deferred to
+    the single emit — the recurrence is scale-invariant, so every
+    iteration stays two join+agg supersteps with no mid-iteration global
+    barrier; float64 headroom covers the growth at the fixed small
+    ``iters``. Scores are rounded to 6 (SUM accumulation order is
+    engine-specific). Vertices that are pure sinks/sources keep explicit
+    0.0 hub/authority rows.
+
+    Scale notes: each superstep shuffles |V| partial sums (map-side
+    combine), the same shape as the PageRank join fallback; the edge
+    table is read once per matvec with only (src, dst, w) columns.
+    No Vite counterpart — §2.8 directed-analytics extension."""
+    cfg = cfg or EngineConfig()
+    metrics = metrics or MetricsCollector()
+
+    verts = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))).distinct().persist()
+    wcol = F.col("weight").cast("double") if weighted else F.lit(1.0)
+    e = edges.select("src", "dst", wcol.alias("w")).persist()
+    h = verts.select("id", F.lit(1.0).alias("v")).persist()
+    a = None
+    for t in range(iters):
+        na = (
+            e.join(h.select(F.col("id").alias("src"), "v"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("w") * F.col("v")).alias("v"))
+        )
+        a = verts.join(na, "id", "left").select(
+            "id", F.coalesce("v", F.lit(0.0)).alias("v")).persist()
+        nh = (
+            e.join(a.select(F.col("id").alias("dst"), "v"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum(F.col("w") * F.col("v")).alias("v"))
+        )
+        prev = h
+        h = verts.join(nh, "id", "left").select(
+            "id", F.coalesce("v", F.lit(0.0)).alias("v")).persist()
+        if (t + 1) % 5 == 0:
+            a = a.localCheckpoint(eager=True)
+            h = h.localCheckpoint(eager=True)
+        prev.unpersist()
+        metrics.record(kind="hits_superstep", iter=t + 1)
+    ht = h.agg(F.sum("v").alias("hs"))
+    at = a.agg(F.sum("v").alias("as_"))
+    return (
+        h.select("id", F.col("v").alias("hv"))
+        .join(a.select("id", F.col("v").alias("av")), "id")
+        .crossJoin(F.broadcast(ht))
+        .crossJoin(F.broadcast(at))
+        .select(
+            "id",
+            F.round(
+                F.when(F.col("hs") > 0, F.col("hv") / F.col("hs"))
+                .otherwise(F.lit(0.0)), 6).alias("hub"),
+            F.round(
+                F.when(F.col("as_") > 0, F.col("av") / F.col("as_"))
+                .otherwise(F.lit(0.0)), 6).alias("authority"),
+        )
+    )
+
+
 def landmark_centrality(
     spark: SparkSession,
     edges: DataFrame,

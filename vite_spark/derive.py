@@ -131,6 +131,65 @@ def lineitem_part_edges(spark, sf_dir: str) -> DataFrame:
     return cooccurrence_edges(li, "entity", "key")
 
 
+def precedence_edges(
+    spark,
+    sf_dir: str,
+    max_key_freq: int | None = _UNSET,  # type: ignore[assignment]
+) -> DataFrame:
+    """DIRECTED benchmark graph from driver testdata: part A → part B when
+    some customer bought A on one order date and B on that customer's NEXT
+    distinct order date (consecutive dense ranks of o_orderdate per
+    customer). Weight = number of such (customer, date-step) witnesses.
+
+    This is the temporal-precedence analog of the repos derivation
+    (commit-order precedence between files); cycles arise naturally because
+    customers order in different sequences, so the graph has non-trivial
+    SCC structure — it feeds the directed algorithms (SCC, HITS).
+
+    Plan shape / 100 TB notes: one join (orderkey), one DISTINCT, a
+    dense_rank window PARTITIONED BY customer (per-partition size = one
+    customer's distinct dates — never global), one self-join on
+    (customer, rank→rank+1) whose fan-out per step is |parts(date_i)| ×
+    |parts(date_{i+1})|, capped by the announced ``max_key_freq`` on
+    parts-per-(customer, date) exactly like cooccurrence_edges' key cap.
+    """
+    if max_key_freq is _UNSET:
+        max_key_freq = DEFAULT_MAX_KEY_FREQ
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_partkey").cast("long").alias("part"),
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("d"),
+    )
+    base = li.join(o, "okey").select("cust", "d", "part").distinct()
+    if max_key_freq is not None:
+        log.info(
+            "precedence_edges: parts-per-(customer, date) cap %d in effect "
+            "(larger groups are dropped)", max_key_freq,
+        )
+        kf = base.groupBy("cust", "d").agg(F.count(F.lit(1)).alias("kf"))
+        base = base.join(
+            kf.filter(F.col("kf") <= max_key_freq), ["cust", "d"]
+        ).select("cust", "d", "part")
+    rk = base.select(
+        "cust", "part",
+        F.dense_rank().over(Window.partitionBy("cust").orderBy("d")).alias("r"),
+    )
+    a = rk.select("cust", F.col("part").alias("src"), "r")
+    b = rk.select("cust", F.col("part").alias("dst"), (F.col("r") - 1).alias("r"))
+    return (
+        a.join(b, ["cust", "r"])
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
 def documents_as_repos(spark, sf_dir: str) -> DataFrame:
     """Shape the driver ``documents`` table like the F1 repos table so the
     repos→edges derivation path is exercised on provided data: repo=source,

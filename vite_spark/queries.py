@@ -2533,6 +2533,246 @@ WHERE a.user_id < c.user_id"""
 
 # ---------------------------------------------------------------- registry
 
+# ------------------------------------------------- directed graph queries
+
+# shared SQL fragment: the DIRECTED temporal-precedence edge table,
+# mirroring derive.precedence_edges (part A → part B when a customer's
+# order date carrying A immediately precedes one carrying B; weight =
+# witness count; parts-per-(customer, date) cap shared with the engine).
+PEDGES_CTE = f"""
+pbase AS (
+  SELECT DISTINCT o.o_custkey AS cust, o.o_orderdate AS d,
+         CAST(l.l_partkey AS BIGINT) AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+pkf AS (SELECT cust, d, COUNT(*) AS c FROM pbase GROUP BY cust, d),
+pkept AS (
+  SELECT b.cust, b.d, b.part FROM pbase b JOIN pkf USING (cust, d)
+  WHERE pkf.c <= {DEFAULT_MAX_KEY_FREQ}
+),
+prk AS (
+  SELECT cust, part, DENSE_RANK() OVER (PARTITION BY cust ORDER BY d) AS r
+  FROM pkept
+),
+pedges AS MATERIALIZED (
+  SELECT a.part AS src, b.part AS dst, COUNT(*) AS weight
+  FROM prk a JOIN prk b
+    ON a.cust = b.cust AND b.r = a.r + 1 AND a.part <> b.part
+  GROUP BY a.part, b.part
+)
+"""
+
+
+def q_precedence_edges(spark, sf_dir):
+    """The DIRECTED derivation itself (derive.precedence_edges): part A →
+    part B when some customer's order date carrying A immediately precedes
+    one carrying B — the temporal-precedence analog of commit-order
+    precedence between files in the repos derivation. Feeds the directed
+    algorithms (`scc`, `hits`). Exact int64 witness-count weights."""
+    from vite_spark.derive import precedence_edges
+
+    return precedence_edges(spark, sf_dir)
+
+
+SQL_PRECEDENCE_EDGES = f"""WITH {PEDGES_CTE}
+SELECT src, dst, weight FROM pedges"""
+
+
+def q_scc(spark, sf_dir):
+    """Strongly connected components (algos/scc.py: iterative TRIM +
+    forward-min coloring + backward peel — the Orzan/FW-BW distributed
+    recipe) on the directed precedence graph, run to fixpoint. Label
+    contract: component = min vertex id in the SCC (the directed analog
+    of `connected_components`)."""
+    from vite_spark.algos.scc import strongly_connected_components
+    from vite_spark.derive import precedence_edges
+
+    e = precedence_edges(spark, sf_dir)
+    return strongly_connected_components(spark, e)
+
+
+# SCC oracle: full reachability closure (finite pair set, recursion
+# terminates by UNION dedup), mutually-reachable pairs, min per vertex.
+SQL_SCC = f"""WITH RECURSIVE {PEDGES_CTE},
+sverts AS (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM pedges UNION ALL SELECT dst FROM pedges)),
+reach(a, b) AS (
+  SELECT src, dst FROM pedges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN pedges e ON e.src = r.b
+),
+mut AS (SELECT r.a AS u, r.b AS v FROM reach r
+        JOIN reach s ON s.a = r.b AND s.b = r.a),
+lab AS (SELECT u AS id, MIN(v) AS m FROM mut GROUP BY u)
+SELECT v.id, LEAST(v.id, COALESCE(l.m, v.id)) AS component
+FROM sverts v LEFT JOIN lab l ON l.id = v.id"""
+
+
+HITS_ITERS = 10
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (algos/centrality.py hits): {HITS_ITERS}
+    full iterations on the directed precedence graph, weighted,
+    normalization deferred to the emit (scale-invariant recurrence, like
+    `eigenvector`); L1-normalized scores rounded to 6."""
+    from vite_spark.algos.centrality import hits
+    from vite_spark.derive import precedence_edges
+
+    e = precedence_edges(spark, sf_dir)
+    return hits(spark, e, iters=HITS_ITERS)
+
+
+def _hits_sql(iters: int) -> str:
+    stages = []
+    for t in range(1, iters + 1):
+        stages.append(f"""a{t} AS MATERIALIZED (
+  SELECT v.id, COALESCE(s.x, 0.0) AS v FROM hverts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(e.weight * h.v) AS x
+    FROM pedges e JOIN h{t - 1} h ON h.id = e.src GROUP BY e.dst
+  ) s USING (id)
+)""")
+        stages.append(f"""h{t} AS MATERIALIZED (
+  SELECT v.id, COALESCE(s.x, 0.0) AS v FROM hverts v LEFT JOIN (
+    SELECT e.src AS id, SUM(e.weight * a.v) AS x
+    FROM pedges e JOIN a{t} a ON a.id = e.dst GROUP BY e.src
+  ) s USING (id)
+)""")
+    return f"""WITH {PEDGES_CTE},
+hverts AS (SELECT src AS id FROM pedges UNION SELECT dst FROM pedges),
+h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS v FROM hverts),
+{", ".join(stages)},
+hs AS (SELECT SUM(v) AS s FROM h{iters}),
+asum AS (SELECT SUM(v) AS s FROM a{iters})
+SELECT h.id,
+       ROUND(CASE WHEN hs.s > 0 THEN h.v / hs.s ELSE 0.0 END, 6) AS hub,
+       ROUND(CASE WHEN asum.s > 0 THEN a.v / asum.s ELSE 0.0 END, 6)
+         AS authority
+FROM h{iters} h JOIN a{iters} a USING (id), hs, asum"""
+
+
+SQL_HITS = _hits_sql(HITS_ITERS)
+
+
+BC_MAXLEV = 8  # oracle unroll depth; actual landmark ecc ≤ 8 is
+               # pytest-asserted (test_betweenness_oracle_slack)
+
+
+def q_betweenness_landmarks(spark, sf_dir):
+    """Landmark-sampled betweenness (algos/betweenness.py — Brandes–Pich
+    partial dependency sums from the 4 smallest-id sources, endpoints
+    excluded, unrescaled). Distances ride the PACKED-CSR multi-source BFS
+    kernel; σ/δ are level-synchronous DataFrame supersteps. σ exact int64;
+    bc rounded to 6 (δ SUM order is engine-specific)."""
+    from vite_spark.algos.betweenness import landmark_betweenness
+
+    e = lineitem_part_edges(spark, sf_dir)
+    lms = [int(r["src"]) for r in
+           e.select("src").distinct().orderBy("src")
+           .limit(BFS_LANDMARKS).collect()]
+    return landmark_betweenness(spark, e, lms)
+
+
+def _betweenness_sql(maxlev: int) -> str:
+    sig = []
+    for k in range(1, maxlev + 1):
+        sig.append(f"""sig{k} AS MATERIALIZED (
+  SELECT d.id, d.landmark, SUM(s.sigma) AS sigma
+  FROM sig{k - 1} s JOIN edges e ON e.src = s.id
+  JOIN dist d ON d.id = e.dst AND d.landmark = s.landmark
+             AND d.dist = {k}
+  GROUP BY d.id, d.landmark
+)""")
+    deltas = []
+    for k in range(maxlev - 1, -1, -1):
+        dj = (f"LEFT JOIN delta{k + 1} d ON d.id = w.id "
+              f"AND d.landmark = w.landmark" if k < maxlev - 1 else "")
+        dexpr = "COALESCE(d.delta, 0.0)" if k < maxlev - 1 else "0.0"
+        deltas.append(f"""delta{k} AS MATERIALIZED (
+  SELECT s.id, s.landmark,
+         SUM(CAST(s.sigma AS DOUBLE) / w.sigma * (1.0 + {dexpr})) AS delta
+  FROM sig{k} s JOIN edges e ON e.src = s.id
+  JOIN sig{k + 1} w ON w.id = e.dst AND w.landmark = s.landmark
+  {dj}
+  GROUP BY s.id, s.landmark
+)""")
+    alld = " UNION ALL ".join(
+        f"SELECT id, landmark, delta FROM delta{k}" for k in range(maxlev))
+    return f"""WITH RECURSIVE {EDGES_CTE},
+lm AS (
+  SELECT src AS lm FROM (SELECT DISTINCT src FROM edges)
+  ORDER BY src LIMIT {BFS_LANDMARKS}
+),
+walk(id, landmark, d) AS (
+  SELECT lm, lm, CAST(0 AS BIGINT) FROM lm
+  UNION
+  SELECT e.src, w.landmark, w.d + 1
+  FROM walk w JOIN edges e ON e.dst = w.id
+  WHERE w.d < 32
+),
+dist AS MATERIALIZED (
+  SELECT id, landmark, MIN(d) AS dist FROM walk GROUP BY id, landmark),
+sig0 AS (SELECT lm AS id, lm AS landmark, CAST(1 AS BIGINT) AS sigma FROM lm),
+{", ".join(sig)},
+{", ".join(deltas)},
+alld AS ({alld}),
+tot AS (
+  SELECT id, SUM(delta) AS bc FROM alld WHERE id <> landmark GROUP BY id)
+SELECT v.id, ROUND(COALESCE(t.bc, 0.0), 6) AS bc
+FROM (SELECT DISTINCT src AS id FROM edges) v
+LEFT JOIN tot t USING (id)"""
+
+
+SQL_BETWEENNESS = _betweenness_sql(BC_MAXLEV)
+
+
+WALK_STEPS = 8
+
+
+def q_random_walks(spark, sf_dir):
+    """Deterministic random-walk corpus (algos/walks.py): one
+    {WALK_STEPS}-step walk from every vertex of the co-occurrence graph;
+    next hop = argmin of the engine-portable integer hash (ties → min
+    dst). (walk, step, id) rows, all exact int64 — the DeepWalk-corpus
+    generation shape with reproducible lineage."""
+    from vite_spark.algos.walks import random_walks
+
+    e = lineitem_part_edges(spark, sf_dir)
+    return random_walks(spark, e, steps=WALK_STEPS)
+
+
+def _walks_sql(steps: int) -> str:
+    from vite_spark.algos.walks import WALK_A, WALK_B, WALK_C, WALK_P
+
+    stages = []
+    for s in range(1, steps + 1):
+        stages.append(f"""c{s} AS (
+  SELECT t.walk, e.dst,
+         ((t.cur % {WALK_P}) * {WALK_A} + {(s % WALK_P) * WALK_B}
+          + (e.dst % {WALK_P}) * {WALK_C}) % {WALK_P} AS h
+  FROM s{s - 1} t JOIN dedges e ON e.src = t.cur
+)""")
+        stages.append(f"""m{s} AS (
+  SELECT walk, MIN(h) AS mh FROM c{s} GROUP BY walk)""")
+        stages.append(f"""s{s} AS MATERIALIZED (
+  SELECT c.walk, MIN(c.dst) AS cur
+  FROM c{s} c JOIN m{s} m ON m.walk = c.walk AND c.h = m.mh
+  GROUP BY c.walk
+)""")
+    emit = " UNION ALL ".join(
+        f"SELECT walk, CAST({s} AS BIGINT) AS step, cur AS id FROM s{s}"
+        for s in range(steps + 1))
+    return f"""WITH {EDGES_CTE},
+dedges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+s0 AS (SELECT DISTINCT src AS walk, src AS cur FROM dedges),
+{", ".join(stages)}
+{emit}"""
+
+
+SQL_RANDOM_WALKS = _walks_sql(WALK_STEPS)
+
+
 def registry() -> dict[str, tuple]:
     """name → (spark_fn, oracle_sql_or_None)."""
     return {
@@ -2569,6 +2809,12 @@ def registry() -> dict[str, tuple]:
         "lpa_labels": (q_lpa_labels, SQL_LPA_LABELS),
         "community_conductance": (
             q_community_conductance, SQL_COMMUNITY_CONDUCTANCE),
+        "betweenness_landmarks": (q_betweenness_landmarks, SQL_BETWEENNESS),
+        "random_walks": (q_random_walks, SQL_RANDOM_WALKS),
+        # directed graph (temporal-precedence derivation)
+        "precedence_edges": (q_precedence_edges, SQL_PRECEDENCE_EDGES),
+        "scc": (q_scc, SQL_SCC),
+        "hits": (q_hits, SQL_HITS),
         # ingestion / derivation
         "repos_edges": (q_repos_edges, SQL_REPOS_EDGES),
         "sha256_gate": (q_sha256_gate, SQL_SHA256_GATE),
