@@ -2773,6 +2773,89 @@ s0 AS (SELECT DISTINCT src AS walk, src AS cur FROM dedges),
 SQL_RANDOM_WALKS = _walks_sql(WALK_STEPS)
 
 
+def q_hyperanf(spark, sf_dir):
+    """HyperANF (algos/anf.py — Boldi–Rosa–Vigna): the truncated
+    neighborhood function NF̂(h), h = 0..8, from per-vertex HyperLogLog
+    counters (m = 16 registers, bit-exact hash32 at a fixed seed)
+    max-merged one hop per superstep. Registers are exact integers; the
+    raw HLL estimate is bit-identical across engines (dyadic-rational
+    inner sum); per-vertex estimates are rounded to 6 and summed as
+    DECIMAL(38,8) so NF̂ is accumulation-order-independent too."""
+    from vite_spark.algos.anf import hyperanf
+
+    e = lineitem_part_edges(spark, sf_dir)
+    return hyperanf(spark, e)
+
+
+def _anf_sql(h_max: int, b: int, seed: int) -> str:
+    from vite_spark.algos.anf import hll_alpha
+
+    m = 1 << b
+    alpha_mm = hll_alpha(m) * m * m
+    M32 = 1 << 32
+    # the Jenkins mix (algos/coloring.hash32_np) staged on uint32 semantics
+    hsteps = f"""
+vh1 AS (SELECT id, xor(id % {M32}, {seed % M32}) AS a FROM hverts),
+vh2 AS (SELECT id, (a + {0x7ED55D16} + a * 4096) % {M32} AS a FROM vh1),
+vh3 AS (SELECT id, (xor(a, {0xC761C23C}) + (a >> 19)) % {M32} AS a FROM vh2),
+vh4 AS (SELECT id, (a + {0x165667B1} + a * 32) % {M32} AS a FROM vh3),
+vh5 AS (SELECT id, (xor(a, {0xD3A2646C}) + a * 512) % {M32} AS a FROM vh4),
+vh6 AS (SELECT id, (a + {0xFD7046C5} + a * 8) % {M32} AS a FROM vh5),
+vh7 AS (SELECT id, (xor(a, {0xB55A4F09}) + (a >> 16)) % {M32} AS a FROM vh6)"""
+    rho_cases = " ".join(
+        f"WHEN w % {1 << k} = {1 << (k - 1)} THEN {k}"
+        for k in range(1, 32 - b + 1))
+    stages = []
+    for h in range(1, h_max + 1):
+        stages.append(f"""reg{h} AS MATERIALIZED (
+  SELECT id, j, MAX(r) AS r FROM (
+    SELECT e.dst AS id, p.j, p.r
+    FROM dedges e JOIN reg{h - 1} p ON p.id = e.src
+    UNION ALL SELECT id, j, r FROM reg{h - 1}
+  ) GROUP BY id, j
+)""")
+    nfs = []
+    for h in range(h_max + 1):
+        nfs.append(f"""nf{h} AS (
+  SELECT CAST({h} AS BIGINT) AS h,
+         CAST(SUM(CAST(ROUND(CASE
+           WHEN {alpha_mm!r} / (s + vz) <= {2.5 * m!r} AND vz > 0
+           THEN {float(m)!r} * LN({float(m)!r} / vz)
+           ELSE {alpha_mm!r} / (s + vz) END, 6) AS DECIMAL(38,8)))
+           AS DOUBLE) AS nf
+  FROM (
+    SELECT id, SUM(1.0 / (CAST(1 AS BIGINT) << r)) AS s,
+           {m} - COUNT(*) AS vz
+    FROM reg{h} GROUP BY id
+  )
+)""")
+    emit = " UNION ALL ".join(f"SELECT h, nf FROM nf{h}"
+                              for h in range(h_max + 1))
+    return f"""WITH {EDGES_CTE},
+dedges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+hverts AS (SELECT DISTINCT src AS id FROM dedges),
+{hsteps},
+reg0 AS MATERIALIZED (
+  SELECT id, CAST(a % {m} AS INTEGER) AS j,
+         CAST(CASE WHEN (a >> {b}) = 0 THEN {32 - b + 1}
+              ELSE (CASE {rho_cases} END) END AS INTEGER) AS r
+  FROM (SELECT id, a, a >> {b} AS w FROM vh7)
+),
+{", ".join(stages)},
+{", ".join(nfs)}
+{emit}"""
+
+
+def _build_sql_hyperanf():
+    from vite_spark.algos.anf import ANF_B, ANF_H, ANF_SEED
+
+    return _anf_sql(ANF_H, ANF_B, ANF_SEED)
+
+
+SQL_HYPERANF = _build_sql_hyperanf()
+
+
 def registry() -> dict[str, tuple]:
     """name → (spark_fn, oracle_sql_or_None)."""
     return {
@@ -2810,6 +2893,7 @@ def registry() -> dict[str, tuple]:
         "community_conductance": (
             q_community_conductance, SQL_COMMUNITY_CONDUCTANCE),
         "betweenness_landmarks": (q_betweenness_landmarks, SQL_BETWEENNESS),
+        "hyperanf": (q_hyperanf, SQL_HYPERANF),
         "random_walks": (q_random_walks, SQL_RANDOM_WALKS),
         # directed graph (temporal-precedence derivation)
         "precedence_edges": (q_precedence_edges, SQL_PRECEDENCE_EDGES),
