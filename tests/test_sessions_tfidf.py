@@ -1,0 +1,88 @@
+"""Gap sessionization (vite_spark/events.py) and tf-idf top terms
+(text/analysis.py) vs hand-computed / pure-Python references."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pandas as pd
+
+from vite_spark.events import sessionize
+from vite_spark.text.analysis import tfidf_top_terms
+
+
+def _ev(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    df = spark.createDataFrame(pdf)
+    return df.select(
+        "event_id", df["ts"].cast("timestamp_ntz").alias("ts"),
+        "user_id", "value")
+
+
+def test_sessionize_gaps_and_ordinals(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    mins = datetime.timedelta(minutes=1)
+    rows = [
+        # user 1: events at 0, 10, 29, then 70 (gap 41 > 30 → new session)
+        (1, t0, 1, 1.0),
+        (2, t0 + 10 * mins, 1, 2.0),
+        (3, t0 + 29 * mins, 1, 3.0),
+        (4, t0 + 70 * mins, 1, 4.0),
+        # user 2: exactly-30-minute gap does NOT split (> , not ≥)
+        (5, t0, 2, 1.5),
+        (6, t0 + 30 * mins, 2, None),
+    ]
+    got = {(r["user_id"], r["session_id"]):
+           (r["n_events"], r["duration_us"], r["sum_value"])
+           for r in sessionize(_ev(spark, rows)).collect()}
+    assert got == {
+        (1, 1): (3, 29 * 60 * 1_000_000, 6.0),
+        (1, 2): (1, 0, 4.0),
+        (2, 1): (2, 30 * 60 * 1_000_000, 1.5),  # null value → 0
+    }
+
+
+def test_sessionize_same_ts_orders_by_event_id(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(9, t0, 1, 1.0), (3, t0, 1, 1.0), (7, t0, 1, 1.0)]
+    got = sessionize(_ev(spark, rows)).collect()
+    assert len(got) == 1 and got[0]["n_events"] == 3
+
+
+def test_tfidf_matches_python(spark):
+    docs = [
+        (1, "a b b c"),
+        (2, "b c c d"),
+        (3, "a a e e e"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"], r["tfidf"])
+           for r in tfidf_top_terms(df, k=2).collect()}
+
+    tf = {}
+    for d, text in docs:
+        for t in text.split(" "):
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+    dfs = {}
+    for (_, t) in tf:
+        dfs[t] = dfs.get(t, 0) + 1
+    n = len(docs)
+    want = {}
+    for d, _ in docs:
+        terms = [(round(tf[(d, t)] * math.log(n / dfs[t]), 6), t)
+                 for (dd, t) in tf if dd == d]
+        terms.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (s, t) in enumerate(terms[:2], 1):
+            want[(d, rank)] = (t, tf[(d, t)], dfs[t], s)
+    assert got == want
+
+
+def test_tfidf_rank_is_deterministic_on_ties(spark):
+    # every term appears once in one doc → all scores equal → rank by term
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, "z y x")], columns=["doc_id", "text"]))
+    got = [(r["rank"], r["term"]) for r in
+           tfidf_top_terms(df, k=3).orderBy("rank").collect()]
+    assert got == [(1, "x"), (2, "y"), (3, "z")]

@@ -2847,6 +2847,66 @@ reg0 AS MATERIALIZED (
 {emit}"""
 
 
+TFIDF_K = 3
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """tf-idf top terms (text/analysis.py tfidf_top_terms): the top 3
+    terms per document by tf·ln(N/df), ranked (round-6 score DESC, term)
+    so the selection is engine-portable — tf/df exact int64, one ln per
+    distinct df."""
+    return ta.tfidf_top_terms(_docs(spark, sf_dir), k=TFIDF_K)
+
+
+SQL_TFIDF_TOP_TERMS = f"""WITH
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tcnt AS (SELECT doc_id, tok, COUNT(*) AS tf FROM pos GROUP BY doc_id, tok),
+dfs AS (SELECT tok, COUNT(*) AS df FROM tcnt GROUP BY tok),
+n AS (SELECT COUNT(*) AS n FROM documents),
+sc AS (
+  SELECT t.doc_id, t.tok AS term, t.tf, d.df,
+         ROUND(t.tf * LN(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+  FROM tcnt t JOIN dfs d USING (tok), n
+),
+rk AS (SELECT *, ROW_NUMBER() OVER (
+  PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM sc)
+SELECT doc_id, rank, term, tf, df, tfidf FROM rk WHERE rank <= {TFIDF_K}"""
+
+
+def q_event_sessions(spark, sf_dir):
+    """Gap sessionization of the events table (vite_spark/events.py):
+    30-minute-gap sessions per user, 1-based ordinals, zone-free integer
+    epoch-microsecond arithmetic (only the value sum is float, rounded
+    6)."""
+    from vite_spark.events import sessionize
+
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _sessions_sql() -> str:
+    from vite_spark.events import SESSION_GAP_S
+
+    gap_us = SESSION_GAP_S * 1_000_000
+    return f"""WITH
+ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+              COALESCE(value, 0.0) AS value FROM events),
+fl AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w > {gap_us}
+                 THEN 1 ELSE 0 END AS new_s
+       FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+sid AS (SELECT *, SUM(new_s) OVER (
+          PARTITION BY user_id ORDER BY us, event_id
+          ROWS UNBOUNDED PRECEDING) AS session_id FROM fl)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us,
+       MAX(us) - MIN(us) AS duration_us, ROUND(SUM(value), 6) AS sum_value
+FROM sid GROUP BY user_id, session_id"""
+
+
+SQL_EVENT_SESSIONS = _sessions_sql()
+
+
 def _build_sql_hyperanf():
     from vite_spark.algos.anf import ANF_B, ANF_H, ANF_SEED
 
@@ -2907,6 +2967,8 @@ def registry() -> dict[str, tuple]:
         "quality_scores": (q_quality, SQL_QUALITY),
         "language_id": (q_langid, SQL_LANGID),
         "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+        "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+        "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
         # dedup
         "exact_duplicates": (q_exact_dups, SQL_EXACT_DUPS),
         "ngram_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),

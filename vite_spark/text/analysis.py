@@ -97,6 +97,44 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 3,
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, rank, term, tf, df, tfidf) — the top-``k`` terms per
+    document by tf-idf, idf = ln(N/df) over the corpus.
+
+    Ranking is (ROUND(tfidf, 6) DESC, term ASC): tf and df are exact
+    int64, so the only float entering the order is one ln per distinct
+    df value, absorbed by the repo's round-6 emit convention — the
+    selection is engine-portable.
+
+    Plan / scale: one explode → (doc, term) counts (map-side combinable),
+    one groupBy for document frequencies (shuffle bounded by vocabulary),
+    one window PARTITIONED PER DOCUMENT (rows per partition = the doc's
+    distinct terms, never global), and the corpus size N as a broadcast
+    1-row aggregate."""
+    tf = tokens(docs, text_col).groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfs, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", F.col("tok").alias("term"), "tf", "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fingerprint) — min over 3-gram polynomial rolling hashes of
     token ids (winnowing-style document fingerprint).
