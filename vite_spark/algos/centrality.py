@@ -115,12 +115,25 @@ def hits(
     engine-specific). Vertices that are pure sinks/sources keep explicit
     0.0 hub/authority rows.
 
-    Scale notes: each superstep shuffles |V| partial sums (map-side
-    combine), the same shape as the PageRank join fallback; the edge
-    table is read once per matvec with only (src, dst, w) columns.
-    No Vite counterpart — §2.8 directed-analytics extension."""
+    At scale this dispatches to the PACKED-CSR kernel
+    (kernels/csr_hits.py: push-merge for Aᵀ, owner-publish/gather for A,
+    two jobs per iteration over the shared sharded pack) with this
+    join+agg superstep as the multi-cluster / non-vertex-closed fallback;
+    per-path float sums differ only in accumulation order
+    (parity pytest-enforced). Each join superstep shuffles |V| partial
+    sums (map-side combine), the same shape as the PageRank join
+    fallback; the edge table is read once per matvec with only
+    (src, dst, w) columns. No Vite counterpart — §2.8 directed-analytics
+    extension."""
     cfg = cfg or EngineConfig()
     metrics = metrics or MetricsCollector()
+
+    if cfg.use_csr_kernel:
+        from vite_spark.kernels.csr_hits import csr_hits
+
+        res = csr_hits(spark, edges, iters, weighted, cfg, metrics)
+        if res is not None:
+            return _hits_emit(res)
 
     verts = edges.select(F.col("src").alias("id")).union(
         edges.select(F.col("dst").alias("id"))).distinct().persist()
@@ -148,23 +161,25 @@ def hits(
             a = a.localCheckpoint(eager=True)
             h = h.localCheckpoint(eager=True)
         prev.unpersist()
-        metrics.record(kind="hits_superstep", iter=t + 1)
-    ht = h.agg(F.sum("v").alias("hs"))
-    at = a.agg(F.sum("v").alias("as_"))
-    return (
+        metrics.record(kind="hits_superstep", iter=t + 1, mode="join")
+    return _hits_emit(
         h.select("id", F.col("v").alias("hv"))
         .join(a.select("id", F.col("v").alias("av")), "id")
-        .crossJoin(F.broadcast(ht))
-        .crossJoin(F.broadcast(at))
-        .select(
-            "id",
-            F.round(
-                F.when(F.col("hs") > 0, F.col("hv") / F.col("hs"))
-                .otherwise(F.lit(0.0)), 6).alias("hub"),
-            F.round(
-                F.when(F.col("as_") > 0, F.col("av") / F.col("as_"))
-                .otherwise(F.lit(0.0)), 6).alias("authority"),
-        )
+    )
+
+
+def _hits_emit(df: DataFrame) -> DataFrame:
+    """Shared final emit for both HITS paths: L1 normalization (deferred —
+    the recurrence is scale-invariant) + round 6 over raw (id, hv, av)."""
+    tot = df.agg(F.sum("hv").alias("hs"), F.sum("av").alias("as_"))
+    return df.crossJoin(F.broadcast(tot)).select(
+        "id",
+        F.round(
+            F.when(F.col("hs") > 0, F.col("hv") / F.col("hs"))
+            .otherwise(F.lit(0.0)), 6).alias("hub"),
+        F.round(
+            F.when(F.col("as_") > 0, F.col("av") / F.col("as_"))
+            .otherwise(F.lit(0.0)), 6).alias("authority"),
     )
 
 

@@ -73,7 +73,8 @@ from vite_spark.kernels.csr_sharded import (
 # the packed-LPA label files and packed-CC component files: csr_lpa and
 # csr_cc share _prepare_pack, so any kernel opening a cached pack clears
 # every sibling's run transients.
-PR_TRANSIENT_PREFIXES = ("prc_", "rnk_", "lown_", "cown_", "bfd_")
+PR_TRANSIENT_PREFIXES = ("prc_", "rnk_", "lown_", "cown_", "bfd_",
+                         "hac_", "aown_", "hown_")
 
 
 def _prepare_pack(spark, edges, cfg, nparts):

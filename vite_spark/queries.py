@@ -2916,6 +2916,45 @@ def _build_sql_hyperanf():
 SQL_HYPERANF = _build_sql_hyperanf()
 
 
+def q_effective_diameter(spark, sf_dir):
+    """Effective diameter (algos/anf.py effective_diameter): the
+    interpolated 0.9-quantile hop count of the HyperANF neighborhood
+    function — the smallest x with NF̂(x) ≥ 0.9·NF̂(h_max), linear
+    between integer h. One row, rounded 6."""
+    from vite_spark.algos.anf import effective_diameter, hyperanf
+
+    e = lineitem_part_edges(spark, sf_dir)
+    nf = [(r["h"], r["nf"]) for r in hyperanf(spark, e).collect()]
+    d = effective_diameter(nf)
+    return spark.createDataFrame([(round(d, 6),)], "eff_diameter double")
+
+
+def _build_sql_eff_diameter():
+    # ride the hyperanf oracle: its final SELECT becomes a CTE, then the
+    # same prev/next linear interpolation at the 0.9 quantile
+    base = SQL_HYPERANF
+    emit_start = base.rindex("SELECT h, nf FROM nf0")
+    ctes, emit = base[:emit_start], base[emit_start:]
+    return f"""{ctes.rstrip()},
+nf_all AS ({emit}),
+tgt AS (SELECT 0.9 * nf AS t FROM nf_all
+        WHERE h = (SELECT MAX(h) FROM nf_all)),
+lagd AS (SELECT h, nf, LAG(h) OVER (ORDER BY h) AS ph,
+                LAG(nf) OVER (ORDER BY h) AS pv
+         FROM nf_all),
+hit AS (
+  SELECT l.h, l.nf, l.ph, l.pv, t.t FROM lagd l, tgt t
+  WHERE l.nf >= t.t ORDER BY l.h LIMIT 1)
+SELECT ROUND(CASE
+    WHEN ph IS NULL THEN CAST(h AS DOUBLE)
+    WHEN nf = pv THEN CAST(h AS DOUBLE)
+    ELSE ph + (t - pv) / (nf - pv) END, 6) AS eff_diameter
+FROM hit"""
+
+
+SQL_EFF_DIAMETER = _build_sql_eff_diameter()
+
+
 def registry() -> dict[str, tuple]:
     """name → (spark_fn, oracle_sql_or_None)."""
     return {
@@ -2954,6 +2993,7 @@ def registry() -> dict[str, tuple]:
             q_community_conductance, SQL_COMMUNITY_CONDUCTANCE),
         "betweenness_landmarks": (q_betweenness_landmarks, SQL_BETWEENNESS),
         "hyperanf": (q_hyperanf, SQL_HYPERANF),
+        "effective_diameter": (q_effective_diameter, SQL_EFF_DIAMETER),
         "random_walks": (q_random_walks, SQL_RANDOM_WALKS),
         # directed graph (temporal-precedence derivation)
         "precedence_edges": (q_precedence_edges, SQL_PRECEDENCE_EDGES),
