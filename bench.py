@@ -327,6 +327,47 @@ def triangles_throughput(spark, edges, reps: int = 2, packed: bool = True,
     return ne / wall
 
 
+def hits_throughput(spark, edges, iters: int = 5, warmup: int = 1,
+                    packed: bool = True, metrics=None) -> float:
+    """edges/sec per HITS iteration (one Aᵀ + one A matvec — TWO packed
+    jobs, the barrier inherent to the alternating recurrence).
+    packed=True measures the packed kernel's per-iteration walls
+    (kernels/csr_hits.py records one hits_superstep row per merge+scatter
+    pair; the t=0 bootstrap scatter and `warmup` first iterations are
+    excluded, same discipline as pagerank_throughput); packed=False the
+    join+agg shape, whole-job wall (its supersteps are lazy, so
+    per-superstep walls don't exist — cc_throughput's convention:
+    first run warms up, second is measured)."""
+    from vite_spark.algos.centrality import hits
+    from vite_spark.config import EngineConfig
+    from vite_spark.runtime.metrics import MetricsCollector
+
+    m = metrics if metrics is not None else MetricsCollector()
+    ne = edges.count()
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    cfg = EngineConfig(
+        use_csr_kernel=packed,
+        scratch_dir=scratch,
+        pack_cache_dir=os.environ.get("SPARK_GRAFT_PACK_CACHE") or None,
+    )
+    if packed:
+        hits(spark, edges, iters=iters, cfg=cfg, metrics=m).count()
+        sup = [r for r in m.rows
+               if r.get("kind") == "hits_superstep"
+               and r.get("mode") == "csr_sharded_hits"
+               and r.get("iter", 0) >= 1][warmup:]
+        assert sup, "packed HITS kernel did not run (fallback?)"
+        wall = sum(r["wall_s"] for r in sup)
+        return ne * len(sup) / wall
+    wall = None
+    for _ in range(2):
+        t0 = time.time()
+        hits(spark, edges, iters=iters, cfg=cfg, metrics=m).count()
+        wall = time.time() - t0
+        m.record(kind="hits_job", wall_s=wall, edges=ne)
+    return ne * iters / wall
+
+
 def synth_edges(spark, n_vertices: int = 200_000, avg_deg: int = 16,
                 seed: int = 42, parts: int = 64):
     """Deterministic synthetic edge table for the scaling run (seeded LCG
@@ -557,6 +598,16 @@ def scaling_worker(cores: int, nparts: int):
             mode = ("lpa_" + "+".join(sorted(
                 {r.get("mode", "join_agg") for r in m.rows
                  if r.get("kind") == kind})))
+        elif algo.startswith("hits"):
+            # "hits" = packed-CSR kernel (kernels/csr_hits.py);
+            # "hits_join" = the join+agg superstep shape
+            packed = algo != "hits_join"
+            eps = hits_throughput(spark, edges, iters=iters,
+                                  packed=packed, metrics=m)
+            kind = "hits_superstep" if packed else "hits_job"
+            mode = ("hits_" + "+".join(sorted(
+                {r.get("mode", "join") for r in m.rows
+                 if r.get("kind") == "hits_superstep"})))
         elif algo.startswith("pagerank"):
             # "pagerank" = packed-CSR kernel (production path);
             # "pagerank_join" = the generic join+agg fallback shape
