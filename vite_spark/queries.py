@@ -2874,6 +2874,64 @@ rk AS (SELECT *, ROW_NUMBER() OVER (
 SELECT doc_id, rank, term, tf, df, tfidf FROM rk WHERE rank <= {TFIDF_K}"""
 
 
+CMS_TOPK = 20
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch heavy hitters (text/sketches.py): the top 20
+    corpus terms by exact count with their CMS estimate (d=4 hash rows ×
+    w=256 buckets, bit-exact hash32 over corpus-ordered dense token ids)
+    — like `hyperanf`, the sketch is deterministic end-to-end, so the
+    APPROXIMATE operator itself is driver-oracled exactly (all-integer)."""
+    from vite_spark.text.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(_docs(spark, sf_dir), k=CMS_TOPK)
+
+
+def _cms_sql(k: int, d: int, w: int, seed: int) -> str:
+    from vite_spark.text.sketches import CMS_D, CMS_SEED, CMS_W  # noqa: F401
+
+    M = 1 << 32
+    C = [0x7ED55D16, 0xC761C23C, 0x165667B1,
+         0xD3A2646C, 0xFD7046C5, 0xB55A4F09]
+    chains, bucket_sel = [], []
+    for r in range(d):
+        s = (seed + 1043 * r) % M
+        p = f"ch{r}_"
+        chains.append(f"""{p}1 AS (SELECT tid, xor(tid % {M}, {s}) AS a FROM vocab),
+{p}2 AS (SELECT tid, (a + {C[0]} + a * 4096) % {M} AS a FROM {p}1),
+{p}3 AS (SELECT tid, (xor(a, {C[1]}) + (a >> 19)) % {M} AS a FROM {p}2),
+{p}4 AS (SELECT tid, (a + {C[2]} + a * 32) % {M} AS a FROM {p}3),
+{p}5 AS (SELECT tid, (xor(a, {C[3]}) + a * 512) % {M} AS a FROM {p}4),
+{p}6 AS (SELECT tid, (a + {C[4]} + a * 8) % {M} AS a FROM {p}5)""")
+        bucket_sel.append(
+            f"SELECT tid, {r} AS r, "
+            f"((xor(a, {C[5]}) + (a >> 16)) % {M}) % {w} AS b FROM {p}6")
+    return f"""WITH {TOKID_CTE},
+cnt AS (SELECT tid, COUNT(*) AS n FROM tidt GROUP BY tid),
+{", ".join(chains)},
+buckets AS ({" UNION ALL ".join(bucket_sel)}),
+cells AS (
+  SELECT b.r, b.b, CAST(SUM(c.n) AS BIGINT) AS cell
+  FROM buckets b JOIN cnt c USING (tid) GROUP BY b.r, b.b),
+est AS (
+  SELECT b.tid, MIN(ce.cell) AS cms_est
+  FROM buckets b JOIN cells ce ON ce.r = b.r AND ce.b = b.b
+  GROUP BY b.tid)
+SELECT v.tok AS term, c.n, e.cms_est
+FROM cnt c JOIN vocab v USING (tid) JOIN est e USING (tid)
+ORDER BY c.n DESC, term LIMIT {k}"""
+
+
+def _build_sql_cms():
+    from vite_spark.text.sketches import CMS_D, CMS_SEED, CMS_W
+
+    return _cms_sql(CMS_TOPK, CMS_D, CMS_W, CMS_SEED)
+
+
+SQL_CMS_HEAVY_HITTERS = _build_sql_cms()
+
+
 def q_event_sessions(spark, sf_dir):
     """Gap sessionization of the events table (vite_spark/events.py):
     30-minute-gap sessions per user, 1-based ordinals, zone-free integer
@@ -3008,6 +3066,7 @@ def registry() -> dict[str, tuple]:
         "language_id": (q_langid, SQL_LANGID),
         "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
         "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+        "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
         "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
         # dedup
         "exact_duplicates": (q_exact_dups, SQL_EXACT_DUPS),
