@@ -297,3 +297,60 @@ def test_multimodal_resize_and_frames(spark):
         resize_media(media, fake=False).collect()
     with _pytest.raises(Exception):
         sample_frames(media, fake=False).collect()
+
+
+def test_near_dup_clusters_planted(spark):
+    """Two planted near-dup groups (A: docs 0,1,2 chained; B: docs 5,6) plus
+    unrelated docs — clusters must be the transitive closure of the LSH
+    pairs with cluster_id = min doc_id and one canonical row each."""
+    base_a = "the quick brown fox jumps over the lazy dog again and again " \
+             "while the rain falls softly on the quiet green hills today"
+    base_b = "spark catalyst optimizer pushes filters below joins and prunes " \
+             "columns before the shuffle stage runs on every executor node"
+    docs = spark.createDataFrame(
+        [
+            (0, base_a),
+            (1, base_a.replace("today", "tonight")),
+            (2, base_a.replace("quick", "swift")),
+            (3, "completely different words about nothing in particular here"),
+            (5, base_b),
+            (6, base_b.replace("every", "each")),
+        ],
+        "doc_id long, text string",
+    )
+    from vite_spark.text.dedup import minhash_lsh_pairs, near_dup_clusters
+
+    rows = near_dup_clusters(docs, threshold=0.5).collect()
+    got = {r["doc_id"]: r for r in rows}
+    # closure must agree with an explicit union-find over the pair list
+    pairs = [(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_pairs(docs, threshold=0.5).collect()]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {}
+    for x in parent:
+        expect.setdefault(find(x), []).append(x)
+    assert set(got) == set(parent)
+    for root, members in expect.items():
+        assert root == min(members)
+        for m in members:
+            r = got[m]
+            assert r["cluster_id"] == root
+            assert r["cluster_size"] == len(members)
+            assert r["is_canonical"] == (m == root)
+    # the planted structure itself: A-group and B-group are separate, doc 3
+    # is a singleton (absent)
+    assert got[0]["cluster_id"] == got[1]["cluster_id"] == got[2]["cluster_id"] == 0
+    assert got[5]["cluster_id"] == got[6]["cluster_id"] == 5
+    assert 3 not in got

@@ -3,7 +3,9 @@ oracle at sf0.01, type-sensitive (the driver hashes values, so a DuckDB
 DOUBLE vs Spark LONG mismatch FAILS even when numerically equal), plus an
 entry(spark) smoke — exactly what CORRECTNESS_r{N}.json will record.
 
-Usage:  python tools/rehearse_contract.py [sf_dir]
+Usage:  python tools/rehearse_contract.py [sf_dir] [query ...]
+(query names limit the rehearsal to those registry entries and skip the
+entry() smoke — the fast loop when iterating on one operator)
 """
 
 from __future__ import annotations
@@ -44,6 +46,12 @@ def main():
         con.sql(f"CREATE VIEW {t} AS FROM '{sf}/{t}.parquet'")
 
     reg = registry()
+    only = sys.argv[2:]
+    if only:
+        missing = [q for q in only if q not in reg]
+        if missing:
+            sys.exit(f"unknown queries: {missing}")
+        reg = {q: reg[q] for q in only}
     failures = []
     for name, (fn, sql) in reg.items():
         t0 = time.time()
@@ -79,11 +87,13 @@ def main():
             failures.append(name)
         print(f"{name:36s} {status:40s} {time.time() - t0:6.1f}s", flush=True)
 
-    import __spark_entry__ as entrymod
+    if not only:
+        import __spark_entry__ as entrymod
 
-    df = entrymod.entry(spark)
-    n = df.count()
-    print(f"{'__entry__':36s} ok rows={n} schema={[f.name for f in df.schema.fields]}")
+        df = entrymod.entry(spark)
+        n = df.count()
+        print(f"{'__entry__':36s} ok rows={n} "
+              f"schema={[f.name for f in df.schema.fields]}")
     print(f"\n{len(reg)} queries, {len(failures)} failures: {failures}")
     spark.stop()
     sys.exit(1 if failures else 0)

@@ -1313,6 +1313,31 @@ WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= {MINHASH_T}"""
 SQL_MINHASH_PAIRS = _minhash_sql()
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Near-duplicate clustering (text/dedup.near_dup_clusters): the
+    MinHash-LSH pair graph closed into clusters by the distributed CC
+    operator; cluster_id = min doc_id (the canonical survivor)."""
+    return dd.near_dup_clusters(_docs(spark, sf_dir), threshold=MINHASH_T)
+
+
+# the oracle rides the full minhash-pair SQL, then closes it with the same
+# recursive-UNION reachability used by SQL_CONNECTED_COMPONENTS
+SQL_NEAR_DUP_CLUSTERS = f"""WITH RECURSIVE mp AS ({SQL_MINHASH_PAIRS}),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM mp
+      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM mp),
+cc AS (
+  SELECT src AS id, src AS component FROM (SELECT DISTINCT src FROM e)
+  UNION
+  SELECT e.src AS id, c.component FROM cc c JOIN e ON e.dst = c.id
+),
+comp AS (SELECT id, MIN(component) AS cluster_id FROM cc GROUP BY id),
+szs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp
+        GROUP BY cluster_id)
+SELECT id AS doc_id, cluster_id, cluster_size,
+       (id = cluster_id) AS is_canonical
+FROM comp JOIN szs USING (cluster_id)"""
+
+
 def q_simhash(spark, sf_dir):
     return dd.simhash_fingerprints(_docs(spark, sf_dir))
 
@@ -3072,6 +3097,7 @@ def registry() -> dict[str, tuple]:
         "exact_duplicates": (q_exact_dups, SQL_EXACT_DUPS),
         "ngram_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
         "minhash_lsh_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
+        "near_dup_clusters": (q_near_dup_clusters, SQL_NEAR_DUP_CLUSTERS),
         "simhash": (q_simhash, SQL_SIMHASH),
         "simhash_near_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
         # similarity search

@@ -165,6 +165,41 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_clusters(
+    docs: DataFrame, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_canonical) — the dedup step a
+    training pipeline actually runs: transitive closure of the MinHash-LSH
+    near-duplicate pairs into clusters, with one canonical survivor each.
+
+    cluster_id = min doc_id reachable through near-dup pairs (the doc the
+    pipeline KEEPS; everything else in the cluster is dropped), computed by
+    the engine's distributed connected-components operator over the pair
+    graph — so the whole chain shingle → minhash → LSH bands → verified
+    pairs → clusters runs at corpus scale with no all-pairs stage and no
+    driver-side union-find. Docs with no near-duplicate are not emitted
+    (their "cluster" is themselves).
+    """
+    from vite_spark.algos.components import connected_components
+
+    pairs = minhash_lsh_pairs(docs, threshold, text_col)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).withColumn("weight", F.lit(1.0))
+    comp = connected_components(docs.sparkSession, edges)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        "cluster_size",
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — 32-bit SimHash over token ids (multiplicity
     counted). Bit b = 1 iff Σ_tokens (2·h_b(tok) − 1) > 0 where
