@@ -354,3 +354,38 @@ def test_near_dup_clusters_planted(spark):
     assert got[0]["cluster_id"] == got[1]["cluster_id"] == got[2]["cluster_id"] == 0
     assert got[5]["cluster_id"] == got[6]["cluster_id"] == 5
     assert 3 not in got
+
+
+def test_kmeans_clusters_contract(spark):
+    """kmeans_clusters is a partition of the corpus whose (cell, cos_sim)
+    agree with a driver-side brute-force argmax over the trained centroids,
+    and whose cell_size really counts the cell's members."""
+    import math
+
+    from vite_spark.text.ivf import (
+        _collect_centroids, ivf_train, kmeans_clusters,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    rows = kmeans_clusters(emb, n_cells=8, iters=2).collect()
+    assert len(rows) == n
+    assert len({r["vec_id"] for r in rows}) == n
+
+    cents = _collect_centroids(ivf_train(emb, n_cells=8, iters=2))
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+    sizes = {}
+    for r in rows:
+        v = vecs[r["vec_id"]]
+        nv = math.sqrt(sum(x * x for x in v))
+        best = max(
+            ((round(sum(a * b for a, b in zip(v, c)) / (nv * cn), 6)
+              if cn else 0.0), -cell)
+            for cell, c, cn in cents
+        )
+        assert r["cell"] == -best[1]
+        assert r["cos_sim"] == best[0]
+        sizes[r["cell"]] = sizes.get(r["cell"], 0) + 1
+    for r in rows:
+        assert r["cell_size"] == sizes[r["cell"]]

@@ -2490,6 +2490,49 @@ FROM r WHERE rank <= {k}""")
 SQL_ANN_IVF_TOPK = _ivf_sql(TOPK, IVF_CELLS, IVF_NPROBE, IVF_ITERS)
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Deterministic spherical k-means exposed as a clustering operator
+    (text/ivf.kmeans_clusters): per-vector cell assignment + cosine to the
+    assigned centroid + cell size — the embedding-space corpus-clustering
+    step (topic buckets, stratified sampling) of a training pipeline."""
+    from vite_spark.text.ivf import kmeans_clusters
+
+    return kmeans_clusters(_emb(spark, sf_dir), n_cells=IVF_CELLS,
+                           iters=IVF_ITERS)
+
+
+def _kmeans_sql(n_cells: int, iters: int) -> str:
+    """DuckDB mirror of ivf.kmeans_clusters — the _ivf_sql train CTEs with
+    the final assignment emitting its own (cos, cell-size) instead of the
+    probe/top-k tail."""
+    base = _ivf_sql(0, n_cells, 0, iters)
+    cut = base.index("probe AS (")
+    train = base[:cut].rstrip()
+    return f"""{train}
+asgf AS (
+  SELECT vec_id, cell, cos FROM (
+    SELECT e.vec_id, c.cell,
+           CASE WHEN list_dot_product(c.cent, c.cent) = 0 THEN 0.0
+                ELSE ROUND(list_dot_product(e.v, c.cent) /
+                     (n.n * SQRT(list_dot_product(c.cent, c.cent))), 6)
+           END AS cos,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY CASE WHEN list_dot_product(c.cent, c.cent) = 0 THEN 0.0
+                                            ELSE ROUND(list_dot_product(e.v, c.cent) /
+                                                 (n.n * SQRT(list_dot_product(c.cent, c.cent))), 6)
+                                        END DESC,
+                                       c.cell ASC) AS rn
+    FROM e JOIN nrm n USING (vec_id) CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+),
+szs AS (SELECT cell, COUNT(*) AS cell_size FROM asgf GROUP BY cell)
+SELECT vec_id, cell, cos AS cos_sim, cell_size
+FROM asgf JOIN szs USING (cell)"""
+
+
+SQL_KMEANS_CLUSTERS = _kmeans_sql(IVF_CELLS, IVF_ITERS)
+
+
 # ---------------------------------------------------------------- streaming
 
 def q_streaming_event_counts(spark, sf_dir):
@@ -3106,6 +3149,7 @@ def registry() -> dict[str, tuple]:
         "cosine_near_pairs": (q_cosine_near_pairs, SQL_COSINE_NEAR_PAIRS),
         "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
         "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+        "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
         # streaming (drained deterministically with Trigger.AvailableNow)
         "streaming_event_counts": (
             q_streaming_event_counts, SQL_STREAMING_EVENT_COUNTS,

@@ -168,3 +168,35 @@ def ivf_topk(
                 "cos_sim")
     )
     return out
+
+
+def kmeans_clusters(
+    emb: DataFrame, n_cells: int = 16, iters: int = 2, vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, cell, cos_sim, cell_size) — the coarse quantizer exposed as
+    a clustering operator in its own right (embedding-space corpus
+    clustering: topic buckets, stratified sampling, per-cluster quotas).
+
+    cos_sim = cosine of the vector to its assigned centroid (rounded 6dp,
+    the same deterministic quantizer contract as ivf_topk, so the whole
+    train→assign pipeline is driver-oracle-checked). Scale shape: the k
+    centroids are broadcast; assignment is one codegen'd argmax expression
+    per vector; cell sizes are one k-row aggregate."""
+    cents = _collect_centroids(ivf_train(emb, n_cells, iters, vec_col))
+    base = ivf_assign(emb, cents, vec_col)
+    cos_expr = F.lit(None).cast("double")
+    for cell, cent, cn in cents:
+        cos_expr = F.when(
+            F.col("cell") == int(cell), _cos(F.col("v"), F.col("nrm"), cent, cn)
+        ).otherwise(cos_expr)
+    sizes = base.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("cell_size")
+    )
+    return (
+        base.select("vec_id", "cell", cos_expr.alias("cos_sim"))
+        .join(sizes, "cell")
+        .select(
+            "vec_id", F.col("cell").cast("long").alias("cell"),
+            "cos_sim", "cell_size",
+        )
+    )
