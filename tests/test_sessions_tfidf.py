@@ -86,3 +86,60 @@ def test_tfidf_rank_is_deterministic_on_ties(spark):
     got = [(r["rank"], r["term"]) for r in
            tfidf_top_terms(df, k=3).orderBy("rank").collect()]
     assert got == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_bm25_topk_matches_pure_python(spark):
+    """bm25_topk replayed in pure Python (same idf formulation, same
+    round-6 + exact-decimal accumulation) on a corpus with shared and
+    discriminating terms; includes self-exclusion and tie determinism."""
+    import math
+    from decimal import Decimal
+
+    from vite_spark.text.analysis import BM25_B, BM25_K1, bm25_topk
+
+    texts = {
+        0: "spark shuffle join spark partition",
+        1: "spark shuffle broadcast join hint",
+        2: "parquet scan pushdown filter prune",
+        3: "spark parquet scan shuffle",
+        4: "join join join shuffle",
+        5: "filter prune scan parquet pushdown prune",
+    }
+    docs = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string")
+    qt = spark.createDataFrame(
+        [(0, "spark"), (0, "join"), (2, "prune"), (2, "scan")],
+        "query_id long, term string",
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in bm25_topk(docs, qt, k=3).collect()
+    }
+
+    tok = {d: t.split(" ") for d, t in texts.items()}
+    n = len(texts)
+    avgdl = float(sum(len(v) for v in tok.values())) / n
+    dfs = {}
+    for v in tok.values():
+        for t in set(v):
+            dfs[t] = dfs.get(t, 0) + 1
+    queries = {0: ["spark", "join"], 2: ["prune", "scan"]}
+    for qid, terms in queries.items():
+        scores = {}
+        for d, v in tok.items():
+            if d == qid:
+                continue
+            s = Decimal(0)
+            for t in terms:
+                tf = v.count(t)
+                if not tf:
+                    continue
+                idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+                c = idf * (tf * (BM25_K1 + 1.0)) / (
+                    tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(v) / avgdl))
+                s += Decimal(str(round(c, 6)))
+            if s:
+                scores[d] = float(s)
+        order = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank, (d, sc) in enumerate(order[:3], 1):
+            assert got[(qid, rank)] == (d, sc), (qid, rank)

@@ -2942,6 +2942,64 @@ rk AS (SELECT *, ROW_NUMBER() OVER (
 SELECT doc_id, rank, term, tf, df, tfidf FROM rk WHERE rank <= {TFIDF_K}"""
 
 
+BM25_QUERY_STRIDE = 50
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (text/analysis.bm25_topk): every 50th doc is
+    a query whose terms are its tf-idf top-3; scores use the
+    Robertson/Lucene idf with round-6 per-term contributions summed in
+    DECIMAL(38,6) so the ranking is engine-portable."""
+    docs = _docs(spark, sf_dir)
+    qt = (
+        ta.tfidf_top_terms(docs, k=TFIDF_K)
+        .filter(F.col("doc_id") % BM25_QUERY_STRIDE == 0)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    return ta.bm25_topk(docs, qt, k=TOPK)
+
+
+def _bm25_sql() -> str:
+    from vite_spark.text.analysis import BM25_B, BM25_K1
+
+    k1, b = BM25_K1, BM25_B
+    contrib = (
+        f"ROUND(LN((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) "
+        f"* (t.tf * {k1 + 1.0}) "
+        f"/ (t.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl)), 6)"
+    )
+    return f"""WITH
+qt AS (SELECT doc_id AS query_id, term FROM ({SQL_TFIDF_TOP_TERMS})
+       WHERE doc_id % {BM25_QUERY_STRIDE} = 0),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tcnt AS (SELECT doc_id, tok, COUNT(*) AS tf FROM pos GROUP BY doc_id, tok),
+dfs AS (SELECT tok, COUNT(*) AS df FROM tcnt GROUP BY tok),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n,
+                 CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl FROM toks),
+sc AS (
+  SELECT q.query_id, t.doc_id,
+         SUM(CAST({contrib} AS DECIMAL(38,6))) AS score_dec
+  FROM qt q
+  JOIN tcnt t ON t.tok = q.term
+  JOIN dl l ON l.doc_id = t.doc_id
+  JOIN dfs d ON d.tok = t.tok
+  CROSS JOIN stats s
+  WHERE t.doc_id <> q.query_id
+  GROUP BY q.query_id, t.doc_id
+),
+rk AS (SELECT query_id, doc_id, CAST(score_dec AS DOUBLE) AS score,
+              ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY CAST(score_dec AS DOUBLE) DESC, doc_id) AS rank
+       FROM sc)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {TOPK}"""
+
+
+SQL_BM25_TOPK = _bm25_sql()
+
+
 CMS_TOPK = 20
 
 
@@ -3134,6 +3192,7 @@ def registry() -> dict[str, tuple]:
         "language_id": (q_langid, SQL_LANGID),
         "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
         "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+        "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
         "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
         "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
         # dedup

@@ -166,3 +166,68 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(F.col("t2").isNotNull(), gram_hash).otherwise(F.col("tid")).alias("h"),
     )
     return h.groupBy("doc_id").agg(F.min("h").alias("fingerprint"))
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — BM25 ranked retrieval: the top-k
+    documents per query, query_terms = (query_id, term).
+
+    idf = ln((N − df + ½)/(df + ½) + 1) (the Robertson/Lucene non-negative
+    formulation); per-(term, doc) contributions are rounded to 6dp and
+    summed in DECIMAL(38,6) (exact in any accumulation order — the
+    HyperANF discipline), so scores and the (score DESC, doc_id) ranking
+    are engine-portable. avgdl is the one exact division
+    CAST(Σdl AS DOUBLE)/N, never a float-ordered AVG. A doc equal to the
+    query id is excluded (retrieval, not self-lookup).
+
+    Scale shape: tf is one map-side-combinable groupBy; df shuffles
+    bounded by vocabulary; the query join touches only rows whose term
+    appears in some query (queries ≪ corpus — broadcast); the final
+    window partitions per query."""
+    tf = tokens(docs, text_col).groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dl = docs.select(
+        "doc_id", F.size(F.split(F.col(text_col), " ")).alias("dl"))
+    stats = docs.select(
+        F.size(F.split(F.col(text_col), " ")).alias("dl0")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl0").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qt = query_terms.select("query_id", F.col("term").alias("tok"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = F.round(idf * (F.col("tf") * (k1 + 1.0)) / denom, 6)
+    scored = (
+        F.broadcast(qt)
+        .join(tf, "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfs.join(qt.select("tok").distinct(), "tok")), "tok")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(contrib.cast("decimal(38,6)")).cast("double").alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
