@@ -1194,6 +1194,35 @@ SELECT doc_id,
 FROM s"""
 
 
+QUANTILE_PS = [0.1, 0.5, 0.9, 0.99]
+
+
+def q_quality_quantiles(spark, sf_dir):
+    """Exact continuous quantiles of the quality score via distributed
+    selection (vite_spark/stats.exact_quantiles): iterative histogram
+    refinement locates each order statistic with one scan per round and a
+    bounded sliver collect — no global sort anywhere. The oracle computes
+    the same type-7 formula over a full sort, so the distributed
+    selection algorithm itself is value-checked."""
+    from vite_spark.stats import exact_quantiles
+
+    return exact_quantiles(
+        ta.quality_scores(_docs(spark, sf_dir)), "quality", QUANTILE_PS)
+
+
+SQL_QUALITY_QUANTILES = f"""WITH qsrc AS ({SQL_QUALITY}),
+ord AS (SELECT quality AS v,
+               ROW_NUMBER() OVER (ORDER BY quality) - 1 AS r FROM qsrc),
+n AS (SELECT COUNT(*) AS n FROM qsrc),
+ps(p) AS (VALUES {", ".join(f"({p}::DOUBLE)" for p in QUANTILE_PS)}),
+h AS (SELECT p, (n.n - 1) * p AS hh,
+             CAST(FLOOR((n.n - 1) * p) AS BIGINT) AS lo FROM ps, n),
+j AS (SELECT h.p, h.hh, h.lo, o1.v AS vlo, COALESCE(o2.v, o1.v) AS vhi
+      FROM h JOIN ord o1 ON o1.r = h.lo
+      LEFT JOIN ord o2 ON o2.r = LEAST(h.lo + 1, (SELECT n - 1 FROM n)))
+SELECT p, ROUND(vlo + (hh - lo) * (vhi - vlo), 6) AS q FROM j"""
+
+
 def q_langid(spark, sf_dir):
     return ta.language_id(_docs(spark, sf_dir))
 
@@ -3189,6 +3218,7 @@ def registry() -> dict[str, tuple]:
         # text analysis
         "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
         "quality_scores": (q_quality, SQL_QUALITY),
+        "quality_quantiles": (q_quality_quantiles, SQL_QUALITY_QUANTILES),
         "language_id": (q_langid, SQL_LANGID),
         "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
         "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
