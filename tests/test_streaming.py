@@ -231,3 +231,100 @@ def test_cooccur_bounded_hot_bucket_state_and_parity(spark, tmp_path):
            if r["event_type"] == "hot"}
     assert len(ref) == cap * (cap - 1) // 2
     assert got == ref
+
+
+def test_session_stream_matches_batch_and_replay(spark):
+    """session_stream drained over the static table equals (a) the same
+    session_window expression evaluated in BATCH, and (b) a pure-Python
+    replay of the >=-gap split rule."""
+    from vite_spark.streaming import session_stream
+
+    st = session_stream(stream_events(spark, SRC_GLOB))
+    got = {
+        (r["user_id"], r["start_us"]):
+        (r["end_us"], r["n_events"], r["duration_us"], r["sum_value"])
+        for r in run_available_now(st, output_mode="complete").collect()
+    }
+
+    # (a) batch session_window on the same frame
+    ev = _batch_events(spark)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    batch = (
+        ev.withColumn("__ts_us", F.timestamp_micros(us)).withColumn("us", us)
+        .groupBy(F.session_window("__ts_us", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 6)
+            .alias("sum_value"),
+        )
+    )
+    exp = {
+        (r["user_id"], r["start_us"]):
+        (r["end_us"], r["n_events"], r["end_us"] - r["start_us"],
+         r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == exp and len(got) > 50
+
+    # (b) pure-Python replay of the >= split rule
+    rows = sorted(
+        ((r["user_id"], int(r["us"]), 0.0 if r["value"] is None else r["value"])
+         for r in ev.withColumn("us", us).select("user_id", "us", "value")
+         .collect()),
+    )
+    gap = 1800 * 1_000_000
+    sessions = {}
+    cur = {}
+    for uid, t, v in rows:
+        c = cur.get(uid)
+        if c is None or t - c["last"] > gap:
+            if c is not None:
+                sessions[(uid, c["start"])] = c
+            c = {"start": t, "last": t, "n": 0, "sum": 0.0}
+            cur[uid] = c
+        c["last"] = t
+        c["n"] += 1
+        c["sum"] += v
+    for uid, c in cur.items():
+        sessions[(uid, c["start"])] = c
+    assert set(got) == set(sessions)
+    for k, c in sessions.items():
+        e, n, d, s = got[k]
+        assert (e, n, d) == (c["last"], c["n"], c["last"] - c["start"])
+        assert abs(s - round(c["sum"], 6)) < 1e-9
+
+
+def test_session_stream_gap_boundary(spark, tmp_path):
+    """Exactly-gap-apart events still MERGE (session_window's split rule
+    is strict >, same as batch sessionize); one microsecond beyond splits.
+    This pins the measured boundary semantics the docstring and the
+    driver oracle rely on."""
+    import datetime as dt
+
+    from vite_spark.streaming import session_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: second event 1800 s + 1 us later -> two sessions
+        (1, t0, 1, "a", 1.0, None),
+        (2, t0 + dt.timedelta(seconds=1800, microseconds=1), 1, "a", 1.0,
+         None),
+        # user 2: second event exactly 1800 s later -> ONE session
+        (3, t0, 2, "a", 1.0, None),
+        (4, t0 + dt.timedelta(seconds=1800), 2, "a", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, et, v, p) for i, ts, u, et, v, p in rows], EVENT_SCHEMA)
+    d = tmp_path / "events_gap"
+    df.coalesce(1).write.parquet(str(d))
+    st = session_stream(stream_events(spark, str(d)))
+    out = run_available_now(st, output_mode="complete").collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert len(per_user[1]) == 2
+    assert all(r["n_events"] == 1 for r in per_user[1])
+    assert len(per_user[2]) == 1 and per_user[2][0]["n_events"] == 2

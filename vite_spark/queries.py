@@ -2660,6 +2660,43 @@ pedges AS MATERIALIZED (
 """
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """Streaming gap sessionization (streaming/ops.session_stream):
+    Spark's native session_window drained over the static events table
+    with Trigger.AvailableNow — the stateful sessionizer value-checked
+    end-to-end against the ≥-gap window SQL."""
+    from vite_spark.streaming import run_available_now, session_stream, stream_events
+
+    st = session_stream(stream_events(spark, f"{sf_dir}/events.*"))
+    return run_available_now(st, output_mode="complete")
+
+
+def _streaming_sessions_sql() -> str:
+    from vite_spark.events import SESSION_GAP_S
+
+    gap_us = SESSION_GAP_S * 1_000_000
+    # session_window's split rule is strict > (an event at exactly
+    # last_ts + gap still extends the session — measured, pinned by the
+    # gap-boundary pytest), identical to batch sessionize / the
+    # SQL_EVENT_SESSIONS window algebra
+    return f"""WITH
+ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+              COALESCE(value, 0.0) AS value FROM events),
+fl AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w > {gap_us}
+                 THEN 1 ELSE 0 END AS new_s
+       FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+sid AS (SELECT *, SUM(new_s) OVER (
+          PARTITION BY user_id ORDER BY us, event_id
+          ROWS UNBOUNDED PRECEDING) AS session_id FROM fl)
+SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us, COUNT(*) AS n_events,
+       MAX(us) - MIN(us) AS duration_us, ROUND(SUM(value), 6) AS sum_value
+FROM sid GROUP BY user_id, session_id"""
+
+
+SQL_STREAMING_SESSIONS = _streaming_sessions_sql()
+
+
 def q_precedence_edges(spark, sf_dir):
     """The DIRECTED derivation itself (derive.precedence_edges): part A →
     part B when some customer's order date carrying A immediately precedes
@@ -3246,6 +3283,7 @@ def registry() -> dict[str, tuple]:
         "streaming_cooccur_edges": (
             q_streaming_cooccur_edges, SQL_STREAMING_COOCCUR_EDGES,
         ),
+        "streaming_sessions": (q_streaming_sessions, SQL_STREAMING_SESSIONS),
         # multimodal plumbing (stubbed codecs; fake-decode oracles mirror
         # the sha256-derived dimensions/payloads in SQL)
         "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),

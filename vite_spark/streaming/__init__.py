@@ -5,6 +5,7 @@ from vite_spark.streaming.ops import (  # noqa: F401
     cooccur_edge_stream_bounded,
     run_available_now,
     running_user_stats,
+    session_stream,
     stream_events,
     streaming_dedup,
     windowed_event_counts,

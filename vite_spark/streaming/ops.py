@@ -235,6 +235,63 @@ def cooccur_edge_stream(
     )
 
 
+def _epoch_us_ntz(col: str):
+    """Zone-free epoch MICROSECONDS of a TIMESTAMP_NTZ column (the
+    microsecond-precision sibling of _epoch_ntz — session gaps must not
+    be second-truncated)."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    )
+
+
+def session_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming gap sessionization — the stateful analog of
+    events.sessionize, expressed with Spark's NATIVE session_window (the
+    engine merges/extends open sessions in the state store and closes
+    them at the watermark; no hand-rolled state machine needed).
+
+    (user_id, start_us, end_us, n_events, duration_us, sum_value) per
+    closed session. Event time is the microsecond-precision UTC instant
+    of the NTZ ts (zone-independent, like every op here). Session-window
+    split semantics MEASURED (pinned by the gap-boundary pytest): an
+    event at exactly last_ts + gap still extends the session — i.e. the
+    split rule is strict >, identical to events.sessionize's — so the
+    stream is the exact incremental twin of the batch sessionizer. The
+    parity test pins the drained stream against the same session_window
+    expression evaluated in batch AND against a pure-Python replay of
+    the > rule; the driver oracle shares SQL_EVENT_SESSIONS' window
+    algebra. Session ordinals (batch session_id) are inherently
+    cross-session-ordered state and are not emitted here — sessions are
+    keyed by start_us instead.
+
+    State/scale: one state-store entry per OPEN session per user,
+    evicted when the watermark passes session end — O(active users), not
+    O(stream length)."""
+    us = _epoch_us_ntz("ts")
+    return (
+        events.withColumn("__ts_us", F.timestamp_micros(us))
+        .withColumn("us", us)
+        .withWatermark("__ts_us", watermark)
+        .groupBy(F.session_window("__ts_us", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 6).alias(
+                "sum_value"),
+        )
+        .select(
+            "user_id", "start_us", "end_us", "n_events",
+            (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+            "sum_value",
+        )
+    )
+
+
 def _duration_seconds(spec: str) -> int:
     """'10 minutes' / '30 seconds' / '2 hours' → seconds."""
     qty, unit = spec.split()
