@@ -628,6 +628,95 @@ FROM r""",
 )
 
 
+# Borůvka unroll depth for the MSF oracle: the engine runs to fixpoint
+# (active components at least halve per round); the oracle replays this
+# many rounds. Slack (engine rounds + 1 <= this) is pytest-asserted at
+# driver scale (tests/test_msf.py).
+MSF_ORACLE_ROUNDS = 6
+
+
+def q_msf_edges(spark, sf_dir):
+    """Minimum spanning forest (algos/msf.py): distributed Borůvka under
+    the (weight, src, dst) total order — the tie-break makes the forest
+    UNIQUE, so the oracle replaying the same rounds in SQL must produce
+    the identical edge set."""
+    from vite_spark.algos.msf import minimum_spanning_forest
+
+    e = lineitem_part_edges(spark, sf_dir)
+    return minimum_spanning_forest(spark, e)
+
+
+def q_msf_summary(spark, sf_dir):
+    """(n_edges, total_weight, n_components) of the MSF — the forest-level
+    invariants (total weight is order-independent even where the edge set
+    is not)."""
+    from vite_spark.algos.msf import minimum_spanning_forest
+
+    e = lineitem_part_edges(spark, sf_dir)
+    f = minimum_spanning_forest(spark, e)
+    nv = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .count()
+    )
+    return f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.round(F.sum("weight"), 6).alias("total_weight"),
+        (nv - F.count(F.lit(1))).cast("long").alias("n_components"),
+    )
+
+
+def _msf_sql(rounds: int, emit: str = "edges") -> str:
+    # ue is MATERIALIZED: the unrolled rounds reference it 2·rounds times,
+    # and without materialization DuckDB re-opens the lineitem parquet per
+    # reference (observed: fd exhaustion at 6 rounds)
+    parts = [f"""WITH RECURSIVE {EDGES_CTE},
+ue AS MATERIALIZED (SELECT src, dst, MIN(weight) AS weight
+       FROM edges WHERE src < dst GROUP BY src, dst),
+comp0 AS (SELECT v, v AS c FROM (
+  SELECT src AS v FROM ue UNION SELECT dst AS v FROM ue))"""]
+    for r in range(rounds):
+        parts.append(f""",
+cand{r} AS MATERIALIZED (
+  SELECT a.c AS ca, b.c AS cb, e.src, e.dst, e.weight
+  FROM ue e JOIN comp{r} a ON e.src = a.v JOIN comp{r} b ON e.dst = b.v
+  WHERE a.c <> b.c),
+pick{r} AS MATERIALIZED (
+  SELECT DISTINCT src, dst, weight, ca, cb FROM (
+    SELECT c, src, dst, weight, ca, cb,
+           ROW_NUMBER() OVER (PARTITION BY c ORDER BY weight, src, dst) AS rn
+    FROM (SELECT ca AS c, src, dst, weight, ca, cb FROM cand{r}
+          UNION ALL
+          SELECT cb AS c, src, dst, weight, ca, cb FROM cand{r})
+  ) WHERE rn = 1),
+pg{r} AS MATERIALIZED (SELECT ca AS x, cb AS y FROM pick{r}
+          UNION ALL SELECT cb AS x, ca AS y FROM pick{r}),
+ccr{r} AS (
+  SELECT x AS n, x AS lbl FROM (SELECT DISTINCT x FROM pg{r})
+  UNION
+  SELECT g.x AS n, c.lbl FROM ccr{r} c JOIN pg{r} g ON g.y = c.n),
+nl{r} AS MATERIALIZED (SELECT n, MIN(lbl) AS nc FROM ccr{r} GROUP BY n),
+comp{r + 1} AS MATERIALIZED (SELECT p.v, COALESCE(l.nc, p.c) AS c
+                FROM comp{r} p LEFT JOIN nl{r} l ON l.n = p.c)""")
+    picks = " UNION ".join(
+        f"SELECT src, dst, weight FROM pick{r}" for r in range(rounds))
+    if emit == "edges":
+        parts.append(f"\n{picks}")
+    else:  # summary: forest-level invariants + component count
+        parts.append(f""",
+f AS ({picks}),
+nv AS (SELECT COUNT(*) AS nv FROM comp0)
+SELECT COUNT(*) AS n_edges, ROUND(SUM(weight), 6) AS total_weight,
+       (SELECT nv FROM nv) - COUNT(*) AS n_components
+FROM f""")
+    return "".join(parts)
+
+
+SQL_MSF_EDGES = _msf_sql(MSF_ORACLE_ROUNDS)
+SQL_MSF_SUMMARY = _msf_sql(MSF_ORACLE_ROUNDS, emit="summary")
+
+
 PR_ITERS = 10
 
 
@@ -3229,6 +3318,8 @@ def registry() -> dict[str, tuple]:
         "scan_similarity": (q_scan_similarity, SQL_SCAN_SIMILARITY),
         "scan_clusters": (q_scan_clusters, SQL_SCAN_CLUSTERS),
         "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
+        "msf_edges": (q_msf_edges, SQL_MSF_EDGES),
+        "msf_summary": (q_msf_summary, SQL_MSF_SUMMARY),
         "cc_sizes": (q_cc_sizes, SQL_CC_SIZES),
         "cc_gini": (q_cc_gini, SQL_CC_GINI),
         "pagerank": (q_pagerank, SQL_PAGERANK),
