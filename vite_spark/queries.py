@@ -628,6 +628,84 @@ FROM r""",
 )
 
 
+def q_coloring_assignment(spark, sf_dir):
+    """One Jacobi round of the reference's multi-hash min-max coloring
+    (C1, coloring.cpp:52-247) over the full co-occurrence graph —
+    driver-oracling the per-round algebra (hash ladder, not_min/not_max
+    bit votes, slot-list pick) the way louvain_sweep2 oracles the sweep;
+    the full loop's stop protocol (70% target / no-progress) stays
+    pytest-pinned (tests/test_heuristics.py)."""
+    from vite_spark.algos.coloring import multi_hash_coloring
+
+    e = lineitem_part_edges(spark, sf_dir)
+    colors, _ = multi_hash_coloring(spark, e, single_iteration=True)
+    return colors
+
+
+def _hash32_chain_sql(prefix: str, src_cte: str, col: str, seed: int) -> str:
+    """The coloring.cpp:120-131 Jenkins chain as CTE steps over
+    ``src_cte(col)`` — same modular-arithmetic mirror the CMS oracle
+    validated bit-exactly. Final value in column ``a`` of {prefix}7."""
+    M = 1 << 32
+    C = [0x7ED55D16, 0xC761C23C, 0x165667B1,
+         0xD3A2646C, 0xFD7046C5, 0xB55A4F09]
+    s = seed % M
+    return f"""{prefix}1 AS (SELECT {col} AS k, xor({col} % {M}, {s}) AS a FROM {src_cte}),
+{prefix}2 AS (SELECT k, (a + {C[0]} + a * 4096) % {M} AS a FROM {prefix}1),
+{prefix}3 AS (SELECT k, (xor(a, {C[1]}) + (a >> 19)) % {M} AS a FROM {prefix}2),
+{prefix}4 AS (SELECT k, (a + {C[2]} + a * 32) % {M} AS a FROM {prefix}3),
+{prefix}5 AS (SELECT k, (xor(a, {C[3]}) + a * 512) % {M} AS a FROM {prefix}4),
+{prefix}6 AS (SELECT k, (a + {C[4]} + a * 8) % {M} AS a FROM {prefix}5),
+{prefix}7 AS (SELECT k, (xor(a, {C[5]}) + (a >> 16)) % {M} AS a FROM {prefix}6)"""
+
+
+def _coloring_sql() -> str:
+    from vite_spark.algos.coloring import DEFAULT_NHASH
+
+    seed = 1012  # round-1 seed (coloring driver init)
+    nh = DEFAULT_NHASH
+    chains = ",\n".join(
+        _hash32_chain_sql(f"hc{t}_", "v", "id", seed + 1043 * t)
+        for t in range(nh)
+    )
+    hsel = ", ".join(f"c{t}.a AS h{t}" for t in range(nh))
+    hjoin = " ".join(
+        f"JOIN hc{t}_7 c{t} ON c{t}.k = v.id" for t in range(nh))
+    edge_min = " + ".join(
+        f"(CASE WHEN hs.h{t} >= hd.h{t} THEN {1 << t} ELSE 0 END)"
+        for t in range(nh))
+    edge_max = " + ".join(
+        f"(CASE WHEN hs.h{t} <= hd.h{t} THEN {1 << t} ELSE 0 END)"
+        for t in range(nh))
+    slot_cases = ", ".join(
+        f"CASE WHEN (nmin >> {t}) % 2 = 0 THEN {2 * t} END, "
+        f"CASE WHEN (nmax >> {t}) % 2 = 0 THEN {2 * t + 1} END"
+        for t in range(nh))
+    return f"""WITH {EDGES_CTE},
+v AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+{chains},
+h AS MATERIALIZED (SELECT v.id, {hsel} FROM v {hjoin}),
+ee AS (
+  SELECT e.src, {edge_min} AS m_min, {edge_max} AS m_max
+  FROM edges e JOIN h hs ON e.src = hs.id JOIN h hd ON e.dst = hd.id
+  WHERE e.src <> e.dst),
+bits AS (SELECT src AS id, BIT_OR(m_min) AS not_min, BIT_OR(m_max) AS not_max
+         FROM ee GROUP BY src),
+st AS (SELECT v.id, COALESCE(b.not_min, 0) AS nmin,
+              COALESCE(b.not_max, 0) AS nmax
+       FROM v LEFT JOIN bits b ON b.id = v.id),
+sel AS (SELECT id, {2 * nh} - bit_count(nmin) - bit_count(nmax) AS possible,
+               list_filter([{slot_cases}], x -> x IS NOT NULL) AS slots
+        FROM st)
+SELECT id, CAST(CASE WHEN possible > 0
+                THEN slots[(id % possible) + 1]
+                ELSE -1 END AS BIGINT) AS color
+FROM sel"""
+
+
+SQL_COLORING_ASSIGNMENT = _coloring_sql()
+
+
 # Borůvka unroll depth for the MSF oracle: the engine runs to fixpoint
 # (active components at least halve per round); the oracle replays this
 # many rounds. Slack (engine rounds + 1 <= this) is pytest-asserted at
@@ -3330,6 +3408,7 @@ def registry() -> dict[str, tuple]:
         "louvain_sweep2": (q_louvain_sweep2, SQL_LOUVAIN_SWEEP2),
         "louvain_sweep2_q": (q_louvain_sweep2_q, SQL_LOUVAIN_SWEEP2_Q),
         "lpa_labels": (q_lpa_labels, SQL_LPA_LABELS),
+        "coloring_assignment": (q_coloring_assignment, SQL_COLORING_ASSIGNMENT),
         "community_conductance": (
             q_community_conductance, SQL_COMMUNITY_CONDUCTANCE),
         "betweenness_landmarks": (q_betweenness_landmarks, SQL_BETWEENNESS),
