@@ -89,3 +89,37 @@ def test_degree_assortativity_matches_networkx(spark):
     assert (
         degree_assortativity(dirty).collect()[0]["assortativity"] == got
     )
+
+
+def test_degree_histogram_and_powerlaw_alpha(spark):
+    """Histogram counts the per-vertex neighbor counts; alpha matches the
+    pure-Python CSN continuous MLE with identical round-12 decimal
+    accumulation (star graph: hub degree n, leaves degree 1)."""
+    import math
+    from decimal import Decimal
+
+    from vite_spark.graph import degree_histogram, powerlaw_alpha
+
+    # star with 6 leaves + one triangle glued to leaf 1
+    und = [(0, i) for i in range(1, 7)] + [(1, 7), (7, 8), (8, 1)]
+    rows = [(u, v, 1.0) for u, v in und] + [(v, u, 1.0) for u, v in und]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+
+    hist = {r["deg"]: r["n_vertices"]
+            for r in degree_histogram(df).collect()}
+    degs = {}
+    for u, v in und:
+        degs[u] = degs.get(u, 0) + 1
+        degs[v] = degs.get(v, 0) + 1
+    exp = {}
+    for d in degs.values():
+        exp[d] = exp.get(d, 0) + 1
+    assert hist == exp
+
+    got = powerlaw_alpha(df, dmin=2).collect()[0]
+    tail = [d for d in degs.values() if d >= 2]
+    s = sum((Decimal(str(round(math.log(d / 1.5), 12))) for d in tail),
+            Decimal(0))
+    assert got["n_tail"] == len(tail)
+    assert got["alpha"] == round(1.0 + len(tail) / float(s), 6)
+    assert got["dmin"] == 2

@@ -211,3 +211,44 @@ def edges_from_pairs(
     rows = [(int(p[0]), int(p[1]), float(p[2]) if len(p) > 2 else 1.0) for p in pairs]
     df = spark.createDataFrame(rows, schema=EDGE_SCHEMA)
     return df if symmetrized else symmetrize(df)
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """(deg, n_vertices) — distribution of neighbor counts over the
+    symmetrized edge table: two cascaded map-side-combinable groupBys
+    (rows out bounded by max degree, never |V|)."""
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    )
+
+
+def powerlaw_alpha(edges: DataFrame, dmin: int = 2) -> DataFrame:
+    """(dmin, n_tail, alpha) — the continuous maximum-likelihood power-law
+    exponent of the degree tail (Clauset–Shalizi–Newman 2009, eq. 3.1):
+
+        α = 1 + n · ( Σ_{dᵢ ≥ dmin} ln(dᵢ / (dmin − ½)) )⁻¹
+
+    Engine-portable determinism: each ln term is rounded to 12dp and
+    summed in DECIMAL(38,12) (exact in any accumulation order — the
+    HyperANF discipline), then one division; α rounded 6."""
+    deg = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= dmin)
+    )
+    term = F.round(F.log(F.col("deg") / (dmin - 0.5)), 12)
+    return deg.agg(
+        F.lit(dmin).cast("long").alias("dmin"),
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.round(
+            1.0
+            + F.count(F.lit(1))
+            / F.sum(term.cast("decimal(38,12)")).cast("double"),
+            6,
+        ).alias("alpha"),
+    )

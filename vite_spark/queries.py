@@ -189,6 +189,43 @@ SELECT ROUND((m * sjk - sj * sk)
        AS assortativity FROM s"""
 
 
+def q_degree_histogram(spark, sf_dir):
+    """Degree distribution (graph.degree_histogram): two cascaded
+    map-side-combinable groupBys; rows out bounded by max degree."""
+    from vite_spark.graph import degree_histogram
+
+    return degree_histogram(lineitem_part_edges(spark, sf_dir))
+
+
+SQL_DEGREE_HISTOGRAM = f"""WITH {EDGES_CTE},
+d AS (SELECT src, COUNT(*) AS deg FROM edges WHERE src <> dst GROUP BY src)
+SELECT deg, COUNT(*) AS n_vertices FROM d GROUP BY deg"""
+
+
+POWERLAW_DMIN = 2
+
+
+def q_powerlaw_alpha(spark, sf_dir):
+    """Continuous MLE power-law exponent of the degree tail
+    (graph.powerlaw_alpha, Clauset–Shalizi–Newman eq. 3.1) — round-12 ln
+    terms summed in DECIMAL(38,12) so the estimate is engine-portable."""
+    from vite_spark.graph import powerlaw_alpha
+
+    return powerlaw_alpha(lineitem_part_edges(spark, sf_dir),
+                          dmin=POWERLAW_DMIN)
+
+
+SQL_POWERLAW_ALPHA = f"""WITH {EDGES_CTE},
+d AS (SELECT src, COUNT(*) AS deg FROM edges WHERE src <> dst GROUP BY src),
+t AS (SELECT CAST(ROUND(LN(deg / {POWERLAW_DMIN - 0.5}), 12)
+              AS DECIMAL(38,12)) AS term
+      FROM d WHERE deg >= {POWERLAW_DMIN})
+SELECT CAST({POWERLAW_DMIN} AS BIGINT) AS dmin,
+       COUNT(*) AS n_tail,
+       ROUND(1.0 + COUNT(*) / CAST(SUM(term) AS DOUBLE), 6) AS alpha
+FROM t"""
+
+
 def q_modularity_singleton(spark, sf_dir):
     """Q of the identity partition: e-term = self-loop weight (0 here),
     a-term = Σ vdeg² · (1/2m)² — the Louvain L11 formula on init state."""
@@ -3380,6 +3417,8 @@ def registry() -> dict[str, tuple]:
         "degrees": (q_degrees, SQL_DEGREES),
         "graph_stats": (q_graph_stats, SQL_GRAPH_STATS),
         "assortativity": (q_assortativity, SQL_ASSORTATIVITY),
+        "degree_histogram": (q_degree_histogram, SQL_DEGREE_HISTOGRAM),
+        "powerlaw_alpha": (q_powerlaw_alpha, SQL_POWERLAW_ALPHA),
         "modularity_singleton": (q_modularity_singleton, SQL_MODULARITY_SINGLETON),
         "triangles_total": (q_triangles_total, SQL_TRIANGLES_TOTAL),
         "triangles_by_vertex": (q_triangles_by_vertex, SQL_TRIANGLES_BY_VERTEX),
