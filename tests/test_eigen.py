@@ -82,3 +82,45 @@ def test_eigen_open_graph_falls_back_to_join(spark):
     assert set(got) == set(ids.tolist())
     for v, s in zip(ids, want):
         assert got[v] == pytest.approx(s, rel=1e-12)
+
+
+def _numpy_katz(src, dst, w, alpha, beta, iters, weighted=True):
+    ids = np.unique(np.concatenate([src, dst]))
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for s, d, ww in zip(src, dst, w):
+        A[idx[d], idx[s]] += ww if weighted else 1.0
+    x = np.full(len(ids), beta)
+    for _ in range(iters):
+        x = beta + alpha * (A @ x)
+    return ids, x
+
+
+@pytest.mark.parametrize("weighted", [True, False])
+def test_katz_kernel_and_join_match_numpy(spark, weighted):
+    from vite_spark.algos.centrality import katz_centrality
+
+    src, dst, w = _rand_sym_edges(11)
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": src, "dst": dst, "weight": w})).persist()
+    edges.count()
+    ids, want = _numpy_katz(src, dst, w, 0.03, 1.0, 10, weighted)
+
+    mk = MetricsCollector()
+    got = katz_centrality(
+        spark, edges, alpha=0.03, beta=1.0, iters=10, weighted=weighted,
+        metrics=mk).toPandas().sort_values("id")
+    modes = {r.get("mode") for r in mk.rows
+             if r.get("kind") == "katz_superstep"}
+    assert modes == {"csr_sharded_katz"}    # the packed path actually ran
+    assert np.array_equal(got["id"].to_numpy(), ids)
+    assert np.allclose(got["score"], want, rtol=1e-9)
+
+    ref = katz_centrality(
+        spark, edges, alpha=0.03, beta=1.0, iters=10, weighted=weighted,
+        cfg=EngineConfig(use_csr_kernel=False),
+        metrics=(mj := MetricsCollector())).toPandas().sort_values("id")
+    assert {r.get("mode") for r in mj.rows
+            if r.get("kind") == "katz_superstep"} == {"join"}
+    assert np.array_equal(ref["id"].to_numpy(), ids)
+    assert np.allclose(ref["score"], want, rtol=1e-9)

@@ -93,6 +93,63 @@ def eigenvector_centrality(
     return out
 
 
+def katz_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    alpha: float = 0.05,
+    beta: float = 1.0,
+    iters: int = 10,
+    weighted: bool = True,
+    cfg: EngineConfig | None = None,
+    metrics: MetricsCollector | None = None,
+) -> DataFrame:
+    """(id, score): ``iters`` steps of the Katz recurrence
+    x ← β + α·Aᵀx from x₀ = β (≡ iters+1 terms of Σ αᵏ(Aᵀ)ᵏ β𝟙 — the
+    attenuated walk-count centrality, Katz 1953). Emitted raw: Katz
+    scores are absolute, there is no normalization to defer.
+
+    Rides the same packed-CSR kernel as PageRank/eigenvector
+    (kernels/csr_pr.py mode="katz": adjacency coefficients, constant β
+    added in the merge — identical exchange shape and cost) with this
+    join+agg superstep as the cluster-shape fallback."""
+    cfg = cfg or EngineConfig()
+    metrics = metrics or MetricsCollector()
+    if cfg.use_csr_kernel:
+        from vite_spark.kernels.csr_pr import csr_pagerank
+
+        res = csr_pagerank(spark, edges, alpha, 0.0, iters, weighted,
+                           cfg, metrics, mode="katz", katz_beta=beta)
+        if res is not None:
+            return res.select("id", F.col("rank").alias("score"))
+
+    verts = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))).distinct().persist()
+    wcol = F.col("weight") if weighted else F.lit(1.0)
+    e = edges.select("src", "dst", wcol.alias("w")).persist()
+    x = verts.select("id", F.lit(float(beta)).alias("v")).persist()
+    for t in range(iters):
+        prev = x
+        nxt = (
+            e.join(x.select(F.col("id").alias("src"), "v"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("w") * F.col("v")).alias("v"))
+        )
+        x = (
+            verts.join(nxt, "id", "left")
+            .select(
+                "id",
+                (F.lit(float(beta))
+                 + alpha * F.coalesce("v", F.lit(0.0))).alias("v"),
+            )
+            .persist()
+        )
+        if (t + 1) % 5 == 0:
+            x = x.localCheckpoint(eager=True)
+        prev.unpersist()
+        metrics.record(kind="katz_superstep", iter=t + 1, mode="join")
+    return x.select("id", F.col("v").alias("score"))
+
+
 def hits(
     spark: SparkSession,
     edges: DataFrame,

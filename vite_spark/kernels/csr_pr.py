@@ -159,7 +159,7 @@ def _merge_layout(pack_dir: str, pid: int, writers):
 
 def _pr_job(spark, pack_dir, nparts, n, damping, t, routing, weighted,
             compute_contrib, ckpt_dir=None, restored=False,
-            mode="pagerank", seeds=None):
+            mode="pagerank", seeds=None, katz_beta=1.0):
     """Job ``t``: merge r_{t-1} from inbound spans, report the L1 delta
     vs r_{t-2}, and (when ``compute_contrib``) scatter iteration ``t``'s
     contribution spans. ``ckpt_dir``: tasks also copy r_{t-1} there
@@ -181,12 +181,16 @@ def _pr_job(spark, pack_dir, nparts, n, damping, t, routing, weighted,
     own, everything else identical (closed graphs have no dangling
     mass, so no redistribution term is needed on this path)."""
     owners_of, rdrs_of = routing
-    eigen = mode == "eigen"
-    base = 0.0 if eigen else (1.0 - damping) / n
-    init = 1.0 if eigen else 1.0 / n
+    # "eigen" and "katz" both run over ADJACENCY coefficients; katz adds
+    # the constant β each step (r = β + α·inflow, x₀ = β — the Katz
+    # recurrence from x₀ = 0 shifted one step) where eigen has base 0
+    adj = mode in ("eigen", "katz")
+    base = (0.0 if mode == "eigen" else katz_beta) if adj \
+        else (1.0 - damping) / n
+    init = (1.0 if mode == "eigen" else katz_beta) if adj else 1.0 / n
     if seeds is not None:
         seeds = np.asarray(seeds, dtype=np.int64)
-    if eigen:
+    if adj:
         cname = "w" if weighted else None
     else:
         cname = "coefw" if weighted else "coefu"
@@ -313,16 +317,19 @@ def _pr_job(spark, pack_dir, nparts, n, damping, t, routing, weighted,
 
 
 def csr_pagerank(spark, edges, damping, tol, max_iter, weighted, cfg,
-                 metrics, mode="pagerank", seeds=None):
+                 metrics, mode="pagerank", seeds=None, katz_beta=1.0):
     """Packed-CSR PageRank driver. Returns the (id, rank) DataFrame, or
     None when a precondition fails (caller runs the join path).
 
     ``mode="eigen"`` runs the same job loop as deferred-normalization
     power iteration (see _pr_job): caller passes damping=1.0, tol=0.0
-    and a fixed max_iter; the emit normalizes by the global L1 mass."""
-    algo = ("eigen" if mode == "eigen" else
+    and a fixed max_iter; the emit normalizes by the global L1 mass.
+    ``mode="katz"`` is the same adjacency loop with the additive β
+    (damping carries α); the emit is raw (Katz scores are absolute)."""
+    algo = (mode if mode in ("eigen", "katz") else
             "ppr" if seeds is not None else "pagerank")
-    mode_str = "csr_sharded_eigen" if mode == "eigen" else "csr_sharded_pr"
+    mode_str = ("csr_sharded_" + mode if mode in ("eigen", "katz")
+                else "csr_sharded_pr")
     if not spark.sparkContext.master.startswith("local"):
         return None
     nparts = cfg.shuffle_partitions or int(
@@ -378,7 +385,7 @@ def csr_pagerank(spark, edges, damping, tol, max_iter, weighted, cfg,
             sent = _pr_job(spark, pack_dir, nparts, n, damping, t, routing,
                            weighted, contrib, ckpt_dir=ck_dir,
                            restored=restored, mode=mode,
-                           seeds=seeds).collect()
+                           seeds=seeds, katz_beta=katz_beta).collect()
             wall = time.time() - t0
             delta_prev = float(sum(r["delta"] for r in sent))
             if ck_dir is not None:

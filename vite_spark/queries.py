@@ -1094,6 +1094,47 @@ x0 AS MATERIALIZED (SELECT id, 1.0 AS v FROM verts),""",
 
 SQL_EIGENVECTOR = _eigen_sql(EIGEN_ITERS)
 
+KATZ_ALPHA = 0.001
+KATZ_BETA = 1.0
+KATZ_ITERS = 10
+
+
+def q_katz(spark, sf_dir):
+    """Katz centrality (algos/centrality.katz_centrality): 10 steps of
+    x ← β + α·Aᵀx from x₀ = β on the weighted adjacency. At sf0.01 this
+    drives the PACKED-CSR kernel (kernels/csr_pr.py mode="katz") against
+    the unrolled-CTE oracle. α is small enough that λmax·α < 1 on this
+    graph (attenuated-walk regime); scores rounded 6."""
+    from vite_spark.algos.centrality import katz_centrality
+
+    e = lineitem_part_edges(spark, sf_dir)
+    r = katz_centrality(spark, e, alpha=KATZ_ALPHA, beta=KATZ_BETA,
+                        iters=KATZ_ITERS)
+    return r.select("id", F.round("score", 6).alias("score"))
+
+
+def _katz_sql(iters: int, alpha: float, beta: float) -> str:
+    parts = [
+        f"WITH {EDGES_CTE},",
+        f"""verts AS (SELECT DISTINCT src AS id FROM edges
+           UNION SELECT DISTINCT dst FROM edges),
+x0 AS MATERIALIZED (SELECT id, {beta} AS v FROM verts),""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""x{i} AS MATERIALIZED (
+  SELECT t.id, {beta} + {alpha} * COALESCE(s.v, 0.0) AS v FROM verts t
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(e.weight * x.v) AS v
+    FROM edges e JOIN x{i - 1} x ON x.id = e.src GROUP BY e.dst
+  ) s USING (id)
+),""")
+    body = "\n".join(parts)
+    body = body[: body.rstrip().rfind(",")]
+    return body + f"\nSELECT id, ROUND(v, 6) AS score FROM x{iters}"
+
+
+SQL_KATZ = _katz_sql(KATZ_ITERS, KATZ_ALPHA, KATZ_BETA)
+
 
 # Full Louvain / convergence protocol: driver-side convergence loop — not
 # expressible in one SQL statement; rows-only driver check + exact pytest
@@ -3441,6 +3482,7 @@ def registry() -> dict[str, tuple]:
         "cc_gini": (q_cc_gini, SQL_CC_GINI),
         "pagerank": (q_pagerank, SQL_PAGERANK),
         "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
+        "katz": (q_katz, SQL_KATZ),
         "personalized_pagerank": (q_personalized_pagerank, SQL_PPR),
         "louvain_assignment": (q_louvain_assignment, None),
         "louvain_summary": (q_louvain_summary, None),
