@@ -3151,6 +3151,63 @@ s0 AS (SELECT DISTINCT src AS walk, src AS cur FROM dedges),
 
 SQL_RANDOM_WALKS = _walks_sql(WALK_STEPS)
 
+N2V_RETURN_COST = 4
+N2V_INOUT_COST = 2
+
+
+def q_node2vec_walks(spark, sf_dir):
+    """Second-order biased walk corpus (algos/walks.node2vec_walks): the
+    deterministic node2vec analog — candidates race h·cost with integer
+    bias-class multipliers (return / local / outward), every value
+    int64-exact, corpus reproducible across engines."""
+    from vite_spark.algos.walks import node2vec_walks
+
+    e = lineitem_part_edges(spark, sf_dir)
+    return node2vec_walks(spark, e, steps=WALK_STEPS,
+                          return_cost=N2V_RETURN_COST,
+                          inout_cost=N2V_INOUT_COST)
+
+
+def _n2v_sql(steps: int, rc: int, ic: int) -> str:
+    from vite_spark.algos.walks import WALK_A, WALK_B, WALK_C, WALK_P
+
+    stages = []
+    for s in range(1, steps + 1):
+        stages.append(f"""c{s} AS (
+  SELECT t.walk, t.prev, e.dst,
+         ((t.cur % {WALK_P}) * {WALK_A} + {(s % WALK_P) * WALK_B}
+          + (e.dst % {WALK_P}) * {WALK_C}) % {WALK_P} AS h
+  FROM s{s - 1} t JOIN dedges e ON e.src = t.cur
+)""")
+        stages.append(f"""k{s} AS (
+  SELECT c.walk, c.dst,
+         c.h * (CASE WHEN c.dst = c.prev THEN {rc}
+                     WHEN a.src IS NOT NULL THEN 1
+                     ELSE {ic} END) AS k
+  FROM c{s} c LEFT JOIN dedges a ON a.src = c.prev AND a.dst = c.dst)""")
+        stages.append(f"""m{s} AS (
+  SELECT walk, MIN(k) AS mk FROM k{s} GROUP BY walk)""")
+        stages.append(f"""s{s} AS MATERIALIZED (
+  SELECT n.walk, p.cur AS prev, n.cur
+  FROM (SELECT x.walk, MIN(x.dst) AS cur
+        FROM k{s} x JOIN m{s} m ON m.walk = x.walk AND x.k = m.mk
+        GROUP BY x.walk) n
+  JOIN s{s - 1} p ON p.walk = n.walk
+)""")
+    emit = " UNION ALL ".join(
+        f"SELECT walk, CAST({s} AS BIGINT) AS step, cur AS id FROM s{s}"
+        for s in range(steps + 1))
+    return f"""WITH {EDGES_CTE},
+dedges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+s0 AS (SELECT DISTINCT src AS walk, CAST(NULL AS BIGINT) AS prev,
+              src AS cur FROM dedges),
+{", ".join(stages)}
+{emit}"""
+
+
+SQL_NODE2VEC_WALKS = _n2v_sql(WALK_STEPS, N2V_RETURN_COST, N2V_INOUT_COST)
+
 
 def q_hyperanf(spark, sf_dir):
     """HyperANF (algos/anf.py — Boldi–Rosa–Vigna): the truncated
@@ -3496,6 +3553,7 @@ def registry() -> dict[str, tuple]:
         "hyperanf": (q_hyperanf, SQL_HYPERANF),
         "effective_diameter": (q_effective_diameter, SQL_EFF_DIAMETER),
         "random_walks": (q_random_walks, SQL_RANDOM_WALKS),
+        "node2vec_walks": (q_node2vec_walks, SQL_NODE2VEC_WALKS),
         # directed graph (temporal-precedence derivation)
         "precedence_edges": (q_precedence_edges, SQL_PRECEDENCE_EDGES),
         "scc": (q_scc, SQL_SCC),
