@@ -143,3 +143,49 @@ def test_bm25_topk_matches_pure_python(spark):
         order = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         for rank, (d, sc) in enumerate(order[:3], 1):
             assert got[(qid, rank)] == (d, sc), (qid, rank)
+
+
+def test_ppmi_pairs_matches_pure_python(spark):
+    """ppmi_pairs replayed in pure Python on a corpus with one planted
+    always-co-occurring pair (must rank first with positive pmi) and
+    chance-level fillers."""
+    import math
+    from collections import Counter
+
+    from vite_spark.text.analysis import ppmi_pairs
+
+    texts = {
+        0: "alpha beta x y z w",
+        1: "alpha beta p q r s",
+        2: "alpha beta m n o k",
+        3: "x p m y q n w s k z r o",
+    }
+    docs = spark.createDataFrame(sorted(texts.items()),
+                                 "doc_id long, text string")
+    rows = ppmi_pairs(docs, k=10, window=3, min_count=2).collect()
+
+    pairs = Counter()
+    for t in texts.values():
+        tk = t.split(" ")
+        for i in range(len(tk)):
+            for j in range(i + 1, min(i + 4, len(tk))):
+                if tk[i] != tk[j]:
+                    pairs[(min(tk[i], tk[j]), max(tk[i], tk[j]))] += 1
+    n = sum(pairs.values())
+    marg = Counter()
+    for (a, b), c in pairs.items():
+        marg[a] += c
+        marg[b] += c
+    sc = [
+        (a, b, c, round(math.log(c * n / (marg[a] * marg[b])), 6))
+        for (a, b), c in pairs.items() if c >= 2
+    ]
+    sc.sort(key=lambda r: (-r[3], r[0], r[1]))
+    exp = [(a, b, c, p, max(0.0, p)) for a, b, c, p in sc[:10]]
+    got = [(r["tok_a"], r["tok_b"], r["n_ab"], r["pmi"], r["ppmi"])
+           for r in rows]
+    assert got == exp
+    # the planted pair is present, thrice-counted, positively associated
+    # (rarer fillers can legitimately outrank it — marginals are smaller)
+    ab = next(r for r in got if r[:2] == ("alpha", "beta"))
+    assert ab[2] == 3 and ab[3] > 0 and ab[4] == ab[3]

@@ -3310,6 +3310,51 @@ rk AS (SELECT *, ROW_NUMBER() OVER (
 SELECT doc_id, rank, term, tf, df, tfidf FROM rk WHERE rank <= {TFIDF_K}"""
 
 
+PPMI_K = 50
+
+
+def q_ppmi_pairs(spark, sf_dir):
+    """Top-k token associations by PMI over within-window co-occurrence
+    (text/analysis.ppmi_pairs), SPPMI clamp as its own column — exact
+    int64 counts, one round-6 ln per pair, total (pmi DESC, tok_a,
+    tok_b) order."""
+    return ta.ppmi_pairs(_docs(spark, sf_dir), k=PPMI_K)
+
+
+def _ppmi_sql() -> str:
+    from vite_spark.text.analysis import PPMI_MIN_COUNT, PPMI_WINDOW
+
+    return f"""WITH
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS p
+        FROM toks),
+pairs AS MATERIALIZED (
+  SELECT LEAST(a.tok, b.tok) AS tok_a, GREATEST(a.tok, b.tok) AS tok_b,
+         COUNT(*) AS n_ab
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+   AND b.p > a.p AND b.p - a.p <= {PPMI_WINDOW} AND a.tok <> b.tok
+  GROUP BY 1, 2),
+tot AS (SELECT SUM(n_ab) AS n FROM pairs),
+marg AS MATERIALIZED (
+  SELECT tok, SUM(n_ab) AS m FROM (
+    SELECT tok_a AS tok, n_ab FROM pairs
+    UNION ALL SELECT tok_b AS tok, n_ab FROM pairs)
+  GROUP BY tok),
+sc AS (
+  SELECT p.tok_a, p.tok_b, p.n_ab,
+         ROUND(LN(CAST(p.n_ab AS DOUBLE) * t.n / (ma.m * mb.m)), 6) AS pmi
+  FROM pairs p
+  JOIN marg ma ON ma.tok = p.tok_a
+  JOIN marg mb ON mb.tok = p.tok_b
+  CROSS JOIN tot t
+  WHERE p.n_ab >= {PPMI_MIN_COUNT})
+SELECT tok_a, tok_b, n_ab, pmi, GREATEST(0.0, pmi) AS ppmi FROM sc
+ORDER BY pmi DESC, tok_a, tok_b LIMIT {PPMI_K}"""
+
+
+SQL_PPMI_PAIRS = _ppmi_sql()
+
+
 BM25_QUERY_STRIDE = 50
 
 
@@ -3569,6 +3614,7 @@ def registry() -> dict[str, tuple]:
         "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
         "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
         "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+        "ppmi_pairs": (q_ppmi_pairs, SQL_PPMI_PAIRS),
         "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
         "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
         # dedup

@@ -231,3 +231,82 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+PPMI_WINDOW = 4
+PPMI_MIN_COUNT = 2
+
+
+def ppmi_pairs(
+    docs: DataFrame,
+    k: int = 50,
+    window: int = PPMI_WINDOW,
+    min_count: int = PPMI_MIN_COUNT,
+    text_col: str = "text",
+) -> DataFrame:
+    """(tok_a, tok_b, n_ab, pmi, ppmi) — the top-k token associations by
+    pointwise mutual information over within-window co-occurrences, with
+    the SPPMI clamp max(0, pmi) carried as its own column (the
+    word2vec/SPPMI statistic; Levy & Goldberg 2014). Ranking is by
+    SIGNED pmi so the top-k is well-populated even on corpora with few
+    positively-associated pairs; a pipeline building SPPMI vectors
+    consumes the ppmi column.
+
+    Pair distribution: unordered token pairs co-occurring within
+    ``window`` positions inside a document (tok_a < tok_b, multiplicity
+    counted); marginals are the pair-table row sums, so
+    pmi = ln(n_ab·N / (n_a·n_b)) is a true log-odds over the SAME
+    distribution. All counts exact int64; one ln per surviving pair,
+    rounded 6; ranking (pmi DESC, tok_a, tok_b) is total, so the global
+    top-k is engine-portable.
+
+    Scale shape: pair generation is a per-document positional self-join
+    bounded by doc_len·window (never doc_len²); both count aggregations
+    are map-side combinable; marginals shuffle bounded by vocabulary;
+    the top-k is a distributed TakeOrdered, k rows to the driver."""
+    tk = tokens(docs, text_col)
+    a = tk.select("doc_id", F.col("pos").alias("pa"), F.col("tok").alias("ta"))
+    b = tk.select("doc_id", F.col("pos").alias("pb"), F.col("tok").alias("tb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(
+            (F.col("pb") > F.col("pa"))
+            & (F.col("pb") - F.col("pa") <= window)
+            & (F.col("ta") != F.col("tb"))
+        )
+        .select(
+            F.least("ta", "tb").alias("tok_a"),
+            F.greatest("ta", "tb").alias("tok_b"),
+        )
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .persist()
+    )
+    tot = pairs.agg(F.sum("n_ab").alias("n"))
+    marg = (
+        pairs.select(F.col("tok_a").alias("tok"), "n_ab")
+        .unionAll(pairs.select(F.col("tok_b").alias("tok"), "n_ab"))
+        .groupBy("tok")
+        .agg(F.sum("n_ab").alias("m"))
+    )
+    scored = (
+        pairs.filter(F.col("n_ab") >= min_count)
+        .join(marg.select(F.col("tok").alias("tok_a"),
+                          F.col("m").alias("ma")), "tok_a")
+        .join(marg.select(F.col("tok").alias("tok_b"),
+                          F.col("m").alias("mb")), "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok_a", "tok_b", F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double") * F.col("n")
+                    / (F.col("ma") * F.col("mb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .withColumn("ppmi", F.greatest(F.lit(0.0), F.col("pmi")))
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "tok_a", "tok_b").limit(k)
