@@ -3310,6 +3310,61 @@ rk AS (SELECT *, ROW_NUMBER() OVER (
 SELECT doc_id, rank, term, tf, df, tfidf FROM rk WHERE rank <= {TFIDF_K}"""
 
 
+SAMPLE_RATE = 0.1
+SAMPLE_SEED = 2024
+STRAT_K = 25
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic Bernoulli sample (vite_spark/sampling.hash_sample):
+    keep doc iff hash32(doc_id, seed) < rate·2³² — a pure filter
+    (predicate-pushdown friendly), reproducible across engines; the hash
+    itself is emitted so the decision is value-checked."""
+    from vite_spark.sampling import hash_sample
+
+    return hash_sample(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id",
+        SAMPLE_RATE, SAMPLE_SEED,
+    ).select("doc_id", F.col("__h").alias("h"))
+
+
+SQL_HASH_SAMPLE = f"""WITH
+v AS (SELECT doc_id FROM documents),
+{_hash32_chain_sql("hs_", "v", "doc_id", SAMPLE_SEED)}
+SELECT k AS doc_id, a AS h FROM hs_7 WHERE a < {int(SAMPLE_RATE * (1 << 32))}"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exact per-stratum quotas (vite_spark/sampling.stratified_sample):
+    the K smallest (hash32(doc_id, seed), doc_id) per predicted language
+    — deterministic stratified sampling over the language_id operator's
+    strata."""
+    from vite_spark.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    lang = ta.language_id(docs).select("doc_id", "lang_pred")
+    out = stratified_sample(lang, "lang_pred", "doc_id", STRAT_K,
+                            SAMPLE_SEED)
+    return out.select("doc_id", "lang_pred", F.col("__h").alias("h"),
+                      F.col("__rk").alias("rk"))
+
+
+def _stratified_sql() -> str:
+    return f"""WITH
+lang AS MATERIALIZED (
+  SELECT doc_id, lang_pred FROM ({_langid_sql()})),
+{_hash32_chain_sql("ss_", "lang", "doc_id", SAMPLE_SEED)},
+rk AS (
+  SELECT l.doc_id, l.lang_pred, h.a AS h,
+         ROW_NUMBER() OVER (PARTITION BY l.lang_pred
+                            ORDER BY h.a, l.doc_id) AS rk
+  FROM lang l JOIN ss_7 h ON h.k = l.doc_id)
+SELECT doc_id, lang_pred, h, rk FROM rk WHERE rk <= {STRAT_K}"""
+
+
+SQL_STRATIFIED_SAMPLE = _stratified_sql()
+
+
 PPMI_K = 50
 
 
@@ -3615,6 +3670,8 @@ def registry() -> dict[str, tuple]:
         "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
         "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
         "ppmi_pairs": (q_ppmi_pairs, SQL_PPMI_PAIRS),
+        "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+        "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
         "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
         "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
         # dedup
