@@ -389,3 +389,28 @@ def test_kmeans_clusters_contract(spark):
         sizes[r["cell"]] = sizes.get(r["cell"], 0) + 1
     for r in rows:
         assert r["cell_size"] == sizes[r["cell"]]
+
+
+def test_key_skew_report(spark):
+    """Tier math on a planted skew: one hot key with 5 entities, two keys
+    with 2, fan-out shares computed against the exact total."""
+    from vite_spark.derive import key_skew_report
+
+    rows = (
+        [(e, 100) for e in range(5)]          # hot key: C(5,2)=10 pairs
+        + [(1, 200), (2, 200)]                # C(2,2)=1
+        + [(3, 300), (4, 300)]                # 1
+        + [(9, 400)]                          # singleton: 0 pairs
+        + [(1, 100)]                          # duplicate (entity,key) row
+    )
+    df = spark.createDataFrame(rows, "ent long, key long")
+    got = {r["key_freq"]: r for r in
+           key_skew_report(df, "ent", "key", k=10).collect()}
+    # dedup keeps key 100 at freq 5; total pairs = 10 + 1 + 1 + 0 = 12
+    assert set(got) == {5, 2, 1}
+    assert got[5]["n_keys"] == 1 and got[5]["pair_fanout"] == 10
+    assert got[2]["n_keys"] == 2 and got[2]["pair_fanout"] == 2
+    assert got[1]["n_keys"] == 1 and got[1]["pair_fanout"] == 0
+    assert got[5]["pair_share"] == round(10 / 12, 6)
+    assert got[2]["pair_share"] == round(2 / 12, 6)
+    assert [got[f]["rank"] for f in (5, 2, 1)] == [1, 2, 3]

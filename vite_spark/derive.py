@@ -203,3 +203,52 @@ def documents_as_repos(spark, sf_dir: str) -> DataFrame:
         F.col("lang"),
         F.col("text").alias("content"),
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    entity_col: str,
+    key_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """(rank, key_freq, n_keys, pair_fanout, pair_share) — the top-k join
+    keys of a co-occurrence derivation by (entity, key)-distinct
+    frequency, grouped by frequency, with each tier's share of the total
+    self-join pair fan-out Σ f·(f−1)/2.
+
+    This is the operational readout behind the engine's skew knobs
+    (max_key_freq cap, AQE skew splitting, salting): at 100 TB ONE
+    degenerate key (a vendored-everywhere file, a default event type) can
+    carry essentially all of the join's output, and this report is how a
+    pipeline owner sees that before the shuffle does. All-integer
+    except pair_share (one exact-ratio division, rounded 6).
+
+    Plan: one distinct + one groupBy(key) + one groupBy(freq) — rows out
+    bounded by distinct frequencies, never keys."""
+    from pyspark.sql import Window
+
+    pairs = df.select(
+        F.col(entity_col).cast("long").alias("entity"),
+        F.col(key_col).alias("key"),
+    ).distinct()
+    freq = pairs.groupBy("key").agg(F.count(F.lit(1)).alias("kf"))
+    tiers = freq.groupBy("kf").agg(F.count(F.lit(1)).alias("n_keys"))
+    tot = tiers.agg(
+        F.sum(F.col("n_keys") * F.col("kf") * (F.col("kf") - 1) / 2)
+        .cast("long").alias("tp"))
+    w = Window.orderBy(F.col("kf").desc())
+    return (
+        tiers.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            F.col("kf").cast("long").alias("key_freq"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            (F.col("n_keys") * F.col("kf") * (F.col("kf") - 1) / 2)
+            .cast("long").alias("pair_fanout"),
+            F.round(
+                (F.col("n_keys") * F.col("kf") * (F.col("kf") - 1) / 2)
+                / F.col("tp"), 6).alias("pair_share"),
+        )
+    )

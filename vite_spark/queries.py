@@ -189,6 +189,35 @@ SELECT ROUND((m * sjk - sj * sk)
        AS assortativity FROM s"""
 
 
+SKEW_TOPK = 20
+
+
+def q_key_skew_report(spark, sf_dir):
+    """Join-key skew diagnostic (derive.key_skew_report): top-k key
+    frequencies of the co-occurrence derivation with each tier's share
+    of the self-join pair fan-out — the operational readout behind the
+    max_key_freq cap / AQE skew / salting knobs."""
+    from vite_spark.derive import key_skew_report
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return key_skew_report(li, "l_partkey", "l_orderkey", k=SKEW_TOPK)
+
+
+SQL_KEY_SKEW_REPORT = f"""WITH
+pairs0 AS (SELECT DISTINCT l_orderkey AS key,
+                  CAST(l_partkey AS BIGINT) AS entity FROM lineitem),
+fr AS (SELECT key, COUNT(*) AS kf FROM pairs0 GROUP BY key),
+tiers AS (SELECT kf, COUNT(*) AS n_keys FROM fr GROUP BY kf),
+tot AS (SELECT CAST(SUM(n_keys * kf * (kf - 1) / 2) AS BIGINT) AS tp
+        FROM tiers),
+rk AS (SELECT kf, n_keys,
+              ROW_NUMBER() OVER (ORDER BY kf DESC) AS rank FROM tiers)
+SELECT rank, kf AS key_freq, n_keys,
+       CAST(n_keys * kf * (kf - 1) / 2 AS BIGINT) AS pair_fanout,
+       ROUND((n_keys * kf * (kf - 1) / 2) / tp, 6) AS pair_share
+FROM rk, tot WHERE rank <= {SKEW_TOPK}"""
+
+
 def q_degree_histogram(spark, sf_dir):
     """Degree distribution (graph.degree_histogram): two cascaded
     map-side-combinable groupBys; rows out bounded by max degree."""
@@ -3616,6 +3645,7 @@ def registry() -> dict[str, tuple]:
         "graph_stats": (q_graph_stats, SQL_GRAPH_STATS),
         "assortativity": (q_assortativity, SQL_ASSORTATIVITY),
         "degree_histogram": (q_degree_histogram, SQL_DEGREE_HISTOGRAM),
+        "key_skew_report": (q_key_skew_report, SQL_KEY_SKEW_REPORT),
         "powerlaw_alpha": (q_powerlaw_alpha, SQL_POWERLAW_ALPHA),
         "modularity_singleton": (q_modularity_singleton, SQL_MODULARITY_SINGLETON),
         "triangles_total": (q_triangles_total, SQL_TRIANGLES_TOTAL),
