@@ -189,3 +189,37 @@ def test_ppmi_pairs_matches_pure_python(spark):
     # (rarer fillers can legitimately outrank it — marginals are smaller)
     ab = next(r for r in got if r[:2] == ("alpha", "beta"))
     assert ab[2] == 3 and ab[3] > 0 and ab[4] == ab[3]
+
+
+def test_repetition_scores_hand_oracle(spark):
+    from vite_spark.text.analysis import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a b"),          # heavy repetition
+            (1, "p q r s t"),          # all distinct
+            (2, "x y"),                # <3 tokens: whole-text gram branch
+            (3, "go go go go"),        # one token only
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_scores(docs).collect()}
+
+    r0 = got[0]
+    assert r0["n_tokens"] == 5
+    assert r0["distinct_token_ratio"] == round(2 / 5, 6)
+    # 3-grams: aaa, aaa, aab -> 2 distinct of 3
+    assert r0["distinct_3gram_ratio"] == round(2 / 3, 6)
+    assert r0["top_token_share"] == round(4 / 5, 6)
+
+    r1 = got[1]
+    assert (r1["distinct_token_ratio"], r1["distinct_3gram_ratio"],
+            r1["top_token_share"]) == (1.0, 1.0, 0.2)
+
+    r2 = got[2]     # one whole-text "gram"
+    assert r2["n_tokens"] == 2 and r2["distinct_3gram_ratio"] == 1.0
+
+    r3 = got[3]     # gograms: gogogo x2 -> 1 distinct of 2
+    assert r3["distinct_token_ratio"] == 0.25
+    assert r3["distinct_3gram_ratio"] == 0.5
+    assert r3["top_token_share"] == 1.0

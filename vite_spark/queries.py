@@ -1468,6 +1468,35 @@ SELECT doc_id,
 FROM s"""
 
 
+def q_repetition_scores(spark, sf_dir):
+    """Repetitiveness quality signals (text/analysis.repetition_scores):
+    distinct-token / distinct-3gram ratios + top-token share — the
+    Gopher/MassiveText boilerplate gates, exact integer ratios."""
+    return ta.repetition_scores(_docs(spark, sf_dir))
+
+
+SQL_REPETITION_SCORES = """WITH
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM pos GROUP BY doc_id, tok),
+ts AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+              MAX(c) AS top_c FROM tc GROUP BY doc_id),
+gr AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(len(t) - 2),
+                             i -> t[i + 1] || t[i + 2] || t[i + 3])
+         ELSE [list_aggregate(t, 'string_agg', '')] END) AS g
+  FROM toks),
+gs AS (SELECT doc_id, COUNT(*) AS n_g, COUNT(DISTINCT g) AS d_g
+       FROM gr GROUP BY doc_id)
+SELECT ts.doc_id, CAST(ts.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(ts.n_distinct / ts.n_tokens, 6) AS distinct_token_ratio,
+       ROUND(gs.d_g / gs.n_g, 6) AS distinct_3gram_ratio,
+       ROUND(ts.top_c / ts.n_tokens, 6) AS top_token_share
+FROM ts JOIN gs ON gs.doc_id = ts.doc_id"""
+
+
 QUANTILE_PS = [0.1, 0.5, 0.9, 0.99]
 
 
@@ -3695,6 +3724,7 @@ def registry() -> dict[str, tuple]:
         "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
         "quality_scores": (q_quality, SQL_QUALITY),
         "quality_quantiles": (q_quality_quantiles, SQL_QUALITY_QUANTILES),
+        "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),
         "language_id": (q_langid, SQL_LANGID),
         "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
         "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),

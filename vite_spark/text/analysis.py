@@ -310,3 +310,52 @@ def ppmi_pairs(
     )
     return scored.orderBy(
         F.col("pmi").desc(), "tok_a", "tok_b").limit(k)
+
+
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, distinct_token_ratio, distinct_3gram_ratio,
+    top_token_share) - the repetitiveness quality signals real pretraining
+    pipelines gate on (the Gopher/MassiveText repetition rules): heavily
+    repeated tokens or n-grams mark boilerplate/spam.
+
+    distinct_token_ratio  = n_distinct_tokens / n_tokens
+    distinct_3gram_ratio  = n_distinct_3grams / max(n_tokens - 2, 1)
+    top_token_share       = count of the most frequent token / n_tokens
+                            (ties irrelevant - the max count is unique)
+
+    All ratios exact-integer divisions rounded 6; everything per-doc
+    (map-side combinable groupBys, no global state)."""
+    tk = tokens(docs, text_col)
+    per_tok = tk.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tok_stats = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws("", F.slice(toks, i + 1, 3)),
+        ),
+    ).otherwise(F.array(F.concat_ws("", toks)))
+    g = docs.select("doc_id", F.explode(grams).alias("g"))
+    gram_stats = g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.count_distinct("g").alias("d_g"),
+    )
+    return (
+        tok_stats.join(gram_stats, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "distinct_token_ratio"),
+            F.round(F.col("d_g") / F.col("n_g"), 6).alias(
+                "distinct_3gram_ratio"),
+            F.round(F.col("top_c") / F.col("n_tokens"), 6).alias(
+                "top_token_share"),
+        )
+    )
