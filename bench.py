@@ -254,6 +254,30 @@ def cc_throughput(spark, edges, reps: int = 2, metrics=None) -> float:
     return ne / wall
 
 
+def msf_throughput(spark, edges, reps: int = 2, metrics=None) -> float:
+    """edges/sec for a FULL Borůvka minimum-spanning-forest run (join
+    path — per round one edges⋈labels join on each endpoint, a
+    per-component window min, and a two-phase-CC contraction of the
+    one-edge-per-component graph). Whole-job number like cc_fixpoint:
+    the round count is data-determined and identical at every
+    parallelism level, so edges/total-wall compares cleanly. First run
+    warms (python workers, parquet page cache); the LAST run measures.
+    Run on a lighter input than the Louvain cert (SPARK_GRAFT_SCALING_
+    DEG=16): every Borůvka round scans the full edge table."""
+    from vite_spark.algos.msf import minimum_spanning_forest
+    from vite_spark.runtime.metrics import MetricsCollector
+
+    m = metrics if metrics is not None else MetricsCollector()
+    ne = edges.count()
+    wall = None
+    for _ in range(max(2, reps)):
+        t0 = time.time()
+        minimum_spanning_forest(spark, edges, metrics=m).count()
+        wall = time.time() - t0
+        m.record(kind="msf_job", wall_s=wall, edges=ne)
+    return ne / wall
+
+
 def cc_superstep_throughput(spark, edges, iters: int = 5, warmup: int = 1,
                             packed: bool = True, metrics=None) -> float:
     """edges/sec per connected-components superstep — the production-path
@@ -589,6 +613,11 @@ def scaling_worker(cores: int, nparts: int):
                  if r.get("kind") == "triangles_packed"})
             mode = ("+".join(packed_modes) if packed_modes
                     else "triangles_wedge_join")
+        elif algo == "msf":
+            # whole-job Borůvka MSF (join path; no packed kernel)
+            eps = msf_throughput(spark, edges, metrics=m)
+            kind = "msf_job"
+            mode = "msf_boruvka_join"
         elif algo.startswith("lpa"):
             # "lpa" = packed-CSR kernel; "lpa_join" = join+agg vote shape
             packed = algo != "lpa_join"
