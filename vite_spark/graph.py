@@ -252,3 +252,136 @@ def powerlaw_alpha(edges: DataFrame, dmin: int = 2) -> DataFrame:
             6,
         ).alias("alpha"),
     )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """(n_directed, n_reciprocal, reciprocity) of a DIRECTED edge table:
+    the share of non-loop directed edges (u,v) whose reverse (v,u) is
+    also present (Garlaschelli–Loffredo r = L↔/L — the standard directed
+    link-graph symmetry readout; on the precedence derivation it reads
+    "how often does B also immediately precede A somewhere").
+
+    Exact int64 counts — one distinct, one self-join on the reversed
+    pair (equi-join, shuffle on (src,dst) both sides, map-side
+    combinable counts), one final double division rounded 6. Nothing
+    O(nv) on the driver."""
+    d = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = d.join(rev, ["src", "dst"], "left_semi")
+    return d.agg(F.count(F.lit(1)).cast("long").alias("n_directed")).crossJoin(
+        recip.agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+    ).select(
+        "n_directed",
+        "n_reciprocal",
+        F.round(F.col("n_reciprocal") / F.col("n_directed"), 6).alias(
+            "reciprocity"
+        ),
+    )
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """(deg, n_vertices, knn) — average nearest-neighbor degree by degree
+    class (Pastor-Satorras/Vázquez/Vespignani k_nn(k): the standard
+    degree-correlation profile; a falling k_nn(k) is the disassortative
+    hub structure typical of link graphs, the curve behind the single
+    scalar `assortativity`).
+
+    Degrees are distinct-neighbor counts. Within a degree class every
+    vertex contributes its neighbor-degree SUM (int64-exact), and since
+    d(v) = deg is constant in the class,
+        k_nn(deg) = Σ_v snd(v) / (deg · n_deg)
+    — one exact integer numerator per class and ONE final double
+    division rounded 6, so the result is engine-portable with no
+    float-accumulation-order dependence. Plan: distinct, per-vertex agg,
+    one degree join on dst (shuffle by key), two cascaded
+    map-side-combinable groupBys; rows out ≤ max degree."""
+    und = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d"))
+    snd = (
+        und.join(deg.select(F.col("id").alias("dst"),
+                            F.col("d").alias("dn")), "dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"), F.sum("dn").alias("snd"))
+    )
+    return (
+        snd.groupBy(F.col("deg").cast("long").alias("deg"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"),
+             F.sum("snd").alias("num"))
+        .select(
+            "deg", "n_vertices",
+            F.round(F.col("num") / (F.col("deg") * F.col("n_vertices")), 6)
+            .alias("knn"),
+        )
+    )
+
+
+RICH_CLUB_KS = [1, 2, 4, 8, 16, 32, 64, 128]
+
+
+def rich_club(edges: DataFrame, ks: list[int] | None = None) -> DataFrame:
+    """(k, n_nodes, n_edges, phi) — rich-club coefficient ladder (Zhou &
+    Mondragón 2004): among the n_k vertices of degree > k, the density
+    φ(k) = 2·e_k / (n_k·(n_k−1)) of the e_k undirected edges joining
+    them. A φ(k) rising toward 1 at high k is the "rich club" — hubs
+    densely wired to each other — a first-class structural readout for
+    link graphs (and a skew warning for join planning).
+
+    Exact path: degree histogram + edge min-endpoint-degree histogram
+    (both bounded by max degree, map-side combinable), then one
+    broadcast non-equi join of the tiny k-ladder against each histogram
+    — never an O(|E|·|ks|) blow-up. φ computed once in double on exact
+    int64 counts, rounded 6; classes with n_k < 2 report φ = NULL."""
+    ks = RICH_CLUB_KS if ks is None else ks
+    spark = edges.sparkSession
+    und = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d"))
+    degh = deg.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    pairs = und.filter(F.col("src") < F.col("dst"))
+    mind = (
+        pairs.join(deg.select(F.col("id").alias("src"),
+                              F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("id").alias("dst"),
+                         F.col("d").alias("dt")), "dst")
+        .select(F.least("ds", "dt").alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("ne"))
+    )
+    kdf = spark.createDataFrame([(int(k),) for k in ks], "k long")
+    nk = (
+        kdf.join(degh, degh["d"] > kdf["k"], "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("nd"), F.lit(0)).cast("long").alias("n_nodes"))
+    )
+    ek = (
+        kdf.join(mind, mind["m"] > kdf["k"], "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("ne"), F.lit(0)).cast("long").alias("n_edges"))
+    )
+    return (
+        nk.join(ek, "k")
+        .select(
+            "k", "n_nodes", "n_edges",
+            F.when(
+                F.col("n_nodes") >= 2,
+                F.round(
+                    2.0 * F.col("n_edges")
+                    / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1))),
+                    6,
+                ),
+            ).alias("phi"),
+        )
+    )

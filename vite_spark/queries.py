@@ -3665,6 +3665,162 @@ FROM hit"""
 SQL_EFF_DIAMETER = _build_sql_eff_diameter()
 
 
+# ------------------------------------------------- round-4 structure stats
+
+def q_reciprocity(spark, sf_dir):
+    """Directed-edge reciprocity (graph.reciprocity — Garlaschelli &
+    Loffredo r = L↔/L) of the temporal-precedence graph: how often does
+    B-also-precedes-A accompany A-precedes-B. Exact int64 counts, one
+    reversed-pair semi-join, one rounded double."""
+    from vite_spark.derive import precedence_edges
+    from vite_spark.graph import reciprocity
+
+    return reciprocity(precedence_edges(spark, sf_dir))
+
+
+SQL_RECIPROCITY = f"""WITH {PEDGES_CTE},
+d AS (SELECT DISTINCT src, dst FROM pedges WHERE src <> dst),
+n AS (SELECT COUNT(*) AS n_directed FROM d),
+r AS (SELECT COUNT(*) AS n_reciprocal
+      FROM d a JOIN d b ON b.src = a.dst AND b.dst = a.src)
+SELECT n_directed, n_reciprocal,
+       ROUND(n_reciprocal / n_directed, 6) AS reciprocity
+FROM n, r"""
+
+
+def q_avg_neighbor_degree(spark, sf_dir):
+    """Average nearest-neighbor degree by degree class
+    (graph.avg_neighbor_degree — Pastor-Satorras k_nn(k), the curve
+    behind the `assortativity` scalar). Exact int64 numerator per class;
+    one double division, rounded 6."""
+    from vite_spark.graph import avg_neighbor_degree
+
+    return avg_neighbor_degree(lineitem_part_edges(spark, sf_dir))
+
+
+SQL_AVG_NEIGHBOR_DEGREE = f"""WITH {EDGES_CTE},
+und AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+snd AS (SELECT u.src AS v, COUNT(*) AS deg, SUM(dn.d) AS snd
+        FROM und u JOIN deg dn ON dn.id = u.dst GROUP BY u.src)
+SELECT deg, COUNT(*) AS n_vertices,
+       ROUND(SUM(snd) / (deg * COUNT(*)), 6) AS knn
+FROM snd GROUP BY deg"""
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient ladder (graph.rich_club — Zhou & Mondragón
+    φ(k)): edge density among vertices of degree > k for the fixed k
+    ladder. Histogram + broadcast non-equi ladder join — exact counts,
+    one rounded double per class."""
+    from vite_spark.graph import rich_club
+
+    return rich_club(lineitem_part_edges(spark, sf_dir))
+
+
+def _rich_club_sql() -> str:
+    from vite_spark.graph import RICH_CLUB_KS
+
+    values = ", ".join(f"({k})" for k in RICH_CLUB_KS)
+    return f"""WITH {{EDGES_CTE}},
+und AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+degh AS (SELECT d, COUNT(*) AS nd FROM deg GROUP BY d),
+mind0 AS (
+  SELECT LEAST(a.d, b.d) AS m
+  FROM (SELECT src, dst FROM und WHERE src < dst) p
+  JOIN deg a ON a.id = p.src JOIN deg b ON b.id = p.dst
+),
+mind AS (SELECT m, COUNT(*) AS ne0 FROM mind0 GROUP BY m),
+ks AS (SELECT CAST(ku AS BIGINT) AS k FROM (VALUES {values}) t(ku)),
+nk AS (SELECT k, CAST(COALESCE(SUM(nd), 0) AS BIGINT) AS n_nodes
+       FROM ks LEFT JOIN degh ON degh.d > ks.k GROUP BY k),
+ek AS (SELECT k, CAST(COALESCE(SUM(ne0), 0) AS BIGINT) AS n_edges
+       FROM ks LEFT JOIN mind ON mind.m > ks.k GROUP BY k)
+SELECT k, n_nodes, n_edges,
+       CASE WHEN n_nodes >= 2
+            THEN ROUND(2.0 * n_edges / (n_nodes * (n_nodes - 1)), 6)
+       END AS phi
+FROM nk JOIN ek USING (k)""".format(EDGES_CTE=EDGES_CTE)
+
+
+SQL_RICH_CLUB = _rich_club_sql()
+
+
+# ------------------------------------------------- round-4 pipeline gates
+
+def q_decontamination(spark, sf_dir):
+    """Benchmark n-gram decontamination (text/analysis.decontamination):
+    per non-benchmark doc, the fraction of its distinct 3-grams present
+    in the deterministic benchmark split (doc_id ≡ 0 mod bench_mod) —
+    the overlap gate run before training. Shingle machinery shared with
+    the dedup family; benchmark set broadcast-able at scale."""
+    from vite_spark.text.analysis import decontamination
+
+    return decontamination(_docs(spark, sf_dir))
+
+
+def _decon_sql() -> str:
+    from vite_spark.text.analysis import DECON_BENCH_MOD as M
+
+    return f"""WITH {SHINGLES_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {M} = 0),
+rest AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {M} <> 0),
+sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM rest GROUP BY doc_id),
+hit AS (SELECT doc_id, COUNT(*) AS n_hit
+        FROM rest JOIN bench USING (shingle) GROUP BY doc_id)
+SELECT doc_id, n_shingles,
+       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       ROUND(COALESCE(n_hit, 0) / n_shingles, 6) AS contamination
+FROM sz LEFT JOIN hit USING (doc_id)"""
+
+
+SQL_DECONTAMINATION = _decon_sql()
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII detection counts (text/analysis.pii_scan) over the
+    deterministic PII-augmented text (the synthetic corpus carries no
+    identifiers, so markers derived from doc_id are appended — same
+    expression in this oracle): email / IPv4 / long-digit-run matches
+    per doc via built-in regexp_extract_all, no shuffle."""
+    from vite_spark.text.analysis import pii_scan
+
+    return pii_scan(_docs(spark, sf_dir))
+
+
+def _pii_sql() -> str:
+    from vite_spark.text.analysis import (
+        PII_EMAIL_RE, PII_IPV4_RE, PII_LONGNUM_RE,
+    )
+
+    return f"""WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' u' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' 10.0.' || (doc_id % 256) || '.1' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' acct 88' || (doc_id + 1000000) ELSE '' END AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT)
+           AS n_email,
+         CAST(len(regexp_extract_all(t, '{PII_IPV4_RE}')) AS BIGINT)
+           AS n_ipv4,
+         CAST(len(regexp_extract_all(t, '{PII_LONGNUM_RE}')) AS BIGINT)
+           AS n_longnum
+  FROM aug)
+SELECT doc_id, n_email, n_ipv4, n_longnum,
+       (n_email + n_ipv4 + n_longnum) > 0 AS any_pii
+FROM c"""
+
+
+SQL_PII_SCAN = _pii_sql()
+
+
 def registry() -> dict[str, tuple]:
     """name → (spark_fn, oracle_sql_or_None)."""
     return {
@@ -3676,6 +3832,10 @@ def registry() -> dict[str, tuple]:
         "degree_histogram": (q_degree_histogram, SQL_DEGREE_HISTOGRAM),
         "key_skew_report": (q_key_skew_report, SQL_KEY_SKEW_REPORT),
         "powerlaw_alpha": (q_powerlaw_alpha, SQL_POWERLAW_ALPHA),
+        "reciprocity": (q_reciprocity, SQL_RECIPROCITY),
+        "avg_neighbor_degree": (
+            q_avg_neighbor_degree, SQL_AVG_NEIGHBOR_DEGREE),
+        "rich_club": (q_rich_club, SQL_RICH_CLUB),
         "modularity_singleton": (q_modularity_singleton, SQL_MODULARITY_SINGLETON),
         "triangles_total": (q_triangles_total, SQL_TRIANGLES_TOTAL),
         "triangles_by_vertex": (q_triangles_by_vertex, SQL_TRIANGLES_BY_VERTEX),
@@ -3722,6 +3882,8 @@ def registry() -> dict[str, tuple]:
         "sha256_gate": (q_sha256_gate, SQL_SHA256_GATE),
         # text analysis
         "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+        "decontamination": (q_decontamination, SQL_DECONTAMINATION),
+        "pii_scan": (q_pii_scan, SQL_PII_SCAN),
         "quality_scores": (q_quality, SQL_QUALITY),
         "quality_quantiles": (q_quality_quantiles, SQL_QUALITY_QUANTILES),
         "repetition_scores": (q_repetition_scores, SQL_REPETITION_SCORES),

@@ -359,3 +359,112 @@ def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 "top_token_share"),
         )
     )
+
+
+DECON_BENCH_MOD = 20
+
+# PII patterns — written in the regex subset Java (Spark) and RE2
+# (DuckDB) interpret IDENTICALLY: literal classes, \d, \b, bounded
+# repetition; no lookaround, no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_LONGNUM_RE = r"\d{7,}"
+
+
+def decontamination(
+    docs: DataFrame, bench_mod: int = DECON_BENCH_MOD, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_shingles, n_hit, contamination) for every NON-benchmark
+    document: the fraction of the doc's distinct token 3-grams that occur
+    anywhere in the benchmark split (docs with doc_id ≡ 0 mod
+    ``bench_mod`` — a deterministic stand-in for a held-out eval suite).
+    This is the standard n-gram-overlap decontamination gate of
+    training-data pipelines (filter or flag docs whose contamination
+    exceeds a threshold before training).
+
+    Scale shape: reuses the dedup shingle machinery (distinct 3-grams per
+    doc, exploded — never a per-row Python path). The benchmark shingle
+    set is |corpus|/bench_mod-sized and duplicate-free, so the membership
+    probe is one equi-join on `shingle` (broadcast-able when the
+    benchmark is small — the common case: eval suites are tiny next to
+    the corpus) followed by a map-side-combinable count per doc; no
+    all-pairs term anywhere. Exact int64 counts, one final double
+    division rounded 6."""
+    from vite_spark.text.dedup import shingles
+
+    sh = shingles(docs, text_col)
+    is_bench = (F.col("doc_id") % bench_mod) == 0
+    bench = sh.filter(is_bench).select("shingle").distinct()
+    rest = sh.filter(~is_bench)
+    sizes = rest.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"))
+    hits = rest.join(bench, "shingle").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("contamination"),
+        )
+    )
+
+
+def pii_augmented_text(text_col: str = "text"):
+    """Deterministic PII-bearing text expression: the synthetic corpus
+    contains no personal identifiers, so the scan surface is exercised by
+    appending per-doc markers derived from doc_id — docs ≡ 0 mod 3 gain
+    an email, ≡ 0 mod 5 an IPv4, ≡ 0 mod 7 a long account number. The
+    SQL oracle builds the identical string; the SCAN below is the
+    production operator and runs unchanged on real text."""
+    return F.concat(
+        F.col(text_col),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" u"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" 10.0."), (F.col("doc_id") % 256).cast("string"),
+                     F.lit(".1")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" acct 88"),
+                     (F.col("doc_id") + 1000000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_email, n_ipv4, n_longnum, any_pii) — per-document PII
+    detection counts via non-overlapping regex matches: email-shaped
+    tokens, dotted-quad IPv4 literals, and ≥7-digit runs (account/phone
+    shaped). The redaction-or-drop decision downstream keys off
+    `any_pii`; counts keep the readout auditable.
+
+    Pure built-in `regexp_extract_all` (JVM regex inside whole-stage
+    codegen — no Python), one projection, no shuffle: the per-doc scan is
+    embarrassingly parallel and the patterns live in the Java∩RE2
+    dialect subset so the DuckDB oracle counts the identical matches."""
+    txt = F.col("__pii_txt")
+    return (
+        docs.select("doc_id", pii_augmented_text(text_col).alias("__pii_txt"))
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all(txt, F.lit(PII_EMAIL_RE), 0))
+            .cast("long").alias("n_email"),
+            F.size(F.regexp_extract_all(txt, F.lit(PII_IPV4_RE), 0))
+            .cast("long").alias("n_ipv4"),
+            F.size(F.regexp_extract_all(txt, F.lit(PII_LONGNUM_RE), 0))
+            .cast("long").alias("n_longnum"),
+        )
+        .withColumn(
+            "any_pii",
+            (F.col("n_email") + F.col("n_ipv4") + F.col("n_longnum")) > 0,
+        )
+    )
