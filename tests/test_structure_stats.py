@@ -155,3 +155,43 @@ def test_pii_scan_augmented_and_native(spark):
     assert got[2]["n_email"] == 1 and got[2]["any_pii"] is True
     assert got[4]["n_ipv4"] == 1
     assert got[8]["n_longnum"] == 1
+
+
+# ----------------------------------------------------------- butterflies
+
+def test_butterfly_stats_hand(spark):
+    from vite_spark.derive import butterfly_stats
+
+    # k1:{e1,e2,e3}, k2:{e1,e2}: one butterfly (e1,e2,k1,k2),
+    # P3 = sum (d_e-1)(d_k-1) = 2+2+0+1+1 = 6, bcc = 4/6
+    df = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (1, 20), (2, 20)], "e long, k long")
+    row = butterfly_stats(df, "e", "k").collect()[0]
+    assert (row["n_incidence"], row["n_butterflies"], row["n_threepaths"]) \
+        == (5, 1, 6)
+    assert row["bcc"] == round(4 / 6, 6)
+
+
+def test_butterfly_stats_vs_networkx(spark):
+    import networkx as nx
+    from networkx.algorithms import bipartite
+    from vite_spark.derive import butterfly_stats
+
+    rng = random.Random(5)
+    inc = {(rng.randrange(25), 100 + rng.randrange(12)) for _ in range(120)}
+    g = nx.Graph(inc)
+    row = butterfly_stats(
+        spark.createDataFrame([(e, k) for e, k in inc], "e long, k long"),
+        "e", "k").collect()[0]
+    want = bipartite.robins_alexander_clustering(g)
+    assert row["bcc"] == round(want, 6)
+
+
+def test_butterfly_stats_no_copairs(spark):
+    from vite_spark.derive import butterfly_stats
+
+    # every key exclusive to one entity: no pairs, no three-paths
+    df = spark.createDataFrame([(1, 10), (2, 20)], "e long, k long")
+    row = butterfly_stats(df, "e", "k").collect()[0]
+    assert (row["n_butterflies"], row["n_threepaths"]) == (0, 0)
+    assert row["bcc"] is None

@@ -252,3 +252,74 @@ def key_skew_report(
                 / F.col("tp"), 6).alias("pair_share"),
         )
     )
+
+
+def butterfly_stats(
+    df: DataFrame,
+    entity_col: str,
+    key_col: str,
+    max_key_freq: int | None = _UNSET,  # type: ignore[assignment]
+) -> DataFrame:
+    """Bipartite butterfly census of the (entity, key) incidence — the
+    structure the co-occurrence projection is built from. One row:
+    (n_incidence, n_butterflies, n_threepaths, bcc) where a butterfly is
+    a bipartite 4-cycle (two entities sharing two keys — the unit that
+    becomes a multi-edge in the projection), three-paths are length-3
+    paths Σ_(e,k)∈E (d(e)−1)(d(k)−1), and bcc = 4·B / P₃ is the
+    Robins–Alexander bipartite clustering coefficient. High bcc warns
+    that the projection will densify (shared-key fan-out compounds).
+
+    Exact path: the same dedup + announced key-frequency cap as
+    cooccurrence_edges, two degree aggregations, one incidence join
+    (shuffle |E| rows with map-side partial sums), and the pair-count
+    self-join the projection pays anyway — B = Σ_pairs C(w,2) summed as
+    int64 Σ w(w−1) then halved once. No floats until the final ratio
+    (rounded 6)."""
+    if max_key_freq is _UNSET:
+        max_key_freq = DEFAULT_MAX_KEY_FREQ
+    pairs = df.select(
+        F.col(entity_col).cast("long").alias("entity"),
+        F.col(key_col).alias("key"),
+    ).distinct()
+    if max_key_freq is not None:
+        log.info(
+            "butterfly_stats: key-frequency cap %d in effect on %r",
+            max_key_freq, key_col,
+        )
+        freq = pairs.groupBy("key").agg(F.count(F.lit(1)).alias("kf"))
+        pairs = pairs.join(
+            freq.filter(F.col("kf") <= max_key_freq), "key"
+        ).select("entity", "key")
+    pairs = pairs.persist()
+    de = pairs.groupBy("entity").agg(F.count(F.lit(1)).alias("d_e"))
+    dk = pairs.groupBy("key").agg(F.count(F.lit(1)).alias("d_k"))
+    p3 = (
+        pairs.join(de, "entity").join(dk, "key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_incidence"),
+            F.coalesce(
+                F.sum((F.col("d_e") - 1) * (F.col("d_k") - 1)), F.lit(0)
+            ).cast("long").alias("n_threepaths"),
+        )
+    )
+    a = pairs.select(F.col("entity").alias("s"), "key")
+    b = pairs.select(F.col("entity").alias("t"), "key")
+    w = (
+        a.join(b, "key")
+        .filter(F.col("s") < F.col("t"))
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bf = w.agg(
+        (F.coalesce(F.sum(F.col("c") * (F.col("c") - 1)), F.lit(0)) / 2)
+        .cast("long").alias("n_butterflies")
+    )
+    return p3.crossJoin(bf).select(
+        "n_incidence",
+        "n_butterflies",
+        "n_threepaths",
+        F.when(
+            F.col("n_threepaths") > 0,
+            F.round(4.0 * F.col("n_butterflies") / F.col("n_threepaths"), 6),
+        ).alias("bcc"),
+    )

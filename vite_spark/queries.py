@@ -3821,6 +3821,54 @@ FROM c"""
 SQL_PII_SCAN = _pii_sql()
 
 
+def q_butterflies(spark, sf_dir):
+    """Bipartite butterfly census (derive.butterfly_stats) of the
+    order-part incidence the co-occurrence graph projects from:
+    butterflies (4-cycles), three-paths, and the Robins-Alexander
+    bipartite clustering coefficient 4B/P3 — the densification warning
+    for the projection self-join. Exact int64 counts, one rounded
+    ratio."""
+    from vite_spark.derive import butterfly_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return butterfly_stats(li, "l_partkey", "l_orderkey")
+
+
+SQL_BUTTERFLIES = f"""WITH
+pairs0 AS (
+  SELECT DISTINCT l_orderkey AS key, CAST(l_partkey AS BIGINT) AS entity
+  FROM lineitem
+),
+kf AS (SELECT key, COUNT(*) AS c FROM pairs0 GROUP BY key),
+pairs AS (
+  SELECT p.key, p.entity FROM pairs0 p JOIN kf USING (key)
+  WHERE kf.c <= {DEFAULT_MAX_KEY_FREQ}
+),
+de AS (SELECT entity, COUNT(*) AS d_e FROM pairs GROUP BY entity),
+dk AS (SELECT key, COUNT(*) AS d_k FROM pairs GROUP BY key),
+p3 AS (
+  SELECT COUNT(*) AS n_incidence,
+         CAST(COALESCE(SUM((d_e - 1) * (d_k - 1)), 0) AS BIGINT)
+           AS n_threepaths
+  FROM pairs p JOIN de USING (entity) JOIN dk USING (key)
+),
+w AS (
+  SELECT a.entity AS s, b.entity AS t, COUNT(*) AS c
+  FROM pairs a JOIN pairs b ON a.key = b.key AND a.entity < b.entity
+  GROUP BY a.entity, b.entity
+),
+bf AS (
+  SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) // 2 AS BIGINT)
+           AS n_butterflies
+  FROM w
+)
+SELECT n_incidence, n_butterflies, n_threepaths,
+       CASE WHEN n_threepaths > 0
+            THEN ROUND(4.0 * n_butterflies / n_threepaths, 6)
+       END AS bcc
+FROM p3, bf"""
+
+
 def registry() -> dict[str, tuple]:
     """name → (spark_fn, oracle_sql_or_None)."""
     return {
@@ -3836,6 +3884,7 @@ def registry() -> dict[str, tuple]:
         "avg_neighbor_degree": (
             q_avg_neighbor_degree, SQL_AVG_NEIGHBOR_DEGREE),
         "rich_club": (q_rich_club, SQL_RICH_CLUB),
+        "butterflies": (q_butterflies, SQL_BUTTERFLIES),
         "modularity_singleton": (q_modularity_singleton, SQL_MODULARITY_SINGLETON),
         "triangles_total": (q_triangles_total, SQL_TRIANGLES_TOTAL),
         "triangles_by_vertex": (q_triangles_by_vertex, SQL_TRIANGLES_BY_VERTEX),
