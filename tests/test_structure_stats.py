@@ -195,3 +195,63 @@ def test_butterfly_stats_no_copairs(spark):
     row = butterfly_stats(df, "e", "k").collect()[0]
     assert (row["n_butterflies"], row["n_threepaths"]) == (0, 0)
     assert row["bcc"] is None
+
+
+# ------------------------------------------------------- sanity + diff
+
+def test_edge_table_sanity_canonical(spark):
+    from vite_spark.graph import edge_table_sanity, symmetrize
+
+    half = spark.createDataFrame(
+        [(1, 2, 2.0), (2, 3, 1.0)], "src long, dst long, weight double")
+    row = edge_table_sanity(symmetrize(half)).collect()[0]
+    assert row["n_rows"] == 4 and row["is_canonical"] is True
+    assert (row["n_self_loops"], row["n_dup_rows"], row["n_asym_rows"],
+            row["n_nonpos_weight"]) == (0, 0, 0, 0)
+
+
+def test_edge_table_sanity_flags_defects(spark):
+    from vite_spark.graph import edge_table_sanity
+
+    bad = spark.createDataFrame(
+        [
+            (1, 2, 2.0), (2, 1, 2.0),   # fine
+            (3, 3, 1.0),                 # loop
+            (4, 5, 1.0), (4, 5, 1.0), (5, 4, 1.0), (5, 4, 1.0),  # dups
+            (6, 7, 1.0),                 # missing mirror
+            (8, 9, -1.0), (9, 8, -1.0),  # non-positive weight
+        ],
+        "src long, dst long, weight double",
+    )
+    row = edge_table_sanity(bad).collect()[0]
+    assert row["n_self_loops"] == 1
+    assert row["n_dup_rows"] == 2
+    assert row["n_asym_rows"] == 1
+    assert row["n_nonpos_weight"] == 2
+    assert row["is_canonical"] is False
+
+
+def test_snapshot_diff_hand(spark):
+    from vite_spark.graph import snapshot_diff, symmetrize
+
+    old = symmetrize(spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 2.0)],
+        "src long, dst long, weight double"))
+    new = symmetrize(spark.createDataFrame(
+        [(1, 2, 1.0), (3, 4, 5.0), (7, 8, 1.0)],
+        "src long, dst long, weight double"))
+    row = snapshot_diff(old, new).collect()[0]
+    assert (row["n_added"], row["n_removed"], row["n_kept"],
+            row["n_weight_changed"]) == (1, 1, 2, 1)
+    assert row["jaccard"] == 0.5
+
+
+def test_snapshot_diff_identical(spark):
+    from vite_spark.graph import snapshot_diff, symmetrize
+
+    e = symmetrize(spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 4.0)], "src long, dst long, weight double"))
+    row = snapshot_diff(e, e).collect()[0]
+    assert (row["n_added"], row["n_removed"], row["n_kept"],
+            row["n_weight_changed"]) == (0, 0, 2, 0)
+    assert row["jaccard"] == 1.0

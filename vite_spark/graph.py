@@ -385,3 +385,96 @@ def rich_club(edges: DataFrame, ks: list[int] | None = None) -> DataFrame:
             ).alias("phi"),
         )
     )
+
+
+def edge_table_sanity(edges: DataFrame) -> DataFrame:
+    """One-row data-quality gate for a canonical symmetrized edge table:
+    (n_rows, n_self_loops, n_dup_rows, n_asym_rows, n_nonpos_weight,
+    is_canonical). `n_asym_rows` counts directed rows whose exact
+    (dst, src, weight) mirror is absent — 0 on any properly symmetrized
+    table; `is_canonical` folds all five checks into the boolean a
+    pipeline asserts before running the algorithms (the edge-table
+    analog of the repos derivation's sha256 row gate).
+
+    Shape: two map-side-combinable aggregations plus one equi-join on
+    the reversed key for the asymmetry probe — |E| rows shuffled once,
+    nothing on the driver."""
+    dup = (
+        edges.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+             .cast("long").alias("n_dup_rows"))
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.col("weight").alias("weight"),
+    )
+    asym = (
+        edges.join(rev, ["src", "dst", "weight"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_asym_rows"))
+    )
+    base = edges.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum((F.col("src") == F.col("dst")).cast("long")),
+                   F.lit(0)).cast("long").alias("n_self_loops"),
+        F.coalesce(F.sum((F.col("weight") <= 0).cast("long")),
+                   F.lit(0)).cast("long").alias("n_nonpos_weight"),
+    )
+    return base.crossJoin(dup).crossJoin(asym).select(
+        "n_rows", "n_self_loops", "n_dup_rows", "n_asym_rows",
+        "n_nonpos_weight",
+        (
+            (F.col("n_self_loops") == 0) & (F.col("n_dup_rows") == 0)
+            & (F.col("n_asym_rows") == 0) & (F.col("n_nonpos_weight") == 0)
+        ).alias("is_canonical"),
+    )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """One-row edge-set delta between two graph snapshots (the daily
+    re-derivation readout of an incremental pipeline): n_added /
+    n_removed / n_kept undirected edges, the weight-changed subset of
+    the kept ones, and the Jaccard overlap of the two edge sets —
+    exact int64 counts, one rounded double.
+
+    Shape: canonicalize each side to its undirected support (src<dst
+    distinct with the pairwise max weight — symmetrized inputs carry
+    each edge twice), then ONE full outer join on the pair key;
+    everything after is a map-side-combinable single aggregation. At
+    100 TB both sides bucket/shuffle on the same (src, dst) key, so the
+    join co-locates."""
+    def canon(e):
+        return (
+            e.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+                F.col("weight").cast("double").alias("w"),
+            )
+            .groupBy("a", "b")
+            .agg(F.max("w").alias("w"))
+        )
+    o = canon(old).select("a", "b", F.col("w").alias("w_old"))
+    n = canon(new).select("a", "b", F.col("w").alias("w_new"))
+    j = o.join(n, ["a", "b"], "full_outer")
+    return j.agg(
+        F.coalesce(F.sum((F.col("w_old").isNull()).cast("long")), F.lit(0))
+        .cast("long").alias("n_added"),
+        F.coalesce(F.sum((F.col("w_new").isNull()).cast("long")), F.lit(0))
+        .cast("long").alias("n_removed"),
+        F.coalesce(
+            F.sum((F.col("w_old").isNotNull()
+                   & F.col("w_new").isNotNull()).cast("long")), F.lit(0))
+        .cast("long").alias("n_kept"),
+        F.coalesce(
+            F.sum((F.col("w_old").isNotNull() & F.col("w_new").isNotNull()
+                   & (F.col("w_old") != F.col("w_new"))).cast("long")),
+            F.lit(0)).cast("long").alias("n_weight_changed"),
+    ).select(
+        "n_added", "n_removed", "n_kept", "n_weight_changed",
+        F.round(
+            F.col("n_kept")
+            / (F.col("n_added") + F.col("n_removed") + F.col("n_kept")),
+            6,
+        ).alias("jaccard"),
+    )

@@ -3869,6 +3869,106 @@ SELECT n_incidence, n_butterflies, n_threepaths,
 FROM p3, bf"""
 
 
+def q_edge_sanity(spark, sf_dir):
+    """Edge-table data-quality gate (graph.edge_table_sanity): loop /
+    duplicate / asymmetry / non-positive-weight counts folded into the
+    is_canonical boolean a pipeline asserts before the algorithms run —
+    the edge-side analog of the repos sha256 row gate."""
+    from vite_spark.graph import edge_table_sanity
+
+    return edge_table_sanity(lineitem_part_edges(spark, sf_dir))
+
+
+SQL_EDGE_SANITY = f"""WITH {EDGES_CTE},
+dup AS (
+  SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_dup_rows
+  FROM (SELECT COUNT(*) AS c FROM edges GROUP BY src, dst)
+),
+asym AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_asym_rows
+  FROM edges e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges r
+    WHERE r.src = e.dst AND r.dst = e.src AND r.weight = e.weight)
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(CASE WHEN src = dst THEN 1 END), 0) AS BIGINT)
+           AS n_self_loops,
+         CAST(COALESCE(SUM(CASE WHEN weight <= 0 THEN 1 END), 0) AS BIGINT)
+           AS n_nonpos_weight
+  FROM edges
+)
+SELECT n_rows, n_self_loops, n_dup_rows, n_asym_rows, n_nonpos_weight,
+       (n_self_loops = 0 AND n_dup_rows = 0 AND n_asym_rows = 0
+        AND n_nonpos_weight = 0) AS is_canonical
+FROM base, dup, asym"""
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Edge-set delta between two deterministic co-occurrence snapshots
+    (graph.snapshot_diff — the daily-re-derivation readout): snapshot A
+    = orders with l_orderkey % 3 <> 0, snapshot B = % 3 <> 1, so adds /
+    removes / kept / weight-changed are all exercised. One full outer
+    join on the undirected pair key, everything else single
+    aggregations."""
+    from vite_spark.derive import cooccurrence_edges
+    from vite_spark.graph import snapshot_diff
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("key"),
+        F.col("l_partkey").cast("long").alias("entity"),
+    )
+    old = cooccurrence_edges(li.filter(F.col("key") % 3 != 0),
+                             "entity", "key")
+    new = cooccurrence_edges(li.filter(F.col("key") % 3 != 1),
+                             "entity", "key")
+    return snapshot_diff(old, new)
+
+
+def _snapshot_half(tag: str, keep: str) -> str:
+    return f"""sn_{tag} AS (
+  SELECT DISTINCT l_orderkey AS key, CAST(l_partkey AS BIGINT) AS entity
+  FROM lineitem WHERE l_orderkey % 3 <> {keep}
+),
+kf_{tag} AS (SELECT key, COUNT(*) AS c FROM sn_{tag} GROUP BY key),
+pc_{tag} AS (
+  SELECT s.key, s.entity FROM sn_{tag} s JOIN kf_{tag} USING (key)
+  WHERE kf_{tag}.c <= {DEFAULT_MAX_KEY_FREQ}
+),
+h_{tag} AS (
+  SELECT a.entity AS a, b.entity AS b, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM pc_{tag} a JOIN pc_{tag} b
+    ON a.key = b.key AND a.entity < b.entity
+  GROUP BY a.entity, b.entity
+)"""
+
+
+SQL_SNAPSHOT_DIFF = f"""WITH
+{_snapshot_half("o", "0")},
+{_snapshot_half("n", "1")},
+j AS (
+  SELECT h_o.w AS w_old, h_n.w AS w_new
+  FROM h_o FULL OUTER JOIN h_n ON h_o.a = h_n.a AND h_o.b = h_n.b
+),
+c AS (
+  SELECT
+    CAST(COALESCE(SUM(CASE WHEN w_old IS NULL THEN 1 END), 0) AS BIGINT)
+      AS n_added,
+    CAST(COALESCE(SUM(CASE WHEN w_new IS NULL THEN 1 END), 0) AS BIGINT)
+      AS n_removed,
+    CAST(COALESCE(SUM(CASE WHEN w_old IS NOT NULL AND w_new IS NOT NULL
+                       THEN 1 END), 0) AS BIGINT) AS n_kept,
+    CAST(COALESCE(SUM(CASE WHEN w_old IS NOT NULL AND w_new IS NOT NULL
+                       AND w_old <> w_new THEN 1 END), 0) AS BIGINT)
+      AS n_weight_changed
+  FROM j
+)
+SELECT n_added, n_removed, n_kept, n_weight_changed,
+       ROUND(n_kept / (n_added + n_removed + n_kept), 6) AS jaccard
+FROM c"""
+
+
 def registry() -> dict[str, tuple]:
     """name → (spark_fn, oracle_sql_or_None)."""
     return {
@@ -3885,6 +3985,8 @@ def registry() -> dict[str, tuple]:
             q_avg_neighbor_degree, SQL_AVG_NEIGHBOR_DEGREE),
         "rich_club": (q_rich_club, SQL_RICH_CLUB),
         "butterflies": (q_butterflies, SQL_BUTTERFLIES),
+        "edge_sanity": (q_edge_sanity, SQL_EDGE_SANITY),
+        "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
         "modularity_singleton": (q_modularity_singleton, SQL_MODULARITY_SINGLETON),
         "triangles_total": (q_triangles_total, SQL_TRIANGLES_TOTAL),
         "triangles_by_vertex": (q_triangles_by_vertex, SQL_TRIANGLES_BY_VERTEX),
