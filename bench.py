@@ -392,6 +392,42 @@ def hits_throughput(spark, edges, iters: int = 5, warmup: int = 1,
     return ne * iters / wall
 
 
+def bfs_throughput(spark, edges, iters: int = 5, warmup: int = 1,
+                   landmarks=(0, 1_000, 2_000, 3_000),
+                   packed: bool = True, metrics=None) -> float:
+    """edges/sec per multi-source-BFS superstep. The packed kernel
+    (kernels/csr_bfs.py) is a DENSE relaxation: every superstep gathers
+    the (|U_p|, L) distance block and takes the per-src 2-D neighbor min
+    over ALL edges — work is |E|·L per superstep regardless of frontier
+    size, so fixed-iteration interleaved timing compares cleanly across
+    parallelism levels (the ring-lattice input's frontier never dies
+    inside the probe window). Reported rate is edges/sec per superstep
+    at L = len(landmarks) (L is identical at both levels — a width
+    constant, like PageRank's one-column state). max_iter = iters caps
+    the run; `warmup` first supersteps excluded (pagerank_throughput's
+    convention). packed=False measures the join+agg frontier shape."""
+    from vite_spark.algos.bfs import shortest_paths
+    from vite_spark.config import EngineConfig
+    from vite_spark.runtime.metrics import MetricsCollector
+
+    m = metrics if metrics is not None else MetricsCollector()
+    ne = edges.count()
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    cfg = EngineConfig(
+        use_csr_kernel=packed,
+        scratch_dir=scratch,
+        pack_cache_dir=os.environ.get("SPARK_GRAFT_PACK_CACHE") or None,
+    )
+    shortest_paths(spark, edges, list(landmarks), max_iter=iters,
+                   cfg=cfg, metrics=m).count()
+    sup = [r for r in m.rows if r.get("kind") == "bfs_superstep"][warmup:]
+    if packed:
+        assert all(r.get("mode") == "csr_sharded_bfs" for r in sup), \
+            "packed BFS kernel did not run (fallback?)"
+    wall = sum(r["wall_s"] for r in sup)
+    return ne * len(sup) / wall
+
+
 def synth_edges(spark, n_vertices: int = 200_000, avg_deg: int = 16,
                 seed: int = 42, parts: int = 64):
     """Deterministic synthetic edge table for the scaling run (seeded LCG
@@ -618,6 +654,16 @@ def scaling_worker(cores: int, nparts: int):
             eps = msf_throughput(spark, edges, metrics=m)
             kind = "msf_job"
             mode = "msf_boruvka_join"
+        elif algo.startswith("bfs"):
+            # "bfs" = packed dense-relaxation kernel; "bfs_join" = the
+            # frontier join+agg shape
+            packed = algo != "bfs_join"
+            eps = bfs_throughput(spark, edges, iters=iters, warmup=1,
+                                 packed=packed, metrics=m)
+            kind = "bfs_superstep"
+            mode = ("bfs_" + "+".join(sorted(
+                {str(r.get("mode", "join")) for r in m.rows
+                 if r.get("kind") == kind})))
         elif algo.startswith("lpa"):
             # "lpa" = packed-CSR kernel; "lpa_join" = join+agg vote shape
             packed = algo != "lpa_join"
