@@ -428,6 +428,37 @@ def bfs_throughput(spark, edges, iters: int = 5, warmup: int = 1,
     return ne * len(sup) / wall
 
 
+def core_throughput(spark, edges, warmup: int = 1,
+                    packed: bool = True, metrics=None) -> float:
+    """edges/sec per k-core H-index superstep. Every superstep is a full
+    gather over all edges (each vertex recomputes the H-index of its
+    neighbors' current values), so per-superstep walls compare cleanly
+    across parallelism levels. The fixpoint is data-determined and
+    IDENTICAL at both levels (same input, same integer operator), so the
+    measured superstep set matches; the probe reports whatever count the
+    input converges in (≥ 2 measured supersteps required)."""
+    from vite_spark.algos.core import coreness
+    from vite_spark.config import EngineConfig
+    from vite_spark.runtime.metrics import MetricsCollector
+
+    m = metrics if metrics is not None else MetricsCollector()
+    ne = edges.count()
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    cfg = EngineConfig(
+        use_csr_kernel=packed,
+        scratch_dir=scratch,
+        pack_cache_dir=os.environ.get("SPARK_GRAFT_PACK_CACHE") or None,
+    )
+    coreness(spark, edges, cfg=cfg, metrics=m).count()
+    sup = [r for r in m.rows if r.get("kind") == "core_superstep"][warmup:]
+    if packed:
+        assert all(r.get("mode") == "csr_sharded_hindex" for r in sup), \
+            "packed k-core kernel did not run (fallback?)"
+    assert len(sup) >= 2, f"input converged too fast ({len(sup)} measured)"
+    wall = sum(r["wall_s"] for r in sup)
+    return ne * len(sup) / wall
+
+
 def synth_edges(spark, n_vertices: int = 200_000, avg_deg: int = 16,
                 seed: int = 42, parts: int = 64):
     """Deterministic synthetic edge table for the scaling run (seeded LCG
@@ -654,6 +685,16 @@ def scaling_worker(cores: int, nparts: int):
             eps = msf_throughput(spark, edges, metrics=m)
             kind = "msf_job"
             mode = "msf_boruvka_join"
+        elif algo.startswith("core"):
+            # "core" = packed H-index kernel; "core_join" = the window
+            # join+agg H-index shape
+            packed = algo != "core_join"
+            eps = core_throughput(spark, edges, warmup=1,
+                                  packed=packed, metrics=m)
+            kind = "core_superstep"
+            mode = ("core_" + "+".join(sorted(
+                {str(r.get("mode", "join")) for r in m.rows
+                 if r.get("kind") == kind})))
         elif algo.startswith("bfs"):
             # "bfs" = packed dense-relaxation kernel; "bfs_join" = the
             # frontier join+agg shape
