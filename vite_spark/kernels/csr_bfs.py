@@ -16,7 +16,7 @@ directed table it is the hops-to-landmark distance. Unreachable pairs
 are omitted from the output (the join path and the oracle agree).
 
 This is structurally csr_cc with two changes: state per owned vertex is
-an (nown, L) int64 distance MATRIX instead of one label (L = number of
+an (nown, L) int32 distance MATRIX instead of one label (L = number of
 landmarks — the exchange and the sweep vectorize over landmark columns;
 `np.minimum.reduceat(..., axis=0)` handles all L columns in the one
 segment pass), and the relaxation adds 1 to the gathered neighbor rows.
@@ -31,12 +31,19 @@ Per iteration, ONE job; task p:
    owner's ``bfd_{t-1}_{q}`` matrix through the static pack-time req
    sets into the contiguous universe spans (the same ascending-id-run
    invariant every dense exchange here uses). Exchange volume is
-   Σ_p |U_p|·L int64s per iteration. At t == 1 the block is computed
-   locally: 0 on landmark columns' own rows, INF elsewhere.
+   Σ_p |U_p|·L int32s per iteration (int32 state on the unweighted
+   path: a hop distance written at superstep t is ≤ t ≤ max_iter, a
+   STRUCTURAL bound — distances grow one hop per superstep — so with
+   max_iter < 2^30 no reachable distance can approach the INF32 = 2^30
+   sentinel, asserted at entry; the narrower dtype HALVES the gather
+   and relax traffic of the bandwidth-bound sweep, the kernel's hot
+   term at every scale). At t == 1 the block is computed locally: 0 on
+   landmark columns' own rows, INF elsewhere.
 2. **Sweep**: nbr[s, :] = min over the partition's rows of
    curr[dstl, :] per src segment (one 2-D minimum.reduceat — pack rows
    are (src, dst)-sorted so the segments come free); new = min(old,
-   nbr + 1). INF = 2^62, so +1 never overflows int64.
+   nbr + 1). INF32 + 1 = 2^30 + 1 < 2^31, so +1 never overflows int32
+   (and the min against old restores the sentinel for unreached rows).
 3. Save ``bfd_{t}_{p}``; the changed count (entries improved) rides the
    sentinel row. Driver stops at Σ changed == 0 — O(eccentricity)
    iterations.
@@ -75,7 +82,8 @@ from vite_spark.kernels.csr_sharded import (
 
 BFS_TRANSIENT_PREFIXES = ("bfd_",)
 
-INF = np.int64(2) ** 62
+INF = np.int64(2) ** 62      # weighted path retains the wide sentinel
+INF32 = np.int32(2) ** 30    # unweighted: dist ≤ max_iter < 2^30, +1 safe
 
 
 def _bfs_job(spark, pack_dir, nparts, t, routing, landmarks,
@@ -90,8 +98,8 @@ def _bfs_job(spark, pack_dir, nparts, t, routing, landmarks,
     owners_of, _ = routing
     lms = np.asarray(sorted(landmarks), dtype=np.int64)
     L = len(lms)
-    dt = np.float64 if weighted else np.int64
-    inf = np.float64(np.inf) if weighted else INF
+    dt = np.float64 if weighted else np.int32
+    inf = np.float64(np.inf) if weighted else INF32
 
     def run(pdf_iter):
         import pandas as pd
@@ -183,6 +191,12 @@ def csr_shortest_paths(spark, edges, landmarks, max_iter, cfg, metrics,
         return None
     if not landmarks:
         return None
+    # int32 state safety is structural — a distance written at superstep
+    # t is ≤ t — but only while the iteration cap stays below the
+    # sentinel; enforce it rather than assume it (the int32 lesson)
+    assert max_iter < int(INF32) - 1, \
+        f"max_iter {max_iter} would let hop distances reach the int32 " \
+        f"sentinel {int(INF32)}"
     lms = np.asarray(sorted(set(int(x) for x in landmarks)), np.int64)
     nparts = cfg.shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -242,11 +256,12 @@ def csr_shortest_paths(spark, edges, landmarks, max_iter, cfg, metrics,
                     d = np.load(os.path.join(
                         pack_dir, f"bfd_{t_final}_{pid}.npy"))
                     ii, jj = np.nonzero(
-                        np.isfinite(d) if weighted else d < INF)
+                        np.isfinite(d) if weighted else d < INF32)
                     yield pd.DataFrame({
                         "id": np.asarray(own, np.int64)[ii],
                         "landmark": lmv[jj],
-                        "dist": d[ii, jj],
+                        "dist": (d[ii, jj] if weighted
+                                 else d[ii, jj].astype(np.int64)),
                     })
 
         out = _pid_frame(spark, nparts).mapInPandas(
