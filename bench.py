@@ -428,15 +428,18 @@ def bfs_throughput(spark, edges, iters: int = 5, warmup: int = 1,
     return ne * len(sup) / wall
 
 
-def core_throughput(spark, edges, warmup: int = 1,
+def core_throughput(spark, edges, warmup: int = 1, iters: int | None = None,
                     packed: bool = True, metrics=None) -> float:
     """edges/sec per k-core H-index superstep. Every superstep is a full
     gather over all edges (each vertex recomputes the H-index of its
     neighbors' current values), so per-superstep walls compare cleanly
-    across parallelism levels. The fixpoint is data-determined and
-    IDENTICAL at both levels (same input, same integer operator), so the
-    measured superstep set matches; the probe reports whatever count the
-    input converges in (≥ 2 measured supersteps required)."""
+    across parallelism levels. ``iters`` caps the sweep count (the
+    BFS/LPA probe convention: the capped superstep set is deterministic
+    and IDENTICAL at both levels — same input, same integer operator —
+    and each capped sweep does exactly the work a converged run's sweep
+    does); iters=None runs the data-determined fixpoint, which on the
+    deg-128 scaling input is ~25 min/rep at 16 cores — too long for the
+    interleaved ×5 protocol, hence the cap."""
     from vite_spark.algos.core import coreness
     from vite_spark.config import EngineConfig
     from vite_spark.runtime.metrics import MetricsCollector
@@ -449,7 +452,8 @@ def core_throughput(spark, edges, warmup: int = 1,
         scratch_dir=scratch,
         pack_cache_dir=os.environ.get("SPARK_GRAFT_PACK_CACHE") or None,
     )
-    coreness(spark, edges, cfg=cfg, metrics=m).count()
+    coreness(spark, edges, cfg=cfg, metrics=m,
+             **({} if iters is None else {"max_iter": iters})).count()
     sup = [r for r in m.rows if r.get("kind") == "core_superstep"][warmup:]
     if packed:
         assert all(r.get("mode") == "csr_sharded_hindex" for r in sup), \
@@ -689,7 +693,7 @@ def scaling_worker(cores: int, nparts: int):
             # "core" = packed H-index kernel; "core_join" = the window
             # join+agg H-index shape
             packed = algo != "core_join"
-            eps = core_throughput(spark, edges, warmup=1,
+            eps = core_throughput(spark, edges, warmup=1, iters=iters,
                                   packed=packed, metrics=m)
             kind = "core_superstep"
             mode = ("core_" + "+".join(sorted(

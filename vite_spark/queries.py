@@ -3969,6 +3969,90 @@ SELECT n_added, n_removed, n_kept, n_weight_changed,
 FROM c"""
 
 
+WL_ROUNDS = 2
+
+
+def q_wl_colors(spark, sf_dir):
+    """Weisfeiler–Lehman color refinement (algos/wl.py) after WL_ROUNDS
+    rounds over the co-occurrence graph — deterministic structural
+    fingerprints (degree seed → iterated hash of (own label, neighbor
+    label multiset)). The hash ladder is the repo's bit-exact Jenkins
+    chain run as Spark BUILT-INS (whole-stage codegen, no Python), with
+    neighbor multisets summed in DECIMAL(38,0); the oracle unrolls the
+    identical arithmetic, so labels match bit-for-bit."""
+    from vite_spark.algos.wl import wl_refine
+
+    e = lineitem_part_edges(spark, sf_dir)
+    return wl_refine(spark, e, rounds=WL_ROUNDS)
+
+
+def q_wl_profile(spark, sf_dir):
+    """(round, n_classes) WL refinement profile, rounds 0..WL_ROUNDS —
+    how fast the structural partition refines (round 0 = degree
+    classes); the scalar summary a corpus-scale fingerprint run logs."""
+    import pandas as pd
+
+    from vite_spark.algos.wl import wl_refine
+
+    e = lineitem_part_edges(spark, sf_dir)
+    _, profile = wl_refine(spark, e, rounds=WL_ROUNDS,
+                           return_profile=True)
+    return spark.createDataFrame(
+        pd.DataFrame(profile, columns=["round", "n_classes"])
+        .astype({"round": "int64", "n_classes": "int64"}))
+
+
+def _wl_sql(rounds: int, profile: bool) -> str:
+    """Unrolled WL refinement mirroring algos/wl.py bit-exactly: per
+    round, the Jenkins chain (same _hash32_chain_sql the coloring/CMS/
+    sampling oracles validated against NumPy) over the DISTINCT label
+    set, HUGEINT neighbor-hash sums folded mod 2^32, and a second chain
+    over the combined key. Labels are < 2^32 throughout so the chain's
+    leading `% 2^32` matches NumPy's uint32 truncation exactly."""
+    from vite_spark.algos.wl import (
+        M32, WL_COMBINE_OFFSET, WL_SEED, WL_SEED_STRIDE,
+    )
+
+    parts = [
+        "l0 AS MATERIALIZED (SELECT src AS id, COUNT(*) AS lab "
+        "FROM edges GROUP BY src)"
+    ]
+    for t in range(1, rounds + 1):
+        s_t = WL_SEED + WL_SEED_STRIDE * (t - 1)
+        parts.append(f"d{t}a AS (SELECT DISTINCT lab FROM l{t - 1})")
+        parts.append(_hash32_chain_sql(f"wh{t}a_", f"d{t}a", "lab", s_t))
+        parts.append(
+            f"hx{t} AS MATERIALIZED (SELECT l.id, h.a AS h "
+            f"FROM l{t - 1} l JOIN wh{t}a_7 h ON h.k = l.lab)")
+        parts.append(
+            f"ns{t} AS (SELECT e.src AS id, "
+            f"CAST(SUM(CAST(hd.h AS HUGEINT)) % {M32} AS BIGINT) AS s "
+            f"FROM edges e JOIN hx{t} hd ON hd.id = e.dst GROUP BY e.src)")
+        parts.append(
+            f"k2{t} AS MATERIALIZED (SELECT hx.id, "
+            f"CAST((hx.h * 31 + ns.s) % {M32} AS BIGINT) AS k2 "
+            f"FROM hx{t} hx JOIN ns{t} ns ON ns.id = hx.id)")
+        parts.append(f"d{t}b AS (SELECT DISTINCT k2 FROM k2{t})")
+        parts.append(_hash32_chain_sql(
+            f"wh{t}b_", f"d{t}b", "k2", s_t + WL_COMBINE_OFFSET))
+        parts.append(
+            f"l{t} AS MATERIALIZED (SELECT c.id, h.a AS lab "
+            f"FROM k2{t} c JOIN wh{t}b_7 h ON h.k = c.k2)")
+    body = ",\n".join(parts)
+    if profile:
+        sel = "\nUNION ALL\n".join(
+            f"SELECT CAST({t} AS BIGINT) AS round, "
+            f"CAST(COUNT(DISTINCT lab) AS BIGINT) AS n_classes FROM l{t}"
+            for t in range(rounds + 1))
+        return f"WITH {EDGES_CTE},\n{body}\n{sel}"
+    return (f"WITH {EDGES_CTE},\n{body}\n"
+            f"SELECT id, lab FROM l{rounds}")
+
+
+SQL_WL_COLORS = _wl_sql(WL_ROUNDS, profile=False)
+SQL_WL_PROFILE = _wl_sql(WL_ROUNDS, profile=True)
+
+
 def registry() -> dict[str, tuple]:
     """name → (spark_fn, oracle_sql_or_None)."""
     return {
@@ -4017,6 +4101,8 @@ def registry() -> dict[str, tuple]:
         "louvain_sweep2_q": (q_louvain_sweep2_q, SQL_LOUVAIN_SWEEP2_Q),
         "lpa_labels": (q_lpa_labels, SQL_LPA_LABELS),
         "coloring_assignment": (q_coloring_assignment, SQL_COLORING_ASSIGNMENT),
+        "wl_colors": (q_wl_colors, SQL_WL_COLORS),
+        "wl_profile": (q_wl_profile, SQL_WL_PROFILE),
         "community_conductance": (
             q_community_conductance, SQL_COMMUNITY_CONDUCTANCE),
         "betweenness_landmarks": (q_betweenness_landmarks, SQL_BETWEENNESS),
