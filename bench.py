@@ -433,13 +433,14 @@ def core_throughput(spark, edges, warmup: int = 1, iters: int | None = None,
     """edges/sec per k-core H-index superstep. Every superstep is a full
     gather over all edges (each vertex recomputes the H-index of its
     neighbors' current values), so per-superstep walls compare cleanly
-    across parallelism levels. ``iters`` caps the sweep count (the
-    BFS/LPA probe convention: the capped superstep set is deterministic
-    and IDENTICAL at both levels — same input, same integer operator —
-    and each capped sweep does exactly the work a converged run's sweep
-    does); iters=None runs the data-determined fixpoint, which on the
-    deg-128 scaling input is ~25 min/rep at 16 cores — too long for the
-    interleaved ×5 protocol, hence the cap."""
+    across parallelism levels. ``iters`` FORCES exactly that many sweeps
+    (force_iters: the converged-early stop is disabled; post-convergence
+    sweeps are fixpoint no-ops doing the identical gather/compute, so
+    each forced sweep measures the kernel's steady per-superstep cost).
+    Forcing rather than capping is required here: the near-regular
+    ring+rewire scaling input reaches the H-index fixpoint in ~2 sweeps
+    — too few to measure — while real heavy-tailed graphs take dozens.
+    iters=None runs the data-determined fixpoint."""
     from vite_spark.algos.core import coreness
     from vite_spark.config import EngineConfig
     from vite_spark.runtime.metrics import MetricsCollector
@@ -453,7 +454,8 @@ def core_throughput(spark, edges, warmup: int = 1, iters: int | None = None,
         pack_cache_dir=os.environ.get("SPARK_GRAFT_PACK_CACHE") or None,
     )
     coreness(spark, edges, cfg=cfg, metrics=m,
-             **({} if iters is None else {"max_iter": iters})).count()
+             **({} if iters is None
+                else {"max_iter": iters, "force_iters": True})).count()
     sup = [r for r in m.rows if r.get("kind") == "core_superstep"][warmup:]
     if packed:
         assert all(r.get("mode") == "csr_sharded_hindex" for r in sup), \

@@ -99,3 +99,22 @@ def test_kcore_oracle_slack(spark):
     sweeps = len(_iters(m))
     assert sweeps <= KCORE_ORACLE_ROUNDS // 2, \
         f"oracle unroll slack eroded: {sweeps} sweeps"
+
+
+def test_force_iters_is_fixpoint_noop(spark):
+    """force_iters (the scaling probe's fixed-sweep protocol) runs extra
+    post-convergence sweeps; they must be no-ops — identical coreness on
+    BOTH paths, and the packed path must record exactly max_iter sweeps
+    with trailing changed == 0."""
+    s, d, w, nv = fx.karate()
+    edges = spark.createDataFrame(pd.DataFrame(
+        {"src": s, "dst": d, "weight": w}))
+    base = _cores(coreness(spark, edges))
+    for kw in ({}, {"cfg": EngineConfig(use_csr_kernel=False)}):
+        m = MetricsCollector()
+        forced = _cores(coreness(spark, edges, max_iter=9,
+                                 force_iters=True, metrics=m, **kw))
+        assert forced == base
+        its = _iters(m)
+        assert len(its) == 9
+        assert its[-1] == 0

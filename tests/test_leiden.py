@@ -1,0 +1,114 @@
+"""Leiden-style constrained refinement (algos/leiden.py).
+
+- Spark path ≡ independent NumPy mirror exactly (labels) on fixtures and
+  random graphs, under random parents AND under 2-sweep Louvain parents.
+- refinement RESPECTS parents: every refined community is contained in
+  one parent community (the Leiden invariant).
+- with a single parent the constraint is vacuous: constrained sweeps ≡
+  plain louvain_sweeps labels exactly.
+- isolated-within-parent vertices keep their singleton label.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import vite_spark.fixtures as fx
+from vite_spark.algos.leiden import leiden_refine_numpy, leiden_refine_sweeps
+from vite_spark.algos.louvain import louvain_sweeps
+
+
+def _df(spark, s, d, w):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"src": s, "dst": d, "weight": w}))
+
+
+def _parent_df(spark, parent):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(len(parent), dtype=np.int64),
+                      "pcomm": parent}))
+
+
+def _rand_graph(n, m, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    pairs = np.unique(np.stack([np.concatenate([a, b]),
+                                np.concatenate([b, a])], 1), axis=0)
+    s, d = pairs[:, 0], pairs[:, 1]
+    # make every vertex 0..n-1 appear (wire stragglers into a ring)
+    missing = np.setdiff1d(np.arange(n), np.unique(s))
+    if len(missing):
+        extra_s = np.concatenate([missing, (missing + 1) % n])
+        extra_d = np.concatenate([(missing + 1) % n, missing])
+        s, d = np.concatenate([s, extra_s]), np.concatenate([d, extra_d])
+        pairs = np.unique(np.stack([s, d], 1), axis=0)
+        s, d = pairs[:, 0], pairs[:, 1]
+    return s.astype(np.int64), d.astype(np.int64), np.ones(len(s))
+
+
+@pytest.mark.parametrize("seed", [0, 4])
+def test_spark_matches_numpy_random_parents(spark, seed):
+    n = 50
+    s, d, w = _rand_graph(n, 220, seed)
+    rng = np.random.default_rng(seed + 100)
+    parent = rng.integers(0, 5, n).astype(np.int64)
+    ref = leiden_refine_numpy(s, d, w, parent, k=2)
+    out = leiden_refine_sweeps(
+        spark, _df(spark, s, d, w), _parent_df(spark, parent), k=2)
+    got = {int(r["id"]): (int(r["pcomm"]), int(r["comm"]))
+           for r in out.collect()}
+    assert got == {v: (int(parent[v]), int(ref[v])) for v in range(n)}
+
+
+def test_spark_matches_numpy_louvain_parents(spark):
+    s, d, w, nv = fx.karate()
+    parents = louvain_sweeps(spark, _df(spark, s, d, w), 2)
+    pmap = {int(r["id"]): int(r["comm"]) for r in parents.collect()}
+    parent = np.array([pmap[v] for v in range(nv)], dtype=np.int64)
+    ref = leiden_refine_numpy(s, d, w, parent, k=2)
+    out = leiden_refine_sweeps(
+        spark, _df(spark, s, d, w),
+        parents.withColumnRenamed("comm", "pcomm"), k=2)
+    got = {int(r["id"]): int(r["comm"]) for r in out.collect()}
+    assert got == {v: int(ref[v]) for v in range(nv)}
+    # the Leiden invariant: refined communities nest inside parents
+    comm_parent = {}
+    for v in range(nv):
+        c = got[v]
+        assert comm_parent.setdefault(c, pmap[v]) == pmap[v]
+
+
+def test_single_parent_equals_plain_sweeps(spark):
+    s, d, w, nv = fx.karate()
+    e = _df(spark, s, d, w)
+    plain = {int(r["id"]): int(r["comm"])
+             for r in louvain_sweeps(spark, e, 2).collect()}
+    one = _parent_df(spark, np.zeros(nv, dtype=np.int64))
+    ref = {int(r["id"]): int(r["comm"])
+           for r in leiden_refine_sweeps(spark, e, one, k=2).collect()}
+    assert ref == plain
+
+
+def test_isolated_within_parent_stays_singleton(spark):
+    # path 0-1-2-3; parents {0,1} and {2,3} except vertex 3 is alone in
+    # parent 9 — no within-parent neighbor, must keep label 3
+    s = np.array([0, 1, 1, 2, 2, 3])
+    d = np.array([1, 0, 2, 1, 3, 2])
+    w = np.ones(len(s))
+    parent = np.array([0, 0, 1, 9], dtype=np.int64)
+    out = leiden_refine_sweeps(
+        spark, _df(spark, s, d, w), _parent_df(spark, parent), k=2)
+    got = {int(r["id"]): int(r["comm"]) for r in out.collect()}
+    assert got[3] == 3
+    assert got == {v: int(x) for v, x in enumerate(
+        leiden_refine_numpy(s, d, w, parent, 2))}
+    # vertices 0,1 share a parent and an edge: they merge
+    assert got[0] == got[1]

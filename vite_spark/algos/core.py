@@ -58,8 +58,15 @@ def coreness(
     max_iter: int = 500,
     cfg: EngineConfig | None = None,
     metrics: MetricsCollector | None = None,
+    force_iters: bool = False,
 ) -> DataFrame:
-    """(id, coreness) for every vertex with at least one non-loop edge."""
+    """(id, coreness) for every vertex with at least one non-loop edge.
+
+    ``force_iters`` disables the converged-early stop and runs exactly
+    ``max_iter`` sweeps (post-convergence H-index sweeps are fixpoint
+    no-ops — identical gather/compute, identical values; pytest-pinned).
+    Probe use only: per-superstep scaling measurements need a fixed
+    superstep count even on fast-converging inputs."""
     cfg = cfg or EngineConfig()
     metrics = metrics or MetricsCollector()
     und = _simple_undirected(edges)
@@ -70,7 +77,8 @@ def coreness(
         # same integers → identical iterates; pytest-enforced.
         from vite_spark.kernels.csr_core import csr_coreness
 
-        res = csr_coreness(spark, und, max_iter, cfg, metrics)
+        res = csr_coreness(spark, und, max_iter, cfg, metrics,
+                           force_iters=force_iters)
         if res is not None:
             return res
 
@@ -106,7 +114,7 @@ def coreness(
         c = new_c
         metrics.record(kind="core_superstep", iter=s, changed=changed,
                        wall_s=time.time() - t0, mode="join_hindex")
-        if changed == 0:
+        if changed == 0 and not force_iters:
             break
 
     und.unpersist()

@@ -46,6 +46,7 @@ dense owner-authored exchange is the fillRemoteCommunities send shape
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -163,7 +164,66 @@ def _core_job(spark, pack_dir, nparts, s, routing):
     )
 
 
-def csr_coreness(spark, edges_simple, max_iter, cfg, metrics):
+def _prepare_core_pack(spark, edges_simple, cfg, nparts):
+    """(pack_dir, nparts, info, routing, cleanup) — the sharded pack of
+    the SIMPLIFIED graph + routes. Never the shared vite_pack (that cache
+    holds the canonical weighted table — different graph, different
+    semantics); with cfg.pack_cache_dir set it caches under its OWN
+    <pack_cache_dir>/core_pack (the tri_pack convention), so repeated
+    runs — the scaling probe's interleaved reps — skip the
+    simplify+pack, the fileConvert-once analog. Same caller contract as
+    every pack cache: one cache dir ↔ one edge table + nparts."""
+    routing = None
+    info = None
+    pack_dir = None
+    cleanup = True
+    if cfg.pack_cache_dir:
+        pack_dir = os.path.join(cfg.pack_cache_dir, "core_pack")
+        cleanup = False
+        mf = os.path.join(pack_dir, "manifest.json")
+        if os.path.exists(mf):
+            with open(mf) as fh:
+                man = json.load(fh)
+            info = man["info"]
+            nparts = man["nparts"]
+            routing = (
+                {int(k): v for k, v in man["owners_of"].items()},
+                {int(k): v for k, v in man["rdrs_of"].items()},
+            )
+            for f in os.listdir(pack_dir):
+                if f.startswith(CORE_TRANSIENT_PREFIXES):
+                    try:
+                        os.remove(os.path.join(pack_dir, f))
+                    except OSError:
+                        pass
+    if info is None:
+        e = edges_simple.repartitionByRange(nparts, "src")
+        nparts = e.rdd.getNumPartitions()
+        if pack_dir is None:
+            pack_dir = tempfile.mkdtemp(prefix="vite_csr_core_",
+                                        dir=cfg.scratch_dir)
+        else:
+            os.makedirs(pack_dir, exist_ok=True)
+        info = pack_csr_partitions_sharded(e, pack_dir, nparts)
+    if routing is None:
+        routing = build_routes(spark, pack_dir, nparts)
+        if routing is None:
+            if cleanup:
+                shutil.rmtree(pack_dir, ignore_errors=True)
+            return None
+        if not cleanup:
+            tmp = os.path.join(pack_dir, f".mf.{os.getpid()}")
+            with open(tmp, "w") as fh:
+                json.dump({
+                    "info": info, "nparts": nparts,
+                    "owners_of": routing[0], "rdrs_of": routing[1],
+                }, fh)
+            os.replace(tmp, os.path.join(pack_dir, "manifest.json"))
+    return pack_dir, nparts, info, routing, cleanup
+
+
+def csr_coreness(spark, edges_simple, max_iter, cfg, metrics,
+                 force_iters=False):
     """Packed-CSR coreness driver over a SIMPLE undirected edge table
     (caller guarantees symmetrized, deduped, self-loop-free — hence
     vertex-closed). Returns the (id, coreness) DataFrame, or None when a
@@ -174,20 +234,15 @@ def csr_coreness(spark, edges_simple, max_iter, cfg, metrics):
     nparts = cfg.shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    # fresh pack, never the shared cache: the packed table is the
-    # SIMPLIFIED graph, not the engine's canonical weighted table a
-    # cached pack holds — silently reusing one would change semantics
-    e = edges_simple.repartitionByRange(nparts, "src")
-    nparts = e.rdd.getNumPartitions()
-    pack_dir = tempfile.mkdtemp(prefix="vite_csr_core_",
-                                dir=cfg.scratch_dir)
+    prep = _prepare_core_pack(spark, edges_simple, cfg, nparts)
+    if prep is None:
+        return None
+    pack_dir, nparts, info, routing, cleanup = prep
+    if info["nv"] == 0:
+        if cleanup:
+            shutil.rmtree(pack_dir, ignore_errors=True)
+        return None
     try:
-        info = pack_csr_partitions_sharded(e, pack_dir, nparts)
-        if info["nv"] == 0:
-            return None
-        routing = build_routes(spark, pack_dir, nparts)
-        if routing is None:
-            return None
 
         _degree_job(spark, pack_dir, nparts).collect()
         s_final = 0
@@ -200,7 +255,11 @@ def csr_coreness(spark, edges_simple, max_iter, cfg, metrics):
                            changed=changed, wall_s=time.time() - t0,
                            edges_processed=int(info["ne"]),
                            mode="csr_sharded_hindex")
-            if changed == 0:
+            if changed == 0 and not force_iters:
+                # force_iters (probe use): post-convergence sweeps are
+                # fixpoint no-ops — identical gather/compute, identical
+                # hco arrays — so running them measures the kernel's
+                # steady per-superstep cost on any input
                 break
 
         def emit(pdf_iter):
@@ -223,5 +282,6 @@ def csr_coreness(spark, edges_simple, max_iter, cfg, metrics):
             emit, schema="id long, coreness long"
         ).localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(pack_dir, ignore_errors=True)
+        if cleanup:
+            shutil.rmtree(pack_dir, ignore_errors=True)
     return out

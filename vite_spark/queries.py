@@ -1176,6 +1176,60 @@ SQL_KATZ = _katz_sql(KATZ_ITERS, KATZ_ALPHA, KATZ_BETA)
 LOUVAIN_SWEEPS_K = 2
 
 
+def _sweep_ctes(s: int, pfx: str, edges_name: str) -> str:
+    """One Jacobi Louvain sweep as CTEs (L4 counter, L5 gain/tie-breaks,
+    singleton-swap guard, aggregate refresh) reading {pfx}lab{s-1} /
+    {pfx}cinfo{s-1} and writing {pfx}lab{s} / {pfx}cinfo{s}. ``pfx``
+    and ``edges_name`` let the SAME template serve the plain sweeps
+    (pfx="", edges) and the Leiden constrained refinement (pfx="r",
+    parent-filtered edgesf — the only structural difference, mirroring
+    algos/leiden.py): vertices absent from ``edges_name`` survive via
+    the LEFT-join label application, exactly as the engine's."""
+    p = s - 1
+    return f"""{pfx}evc{s} AS (
+  SELECT e.src, l.comm AS dcomm, SUM(e.weight) AS evc
+  FROM {edges_name} e JOIN {pfx}lab{p} l ON l.id = e.dst
+  GROUP BY e.src, l.comm
+),
+{pfx}st{s} AS (
+  SELECT v.id AS src, lc.comm AS cc, v.vdeg, v.self_w, x.dcomm, x.evc
+  FROM verts v JOIN {pfx}lab{p} lc ON lc.id = v.id
+  JOIN {pfx}evc{s} x ON x.src = v.id
+),
+{pfx}ecc{s} AS (
+  SELECT src, SUM(CASE WHEN dcomm = cc THEN evc ELSE 0.0 END) AS e_cc
+  FROM {pfx}st{s} GROUP BY src
+),
+{pfx}gain{s} AS (
+  SELECT s.src, s.dcomm, s.cc,
+         COALESCE(ti.size, 0) AS tsize, ci.size AS cc_size,
+         2.0 * (s.evc - (ec.e_cc - s.self_w))
+         - 2.0 * s.vdeg * (COALESCE(ti.degree, 0.0) - (ci.degree - s.vdeg))
+               * (SELECT c FROM consts) AS gain
+  FROM {pfx}st{s} s
+  LEFT JOIN {pfx}cinfo{p} ti ON ti.comm = s.dcomm
+  JOIN {pfx}cinfo{p} ci ON ci.comm = s.cc
+  JOIN {pfx}ecc{s} ec ON ec.src = s.src
+  WHERE s.dcomm <> s.cc
+),
+{pfx}best{s} AS (
+  SELECT src, CASE WHEN tsize = 1 AND cc_size = 1 AND dcomm > cc
+                   THEN cc ELSE dcomm END AS move_comm
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY gain DESC, dcomm ASC) AS rn
+        FROM {pfx}gain{s} WHERE gain > 0.0)
+  WHERE rn = 1
+),
+{pfx}lab{s} AS MATERIALIZED (
+  SELECT l.id, COALESCE(b.move_comm, l.comm) AS comm
+  FROM {pfx}lab{p} l LEFT JOIN {pfx}best{s} b ON b.src = l.id
+),
+{pfx}cinfo{s} AS MATERIALIZED (
+  SELECT l.comm, SUM(v.vdeg) AS degree, COUNT(*) AS size
+  FROM {pfx}lab{s} l JOIN verts v ON v.id = l.id GROUP BY l.comm
+),"""
+
+
 def _louvain_sweeps_sql(k: int, final: str = "labels") -> str:
     """Unrolled k-sweep Louvain as DuckDB CTEs — the same per-sweep algebra
     as algos/louvain._superstep (gain formula, (gain DESC, comm ASC)
@@ -1198,48 +1252,7 @@ lab0 AS MATERIALIZED (SELECT id, id AS comm FROM verts),
 cinfo0 AS MATERIALIZED (SELECT id AS comm, vdeg AS degree, 1 AS size FROM verts),""",
     ]
     for s in range(1, k + 1):
-        p = s - 1
-        parts.append(f"""evc{s} AS (
-  SELECT e.src, l.comm AS dcomm, SUM(e.weight) AS evc
-  FROM edges e JOIN lab{p} l ON l.id = e.dst
-  GROUP BY e.src, l.comm
-),
-st{s} AS (
-  SELECT v.id AS src, lc.comm AS cc, v.vdeg, v.self_w, x.dcomm, x.evc
-  FROM verts v JOIN lab{p} lc ON lc.id = v.id JOIN evc{s} x ON x.src = v.id
-),
-ecc{s} AS (
-  SELECT src, SUM(CASE WHEN dcomm = cc THEN evc ELSE 0.0 END) AS e_cc
-  FROM st{s} GROUP BY src
-),
-gain{s} AS (
-  SELECT s.src, s.dcomm, s.cc,
-         COALESCE(ti.size, 0) AS tsize, ci.size AS cc_size,
-         2.0 * (s.evc - (ec.e_cc - s.self_w))
-         - 2.0 * s.vdeg * (COALESCE(ti.degree, 0.0) - (ci.degree - s.vdeg))
-               * (SELECT c FROM consts) AS gain
-  FROM st{s} s
-  LEFT JOIN cinfo{p} ti ON ti.comm = s.dcomm
-  JOIN cinfo{p} ci ON ci.comm = s.cc
-  JOIN ecc{s} ec ON ec.src = s.src
-  WHERE s.dcomm <> s.cc
-),
-best{s} AS (
-  SELECT src, CASE WHEN tsize = 1 AND cc_size = 1 AND dcomm > cc
-                   THEN cc ELSE dcomm END AS move_comm
-  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
-                                     ORDER BY gain DESC, dcomm ASC) AS rn
-        FROM gain{s} WHERE gain > 0.0)
-  WHERE rn = 1
-),
-lab{s} AS MATERIALIZED (
-  SELECT l.id, COALESCE(b.move_comm, l.comm) AS comm
-  FROM lab{p} l LEFT JOIN best{s} b ON b.src = l.id
-),
-cinfo{s} AS MATERIALIZED (
-  SELECT l.comm, SUM(v.vdeg) AS degree, COUNT(*) AS size
-  FROM lab{s} l JOIN verts v ON v.id = l.id GROUP BY l.comm
-),""")
+        parts.append(_sweep_ctes(s, "", "edges"))
     body = "\n".join(parts)
     body = body[: body.rstrip().rfind(",")]  # trailing comma of the last CTE
     if final == "labels":
@@ -1289,6 +1302,103 @@ def q_louvain_sweep2_q(spark, sf_dir):
     return spark.createDataFrame([(q,)], "q double").select(
         F.round("q", 6).alias("q6")
     )
+
+
+LEIDEN_REFINE_K = 2
+
+
+def _leiden_refine_sql(parent_k: int, refine_k: int,
+                       final: str = "labels") -> str:
+    """Unrolled Leiden-style constrained refinement (algos/leiden.py):
+    ``parent_k`` plain Louvain sweeps produce the parent partition (the
+    SAME CTEs the louvain_sweep2 oracle runs), then ``refine_k``
+    constrained sweeps from the singleton init over the parent-filtered
+    edge table — the identical sweep template (_sweep_ctes) pointed at
+    edgesf, which IS the constraint, exactly as the engine's
+    leiden_refine_sweeps reuses the Louvain superstep over
+    parent_filtered_edges. final="labels" → (id, pcomm, comm);
+    final="q" → 1-row (q6,) modularity of the refined assignment on the
+    FULL graph."""
+    parts = [
+        f"WITH {EDGES_CTE},",
+        """verts AS MATERIALIZED (
+  SELECT src AS id, SUM(weight) AS vdeg,
+         SUM(CASE WHEN src = dst THEN weight ELSE 0.0 END) AS self_w
+  FROM edges GROUP BY src
+),
+consts AS (SELECT 1.0 / SUM(weight) AS c FROM edges),
+lab0 AS MATERIALIZED (SELECT id, id AS comm FROM verts),
+cinfo0 AS MATERIALIZED (SELECT id AS comm, vdeg AS degree, 1 AS size FROM verts),""",
+    ]
+    for s in range(1, parent_k + 1):
+        parts.append(_sweep_ctes(s, "", "edges"))
+    parts.append(f"""plab AS MATERIALIZED (
+  SELECT id, comm AS pcomm FROM lab{parent_k}
+),
+edgesf AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight
+  FROM edges e JOIN plab pa ON pa.id = e.src JOIN plab pb ON pb.id = e.dst
+  WHERE pa.pcomm = pb.pcomm
+),
+rlab0 AS MATERIALIZED (SELECT id, id AS comm FROM verts),
+rcinfo0 AS MATERIALIZED (SELECT id AS comm, vdeg AS degree, 1 AS size FROM verts),""")
+    for s in range(1, refine_k + 1):
+        parts.append(_sweep_ctes(s, "r", "edgesf"))
+    body = "\n".join(parts)
+    body = body[: body.rstrip().rfind(",")]  # trailing comma of last CTE
+    if final == "labels":
+        return body + f"""
+SELECT l.id, p.pcomm, l.comm
+FROM rlab{refine_k} l JOIN plab p ON p.id = l.id"""
+    return body + f"""
+SELECT ROUND(
+  (SELECT SUM(CASE WHEN ls.comm = ld.comm THEN e.weight ELSE 0.0 END)
+   FROM edges e JOIN rlab{refine_k} ls ON ls.id = e.src
+   JOIN rlab{refine_k} ld ON ld.id = e.dst)
+  * (SELECT c FROM consts)
+  - (SELECT SUM(degree * degree) FROM rcinfo{refine_k})
+    * (SELECT c FROM consts) * (SELECT c FROM consts),
+  6) AS q6"""
+
+
+SQL_LEIDEN_REFINE2 = _leiden_refine_sql(LOUVAIN_SWEEPS_K, LEIDEN_REFINE_K,
+                                        final="labels")
+SQL_LEIDEN_REFINE2_Q = _leiden_refine_sql(LOUVAIN_SWEEPS_K, LEIDEN_REFINE_K,
+                                          final="q")
+
+
+def q_leiden_refine2(spark, sf_dir):
+    """Leiden-style constrained refinement (algos/leiden.py): 2 plain
+    Louvain sweeps fix the parents (the driver-oracled louvain_sweep2
+    assignment), then 2 constrained Jacobi sweeps from singletons merge
+    only within parents — the deterministic greedy variant of Leiden's
+    refinement phase (Traag et al. 2019), driver-oracled end-to-end."""
+    from vite_spark.algos.leiden import leiden_refine_sweeps
+    from vite_spark.algos.louvain import louvain_sweeps
+
+    e = lineitem_part_edges(spark, sf_dir).persist()
+    parents = louvain_sweeps(spark, e, LOUVAIN_SWEEPS_K) \
+        .withColumnRenamed("comm", "pcomm")
+    out = leiden_refine_sweeps(spark, e, parents, LEIDEN_REFINE_K)
+    e.unpersist()
+    return out
+
+
+def q_leiden_refine2_q(spark, sf_dir):
+    """Modularity (rounded 6) of the refined assignment on the FULL
+    graph — the scalar a Leiden level logs before aggregating on the
+    refined partition."""
+    from vite_spark.algos.leiden import leiden_refine_sweeps
+    from vite_spark.algos.louvain import louvain_sweeps, modularity_of
+
+    e = lineitem_part_edges(spark, sf_dir).persist()
+    parents = louvain_sweeps(spark, e, LOUVAIN_SWEEPS_K) \
+        .withColumnRenamed("comm", "pcomm")
+    ref = leiden_refine_sweeps(spark, e, parents, LEIDEN_REFINE_K)
+    q = modularity_of(e, ref.select("id", "comm"))
+    e.unpersist()
+    return spark.createDataFrame([(q,)], "q double").select(
+        F.round("q", 6).alias("q6"))
 
 
 def q_community_conductance(spark, sf_dir):
@@ -4101,6 +4211,8 @@ def registry() -> dict[str, tuple]:
         "louvain_sweep2_q": (q_louvain_sweep2_q, SQL_LOUVAIN_SWEEP2_Q),
         "lpa_labels": (q_lpa_labels, SQL_LPA_LABELS),
         "coloring_assignment": (q_coloring_assignment, SQL_COLORING_ASSIGNMENT),
+        "leiden_refine2": (q_leiden_refine2, SQL_LEIDEN_REFINE2),
+        "leiden_refine2_q": (q_leiden_refine2_q, SQL_LEIDEN_REFINE2_Q),
         "wl_colors": (q_wl_colors, SQL_WL_COLORS),
         "wl_profile": (q_wl_profile, SQL_WL_PROFILE),
         "community_conductance": (
