@@ -695,7 +695,7 @@ def scaling_worker(cores: int, nparts: int):
             # "core" = packed H-index kernel; "core_join" = the window
             # join+agg H-index shape
             packed = algo != "core_join"
-            eps = core_throughput(spark, edges, warmup=1, iters=iters,
+            eps = core_throughput(spark, edges, warmup=2, iters=iters,
                                   packed=packed, metrics=m)
             kind = "core_superstep"
             mode = ("core_" + "+".join(sorted(

@@ -112,3 +112,66 @@ def test_isolated_within_parent_stays_singleton(spark):
         leiden_refine_numpy(s, d, w, parent, 2))}
     # vertices 0,1 share a parent and an edge: they merge
     assert got[0] == got[1]
+
+
+def test_levels_spark_matches_numpy_karate(spark):
+    from vite_spark.algos.leiden import leiden_levels, leiden_levels_numpy
+
+    s, d, w, nv = fx.karate()
+    lab = leiden_levels_numpy(s, d, w, levels=2)
+    out = leiden_levels(spark, _df(spark, s, d, w), levels=2)
+    got = {int(r["id"]): int(r["comm"]) for r in out.collect()}
+    assert got == {v: int(lab[v]) for v in range(nv)}
+
+
+@pytest.mark.parametrize("seed", [2, 8])
+def test_levels_spark_matches_numpy_random(spark, seed):
+    from vite_spark.algos.leiden import leiden_levels, leiden_levels_numpy
+
+    n = 48
+    s, d, w = (lambda t: (t[0], t[1], t[2]))(_rand_graph(n, 200, seed))
+    lab = leiden_levels_numpy(s, d, w, levels=2)
+    out = leiden_levels(spark, _df(spark, s, d, w), levels=2)
+    got = {int(r["id"]): int(r["comm"]) for r in out.collect()}
+    assert got == {v: int(lab[v]) for v in range(n)}
+
+
+def test_levels_one_is_canonicalized_plain_sweeps(spark):
+    import collections
+
+    from vite_spark.algos.leiden import leiden_levels
+
+    s, d, w, nv = fx.karate()
+    e = _df(spark, s, d, w)
+    one = {int(r["id"]): int(r["comm"])
+           for r in leiden_levels(spark, e, levels=1).collect()}
+    plain = {int(r["id"]): int(r["comm"])
+             for r in louvain_sweeps(spark, e, 2).collect()}
+
+    def part(m):
+        g = collections.defaultdict(list)
+        for k, v in m.items():
+            g[v].append(k)
+        return sorted(tuple(sorted(x)) for x in g.values())
+
+    assert part(one) == part(plain)
+    # canonical labels: every community labeled by its min member
+    assert all(c == min(ids) for c, ids in
+               ((c, [k for k, v in one.items() if v == c])
+                for c in set(one.values())))
+
+
+def test_levels_improve_modularity_on_karate(spark):
+    # the point of the second level: aggregation + parent-init moving
+    # strictly improves Q on the karate fixture (deterministic protocol,
+    # so the values are pinned as a regression guard)
+    from vite_spark.algos.leiden import leiden_levels
+    from vite_spark.algos.louvain import modularity_of
+
+    s, d, w, nv = fx.karate()
+    e = _df(spark, s, d, w).persist()
+    q1 = modularity_of(e, leiden_levels(spark, e, levels=1))
+    q2 = modularity_of(e, leiden_levels(spark, e, levels=2))
+    assert q2 > q1
+    assert round(q1, 6) == 0.191239
+    assert round(q2, 6) == 0.260684

@@ -198,3 +198,257 @@ def leiden_refine_numpy(
                     new[v] = best_c
         comm = new
     return comm
+
+
+def _jacobi_sweeps(
+    spark: SparkSession,
+    edges: DataFrame,
+    init: DataFrame,        # (id, comm) — arbitrary initial assignment
+    k: int,
+    cfg: EngineConfig,
+) -> DataFrame:
+    """Exactly ``k`` plain Jacobi Louvain sweeps from an ARBITRARY initial
+    assignment (id, comm) — louvain_sweeps generalized past the singleton
+    init, which is what Leiden's level handoff needs (the aggregated
+    graph starts from the PARENT partition, not singletons). Returns
+    (id, comm) after sweep k; left-join application keeps self-loop-only
+    vertices."""
+    edges = edges.repartition(
+        cfg.shuffle_partitions
+        or int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        "src",
+    ).persist()
+    vdeg = weighted_degrees(edges)
+    selfw = self_loop_weights(edges)
+    vstate = (
+        vdeg.join(selfw, vdeg.id == selfw.id, "left")
+        .select(vdeg.id, "vdeg",
+                F.coalesce("self_w", F.lit(0.0)).alias("self_w"))
+        .persist()
+    )
+    row = vstate.agg(F.sum("vdeg").alias("tw"),
+                     F.count(F.lit(1)).alias("nv")).collect()[0]
+    # 2m is invariant under community aggregation (coarsening keeps every
+    # edge's weight, intra-community mass becomes self-loops), so the
+    # per-level recomputation equals the level-0 constant exactly
+    two_m, nv = float(row["tw"]), int(row["nv"])
+    const = 1.0 / two_m
+
+    curr = init.select("id", "comm")
+    for _ in range(k):
+        comm_info = (
+            curr.join(_maybe_broadcast(vstate.select("id", "vdeg"), nv, cfg),
+                      "id")
+            .groupBy("comm")
+            .agg(F.sum("vdeg").alias("degree"),
+                 F.count(F.lit(1)).alias("size"))
+        )
+        st, e_cc = _counter_tables(edges, curr, vstate, nv, cfg)
+        best = _argmax_moves(
+            st.filter(F.col("dcomm") != F.col("cc")), e_cc, comm_info,
+            const, nv, cfg,
+        )
+        moved = e_cc.join(best, "src", "left").select(
+            F.col("src").alias("id"),
+            F.coalesce(F.col("move_comm"), F.col("cc")).alias("comm"),
+        )
+        curr = (
+            curr.withColumnRenamed("comm", "old_comm")
+            .join(moved.withColumnRenamed("comm", "new_comm"), "id", "left")
+            .select("id", F.coalesce("new_comm", "old_comm").alias("comm"))
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    vstate.unpersist()
+    return curr
+
+
+def leiden_levels(
+    spark: SparkSession,
+    edges: DataFrame,
+    levels: int = 2,
+    move_sweeps: int = 2,
+    refine_sweeps: int = 2,
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """The full fixed-protocol Leiden loop (Traag et al. 2019, fig. 3),
+    deterministic end-to-end — per level: ``move_sweeps`` plain Jacobi
+    sweeps (level 0 from singletons, later levels from the PARENT
+    partition), then Leiden's distinguishing steps: ``refine_sweeps``
+    constrained refinement sweeps from singletons within the moving
+    result, aggregation on the REFINED partition (dense ids ordered by
+    community id — the engine's renumber contract), and the next level's
+    initial assignment groups aggregated vertices by their parent
+    community (min-new-id representative). The last level runs moving
+    only. Fixed sweep counts keep every step SQL-expressible, so the
+    whole multi-level protocol — including coarsening and the level
+    handoff — is driver-oracled (queries.leiden2_assignment), which the
+    convergence-protocol Louvain cannot offer.
+
+    Returns (id, comm) over ORIGINAL vertex ids; comm is canonicalized
+    to the MINIMUM original vertex id of the final community (stable
+    across the coarse id spaces)."""
+    from vite_spark.kernels.ids import dense_ids
+
+    cfg = cfg or EngineConfig()
+    cur = edges.select("src", "dst", "weight").persist()
+    verts0 = cur.select(F.col("src").alias("id")).distinct().persist()
+    vmap = None          # orig id → current coarse id (None = identity)
+    init = None          # level init; None = singletons
+    final_m = None
+    for lvl in range(levels):
+        ids = cur.select(F.col("src").alias("id")).distinct()
+        lab0 = ids.withColumn("comm", F.col("id")) if init is None else init
+        m_lab = _jacobi_sweeps(spark, cur, lab0, move_sweeps, cfg)
+        if lvl == levels - 1:
+            final_m = m_lab
+            break
+        refined = leiden_refine_sweeps(
+            spark, cur, m_lab.withColumnRenamed("comm", "pcomm"),
+            refine_sweeps, cfg,
+        ).persist()
+        ren = dense_ids(refined.select("comm"), "comm").persist()
+        vm = refined.join(ren, "comm").select("id", "new_id")
+        vmap = (vm if vmap is None else
+                vmap.withColumnRenamed("new_id", "mid")
+                .join(vm.withColumnRenamed("id", "mid"), "mid")
+                .select("id", "new_id")).localCheckpoint(eager=True)
+        nxt = (
+            cur.join(vm.withColumnRenamed("id", "src")
+                     .withColumnRenamed("new_id", "ns"), "src")
+            .join(vm.withColumnRenamed("id", "dst")
+                  .withColumnRenamed("new_id", "nd"), "dst")
+            .groupBy(F.col("ns").alias("src"), F.col("nd").alias("dst"))
+            .agg(F.sum("weight").alias("weight"))
+            .localCheckpoint(eager=True)
+        )
+        parent_of = refined.select("comm", "pcomm").distinct()
+        reps = (
+            parent_of.join(ren, "comm")
+            .groupBy("pcomm").agg(F.min("new_id").alias("rep"))
+        )
+        init = (
+            parent_of.join(ren, "comm").join(reps, "pcomm")
+            .select(F.col("new_id").alias("id"), F.col("rep").alias("comm"))
+            .localCheckpoint(eager=True)
+        )
+        refined.unpersist()
+        ren.unpersist()
+        cur.unpersist()
+        cur = nxt.persist()
+    if vmap is None:
+        fin = final_m
+    else:
+        fin = (
+            vmap.withColumnRenamed("new_id", "cid")
+            .join(final_m.withColumnRenamed("id", "cid"), "cid")
+            .select("id", "comm")
+        )
+    reps = fin.groupBy("comm").agg(F.min("id").alias("rep"))
+    out = fin.join(reps, "comm").select(
+        "id", F.col("rep").alias("comm")).localCheckpoint(eager=True)
+    cur.unpersist()
+    verts0.unpersist()
+    return out
+
+
+def _jacobi_numpy(src, dst, w, comm0, k, parent=None):
+    """Unified NumPy sweep mirror: ``k`` Jacobi sweeps from ``comm0``;
+    with ``parent`` the candidate set is restricted within parents (the
+    refinement constraint). Shared by the leiden_levels mirror."""
+    nv = len(comm0)
+    vdeg = np.zeros(nv)
+    np.add.at(vdeg, src, w)
+    selfw = np.zeros(nv)
+    sl = src == dst
+    np.add.at(selfw, src[sl], w[sl])
+    const = 1.0 / w.sum()
+    if parent is not None:
+        keep = parent[src] == parent[dst]
+        fs, fd, fw = src[keep], dst[keep], w[keep]
+    else:
+        fs, fd, fw = src, dst, w
+    comm = np.asarray(comm0, dtype=np.int64).copy()
+    for _ in range(k):
+        cd = np.zeros(int(comm.max()) + 1 if len(comm) else 1)
+        np.add.at(cd, comm, vdeg)
+        cs = np.zeros(len(cd), np.int64)
+        np.add.at(cs, comm, 1)
+        new = comm.copy()
+        for v in range(nv):
+            rows = fs == v
+            if not rows.any():
+                continue
+            nbr_c = comm[fd[rows]]
+            evc: dict[int, float] = {}
+            for c, ww in zip(nbr_c, fw[rows]):
+                evc[int(c)] = evc.get(int(c), 0.0) + float(ww)
+            cc = int(comm[v])
+            e_cc = evc.get(cc, 0.0)
+            eix = e_cc - selfw[v]
+            ax = cd[cc] - vdeg[v]
+            best_gain, best_c = 0.0, None
+            for c in sorted(x for x in evc if x != cc):
+                gain = (2.0 * (evc[c] - eix)
+                        - 2.0 * vdeg[v] * (cd[c] - ax) * const)
+                if gain > 0.0 and (best_c is None or gain > best_gain):
+                    best_gain, best_c = gain, c
+            if best_c is not None:
+                if not (cs[best_c] == 1 and cs[cc] == 1 and best_c > cc):
+                    new[v] = best_c
+        comm = new
+    return comm
+
+
+def leiden_levels_numpy(src, dst, w, levels=2, move_sweeps=2,
+                        refine_sweeps=2):
+    """NumPy mirror of leiden_levels over dense ids 0..nv-1 (ids must be
+    exactly the src set). Returns labels canonicalized to min original
+    vertex id per final community."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    w = np.asarray(w, np.float64)
+    nv0 = int(src.max()) + 1
+    orig2cur = np.arange(nv0, dtype=np.int64)
+    init = None
+    for lvl in range(levels):
+        nv = int(src.max()) + 1
+        comm0 = np.arange(nv, dtype=np.int64) if init is None else init
+        m_lab = _jacobi_numpy(src, dst, w, comm0, move_sweeps)
+        if lvl == levels - 1:
+            final_m = m_lab
+            break
+        refined = _jacobi_numpy(src, dst, w, np.arange(nv, dtype=np.int64),
+                                refine_sweeps, parent=m_lab)
+        uniq, newid = np.unique(refined, return_inverse=True)
+        # parent of each refined community (nesting invariant)
+        parent_of = np.full(len(uniq), -1, np.int64)
+        parent_of[newid] = m_lab
+        # next init: min new-id representative per parent community
+        rep: dict[int, int] = {}
+        for c in range(len(uniq)):
+            p = int(parent_of[c])
+            rep[p] = min(rep.get(p, c), c)
+        init = np.array([rep[int(parent_of[c])] for c in range(len(uniq))],
+                        np.int64)
+        # newid is PER-VERTEX (uniq[newid[v]] == refined[v]), so the
+        # orig→coarse map composes by direct indexing
+        orig2cur = newid[orig2cur]
+        # coarsen
+        ns, nd = newid[src], newid[dst]
+        order = np.lexsort((nd, ns))
+        ns, nd, ws = ns[order], nd[order], w[order]
+        key = ns * (len(uniq) + 1) + nd
+        firsts = np.r_[True, key[1:] != key[:-1]]
+        starts = np.flatnonzero(firsts)
+        src = ns[starts]
+        dst = nd[starts]
+        w = np.add.reduceat(ws, starts)
+    fin = final_m[orig2cur]
+    # canonical min-original-id label per final community
+    reps: dict[int, int] = {}
+    for v in range(nv0):
+        c = int(fin[v])
+        if c not in reps or v < reps[c]:
+            reps[c] = v
+    return np.array([reps[int(fin[v])] for v in range(nv0)], np.int64)

@@ -15,10 +15,15 @@ textbook sequential algorithm, is inherently global/ordered).
 Semantics are over the SIMPLE UNDIRECTED graph; the caller
 (algos/core.py) symmetrizes and deduplicates before packing, so the pack
 seen here has no self-loops or multi-edges and every vertex is a src
-(vertex-closed by construction). All arithmetic is small-integer int64 —
-exact in every accumulation/sort order, so the packed iterates
-(corenesses AND per-iteration changed counts) are IDENTICAL to the join
-path's (pytest-enforced, tests/test_core_packed.py).
+(vertex-closed by construction). All arithmetic is small-integer INT32
+(exact in every accumulation/sort order): every H-index iterate is
+bounded by the initial degree vector — the sequence is pointwise
+non-increasing — so int32 is exact whenever every degree fits, asserted
+at the hco_0 entry point; the narrower dtype halves the gather and
+two-key-sort traffic of the bandwidth-bound sweep (the csr_bfs int32
+lesson). The packed iterates (corenesses AND per-iteration changed
+counts) are IDENTICAL to the join path's (pytest-enforced,
+tests/test_core_packed.py).
 
 State files: ``hco_{s}_{pid}.npy`` = partition pid's owned coreness
 vector after sweep s (s = 0 is the degree vector, written by a one-off
@@ -88,8 +93,17 @@ def _degree_job(spark, pack_dir, nparts):
                 assert len(starts_seg) == len(own), \
                     "pack invariant broken: segments must enumerate own"
                 lens = np.diff(np.r_[starts_seg, len(srcl)])
+                # int32 state: every H-index iterate is bounded by the
+                # initial degree vector (the sequence is pointwise
+                # non-increasing), so int32 is exact whenever every
+                # degree fits — asserted here, the one entry point of
+                # the chain (the BFS int32-state lesson: the narrower
+                # dtype halves the gather and sort traffic of the
+                # bandwidth-bound sweep)
+                assert int(lens.max()) < 2 ** 31, \
+                    "vertex degree exceeds int32 — widen kernel state"
                 _atomic_save(os.path.join(pack_dir, f"hco_0_{pid}.npy"),
-                             lens.astype(np.int64))
+                             lens.astype(np.int32))
                 yield pd.DataFrame({"pid": [pid], "n": [len(lens)]})
 
     return _pid_frame(spark, nparts).mapInPandas(
@@ -125,7 +139,7 @@ def _core_job(spark, pack_dir, nparts, s, routing):
 
                 # --- gather curr over U_p at s-1 ---
                 starts, bpids = _load_bounds(pack_dir)
-                curr = np.empty(len(ux), np.int64)
+                curr = np.empty(len(ux), np.int32)
                 for q in owners_of.get(pid, ()):
                     lo, hi = _ux_owner_span(ux, starts, bpids, q)
                     req = _req_of(pack_dir, q, pid)
@@ -137,12 +151,16 @@ def _core_job(spark, pack_dir, nparts, s, routing):
                 old_own = curr[own_pos].copy()
 
                 # --- sweep: per-segment H-index of neighbor values ---
-                vals = curr[np.asarray(dstl, np.int64)]
-                srcl64 = np.asarray(srcl, np.int64)
-                o2 = np.lexsort((-vals, srcl64))
+                # all-int32 hot path (values bounded by int32 degrees —
+                # the hco_0 guard — and per-partition row counts < 2^31
+                # by the same pack invariant): half the bytes through
+                # the gather, the two-key sort, and the rank clamp
+                vals = curr[dstl]
+                o2 = np.lexsort((-vals, srcl))
                 vs = vals[o2]
-                rank = (np.arange(len(srcl64), dtype=np.int64)
-                        - np.repeat(starts_seg, lens) + 1)
+                rank = (np.arange(len(srcl), dtype=np.int32)
+                        - np.repeat(starts_seg.astype(np.int32),
+                                    lens) + np.int32(1))
                 new_own = np.maximum.reduceat(
                     np.minimum(vs, rank), starts_seg)
 
@@ -276,7 +294,7 @@ def csr_coreness(spark, edges_simple, max_iter, cfg, metrics,
                         pack_dir, f"hco_{s_final}_{pid}.npy"))
                     yield pd.DataFrame(
                         {"id": np.asarray(own, np.int64),
-                         "coreness": c})
+                         "coreness": np.asarray(c, np.int64)})
 
         out = _pid_frame(spark, nparts).mapInPandas(
             emit, schema="id long, coreness long"

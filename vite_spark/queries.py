@@ -1176,7 +1176,8 @@ SQL_KATZ = _katz_sql(KATZ_ITERS, KATZ_ALPHA, KATZ_BETA)
 LOUVAIN_SWEEPS_K = 2
 
 
-def _sweep_ctes(s: int, pfx: str, edges_name: str) -> str:
+def _sweep_ctes(s: int, pfx: str, edges_name: str,
+                verts_name: str = "verts") -> str:
     """One Jacobi Louvain sweep as CTEs (L4 counter, L5 gain/tie-breaks,
     singleton-swap guard, aggregate refresh) reading {pfx}lab{s-1} /
     {pfx}cinfo{s-1} and writing {pfx}lab{s} / {pfx}cinfo{s}. ``pfx``
@@ -1193,7 +1194,7 @@ def _sweep_ctes(s: int, pfx: str, edges_name: str) -> str:
 ),
 {pfx}st{s} AS (
   SELECT v.id AS src, lc.comm AS cc, v.vdeg, v.self_w, x.dcomm, x.evc
-  FROM verts v JOIN {pfx}lab{p} lc ON lc.id = v.id
+  FROM {verts_name} v JOIN {pfx}lab{p} lc ON lc.id = v.id
   JOIN {pfx}evc{s} x ON x.src = v.id
 ),
 {pfx}ecc{s} AS (
@@ -1226,7 +1227,7 @@ def _sweep_ctes(s: int, pfx: str, edges_name: str) -> str:
 ),
 {pfx}cinfo{s} AS MATERIALIZED (
   SELECT l.comm, SUM(v.vdeg) AS degree, COUNT(*) AS size
-  FROM {pfx}lab{s} l JOIN verts v ON v.id = l.id GROUP BY l.comm
+  FROM {pfx}lab{s} l JOIN {verts_name} v ON v.id = l.id GROUP BY l.comm
 ),"""
 
 
@@ -1396,6 +1397,139 @@ def q_leiden_refine2_q(spark, sf_dir):
         .withColumnRenamed("comm", "pcomm")
     ref = leiden_refine_sweeps(spark, e, parents, LEIDEN_REFINE_K)
     q = modularity_of(e, ref.select("id", "comm"))
+    e.unpersist()
+    return spark.createDataFrame([(q,)], "q double").select(
+        F.round("q", 6).alias("q6"))
+
+
+LEIDEN_LEVELS = 2
+
+
+def _leiden_levels_sql(move_k: int, refine_k: int,
+                       final: str = "labels") -> str:
+    """Unrolled FULL 2-level Leiden protocol (algos/leiden.leiden_levels):
+    level-0 moving (move_k plain sweeps from singletons) → refinement
+    (refine_k constrained sweeps) → aggregation on the refined partition
+    (dense ids ordered by community id — the engine renumber contract) →
+    level-1 moving from the PARENT-partition init (min-new-id
+    representative per parent). Every stage is the shared _sweep_ctes
+    template or plain relational algebra, so the entire multi-level
+    protocol — coarsening and level handoff included — is value-checked
+    against DuckDB, which the convergence-protocol Louvain cannot offer.
+    final="labels" → (id, comm) with comm canonicalized to the minimum
+    original vertex id of the final community; final="q" → 1-row (q6,)
+    modularity of that partition on the ORIGINAL graph. 2m is invariant
+    under aggregation, so the level-0 ``consts`` serves both levels."""
+    parts = [
+        f"WITH {EDGES_CTE},",
+        """verts AS MATERIALIZED (
+  SELECT src AS id, SUM(weight) AS vdeg,
+         SUM(CASE WHEN src = dst THEN weight ELSE 0.0 END) AS self_w
+  FROM edges GROUP BY src
+),
+consts AS (SELECT 1.0 / SUM(weight) AS c FROM edges),
+lab0 AS MATERIALIZED (SELECT id, id AS comm FROM verts),
+cinfo0 AS MATERIALIZED (SELECT id AS comm, vdeg AS degree, 1 AS size FROM verts),""",
+    ]
+    for s in range(1, move_k + 1):
+        parts.append(_sweep_ctes(s, "", "edges"))
+    parts.append(f"""plab AS MATERIALIZED (
+  SELECT id, comm AS pcomm FROM lab{move_k}
+),
+edgesf AS MATERIALIZED (
+  SELECT e.src, e.dst, e.weight
+  FROM edges e JOIN plab pa ON pa.id = e.src JOIN plab pb ON pb.id = e.dst
+  WHERE pa.pcomm = pb.pcomm
+),
+rlab0 AS MATERIALIZED (SELECT id, id AS comm FROM verts),
+rcinfo0 AS MATERIALIZED (SELECT id AS comm, vdeg AS degree, 1 AS size FROM verts),""")
+    for s in range(1, refine_k + 1):
+        parts.append(_sweep_ctes(s, "r", "edgesf"))
+    parts.append(f"""ren AS MATERIALIZED (
+  SELECT comm, DENSE_RANK() OVER (ORDER BY comm) - 1 AS new_id
+  FROM (SELECT DISTINCT comm FROM rlab{refine_k})
+),
+vm1 AS MATERIALIZED (
+  SELECT l.id, r.new_id FROM rlab{refine_k} l JOIN ren r USING (comm)
+),
+edges2 AS MATERIALIZED (
+  SELECT a.new_id AS src, b.new_id AS dst, SUM(e.weight) AS weight
+  FROM edges e JOIN vm1 a ON a.id = e.src JOIN vm1 b ON b.id = e.dst
+  GROUP BY a.new_id, b.new_id
+),
+verts2 AS MATERIALIZED (
+  SELECT src AS id, SUM(weight) AS vdeg,
+         SUM(CASE WHEN src = dst THEN weight ELSE 0.0 END) AS self_w
+  FROM edges2 GROUP BY src
+),
+pof AS (SELECT DISTINCT r.comm, p.pcomm
+        FROM rlab{refine_k} r JOIN plab p USING (id)),
+preps AS (SELECT po.pcomm, MIN(r.new_id) AS rep
+          FROM pof po JOIN ren r USING (comm) GROUP BY po.pcomm),
+glab0 AS MATERIALIZED (
+  SELECT r.new_id AS id, rp.rep AS comm
+  FROM pof po JOIN ren r USING (comm) JOIN preps rp ON rp.pcomm = po.pcomm
+),
+gcinfo0 AS MATERIALIZED (
+  SELECT g.comm, SUM(v.vdeg) AS degree, COUNT(*) AS size
+  FROM glab0 g JOIN verts2 v ON v.id = g.id GROUP BY g.comm
+),""")
+    for s in range(1, move_k + 1):
+        parts.append(_sweep_ctes(s, "g", "edges2", verts_name="verts2"))
+    parts.append(f"""fin AS MATERIALIZED (
+  SELECT vm1.id, gl.comm FROM vm1 JOIN glab{move_k} gl ON gl.id = vm1.new_id
+),""")
+    body = "\n".join(parts)
+    body = body[: body.rstrip().rfind(",")]
+    if final == "labels":
+        return body + """
+, frep AS (SELECT comm, MIN(id) AS rep FROM fin GROUP BY comm)
+SELECT f.id, fr.rep AS comm FROM fin f JOIN frep fr USING (comm)"""
+    return body + """
+, qdeg AS (SELECT f.comm, SUM(v.vdeg) AS d
+           FROM fin f JOIN verts v ON v.id = f.id GROUP BY f.comm)
+SELECT ROUND(
+  (SELECT SUM(CASE WHEN a.comm = b.comm THEN e.weight ELSE 0.0 END)
+   FROM edges e JOIN fin a ON a.id = e.src JOIN fin b ON b.id = e.dst)
+  * (SELECT c FROM consts)
+  - (SELECT SUM(d * d) FROM qdeg)
+    * (SELECT c FROM consts) * (SELECT c FROM consts),
+  6) AS q6"""
+
+
+SQL_LEIDEN2_ASSIGNMENT = _leiden_levels_sql(
+    LOUVAIN_SWEEPS_K, LEIDEN_REFINE_K, final="labels")
+SQL_LEIDEN2_Q = _leiden_levels_sql(
+    LOUVAIN_SWEEPS_K, LEIDEN_REFINE_K, final="q")
+
+
+def q_leiden2_assignment(spark, sf_dir):
+    """FULL fixed-protocol Leiden, 2 levels (algos/leiden.leiden_levels):
+    move → refine → aggregate-on-refined → parent-init move, with the
+    ENTIRE multi-level protocol (coarsening and level handoff included)
+    value-checked against the unrolled DuckDB oracle — the fixed-sweep
+    analog of louvain_assignment that the convergence protocol itself
+    cannot oracle. Labels are canonical min-original-vertex-id per final
+    community."""
+    from vite_spark.algos.leiden import leiden_levels
+
+    e = lineitem_part_edges(spark, sf_dir)
+    return leiden_levels(spark, e, levels=LEIDEN_LEVELS,
+                         move_sweeps=LOUVAIN_SWEEPS_K,
+                         refine_sweeps=LEIDEN_REFINE_K)
+
+
+def q_leiden2_q(spark, sf_dir):
+    """Modularity (rounded 6) of the 2-level Leiden partition on the
+    original graph."""
+    from vite_spark.algos.leiden import leiden_levels
+    from vite_spark.algos.louvain import modularity_of
+
+    e = lineitem_part_edges(spark, sf_dir).persist()
+    lab = leiden_levels(spark, e, levels=LEIDEN_LEVELS,
+                        move_sweeps=LOUVAIN_SWEEPS_K,
+                        refine_sweeps=LEIDEN_REFINE_K)
+    q = modularity_of(e, lab)
     e.unpersist()
     return spark.createDataFrame([(q,)], "q double").select(
         F.round("q", 6).alias("q6"))
@@ -4212,6 +4346,8 @@ def registry() -> dict[str, tuple]:
         "lpa_labels": (q_lpa_labels, SQL_LPA_LABELS),
         "coloring_assignment": (q_coloring_assignment, SQL_COLORING_ASSIGNMENT),
         "leiden_refine2": (q_leiden_refine2, SQL_LEIDEN_REFINE2),
+        "leiden2_assignment": (q_leiden2_assignment, SQL_LEIDEN2_ASSIGNMENT),
+        "leiden2_q": (q_leiden2_q, SQL_LEIDEN2_Q),
         "leiden_refine2_q": (q_leiden_refine2_q, SQL_LEIDEN_REFINE2_Q),
         "wl_colors": (q_wl_colors, SQL_WL_COLORS),
         "wl_profile": (q_wl_profile, SQL_WL_PROFILE),
