@@ -175,3 +175,23 @@ def test_levels_improve_modularity_on_karate(spark):
     assert q2 > q1
     assert round(q1, 6) == 0.191239
     assert round(q2, 6) == 0.260684
+
+
+def test_levels_local_tier_matches_distributed(spark):
+    # adaptive driver-local NumPy tier (graphs under
+    # local_phase_max_edges) ≡ the distributed path exactly — including
+    # non-dense original ids (densify is monotone)
+    from vite_spark.algos.leiden import leiden_levels
+    from vite_spark.config import EngineConfig
+
+    s, d, w, nv = fx.karate()
+    s2, d2 = s * 7 + 3, d * 7 + 3   # arbitrary (non-dense) ids
+    e = _df(spark, s2, d2, w)
+    local = {int(r["id"]): int(r["comm"])
+             for r in leiden_levels(spark, e, levels=2).collect()}
+    dist = {int(r["id"]): int(r["comm"])
+            for r in leiden_levels(
+                spark, e, levels=2,
+                cfg=EngineConfig(local_phase_max_edges=0)).collect()}
+    assert local == dist
+    assert len(local) == nv

@@ -291,6 +291,29 @@ def leiden_levels(
     from vite_spark.kernels.ids import dense_ids
 
     cfg = cfg or EngineConfig()
+    # adaptive driver-local tier (the louvain _local_phase design): a
+    # graph under cfg.local_phase_max_edges rows runs the pytest-proven
+    # NumPy mirror in one Arrow pull — identical labels by the parity
+    # tests — so small graphs and deep coarse levels never pay cluster
+    # job latency. Arbitrary ids handled by a monotone densify (np.unique
+    # is sorted, so every min-id tie-break and the min-original-id
+    # canonicalization survive the mapping).
+    ne = edges.count()
+    if ne <= cfg.local_phase_max_edges:
+        import pandas as pd
+
+        pdf = edges.select("src", "dst", "weight").toPandas()
+        s0 = pdf["src"].to_numpy(np.int64)
+        d0 = pdf["dst"].to_numpy(np.int64)
+        w0 = pdf["weight"].to_numpy(np.float64)
+        uniq = np.unique(s0)
+        s = np.searchsorted(uniq, s0)
+        d = np.searchsorted(uniq, d0)
+        lab = leiden_levels_numpy(s, d, w0, levels=levels,
+                                  move_sweeps=move_sweeps,
+                                  refine_sweeps=refine_sweeps)
+        out = pd.DataFrame({"id": uniq, "comm": uniq[lab]})
+        return spark.createDataFrame(out, schema="id long, comm long")
     cur = edges.select("src", "dst", "weight").persist()
     verts0 = cur.select(F.col("src").alias("id")).distinct().persist()
     vmap = None          # orig id → current coarse id (None = identity)
