@@ -465,6 +465,27 @@ def core_throughput(spark, edges, warmup: int = 1, iters: int | None = None,
     return ne * len(sup) / wall
 
 
+def wl_throughput(spark, edges, iters: int = 5, warmup: int = 1,
+                  metrics=None) -> float:
+    """edges/sec per WL color-refinement round — the DataFrame-NATIVE
+    tier's measured reference point (no packed kernel: each round is one
+    edges ⋈ labels join + two hash aggregations with the Jenkins chain
+    fully inside whole-stage codegen, algos/wl.py). Every round touches
+    all edges exactly once, so per-round walls compare cleanly across
+    parallelism levels; the labels argument of round t is data-dependent
+    but identically so at both levels (deterministic hash ladder)."""
+    from vite_spark.algos.wl import wl_refine
+    from vite_spark.runtime.metrics import MetricsCollector
+
+    m = metrics if metrics is not None else MetricsCollector()
+    ne = edges.count()
+    wl_refine(spark, edges, rounds=iters, metrics=m).count()
+    sup = [r for r in m.rows if r.get("kind") == "wl_round"][warmup:]
+    assert len(sup) >= 2
+    wall = sum(r["wall_s"] for r in sup)
+    return ne * len(sup) / wall
+
+
 def synth_edges(spark, n_vertices: int = 200_000, avg_deg: int = 16,
                 seed: int = 42, parts: int = 64):
     """Deterministic synthetic edge table for the scaling run (seeded LCG
@@ -711,6 +732,12 @@ def scaling_worker(cores: int, nparts: int):
             mode = ("bfs_" + "+".join(sorted(
                 {str(r.get("mode", "join")) for r in m.rows
                  if r.get("kind") == kind})))
+        elif algo == "wl":
+            # DataFrame-native reference shape (no packed kernel)
+            eps = wl_throughput(spark, edges, iters=iters, warmup=1,
+                                metrics=m)
+            kind = "wl_round"
+            mode = "wl_hashagg_join"
         elif algo.startswith("lpa"):
             # "lpa" = packed-CSR kernel; "lpa_join" = join+agg vote shape
             packed = algo != "lpa_join"

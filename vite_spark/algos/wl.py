@@ -99,6 +99,7 @@ def wl_refine(
     rounds: int = 3,
     seed: int = WL_SEED,
     return_profile: bool = False,
+    metrics=None,
 ):
     """(id, lab) after ``rounds`` WL refinement rounds over the
     symmetrized simple graph of ``edges``; with ``return_profile`` also
@@ -114,6 +115,9 @@ def wl_refine(
     profile = [(0, labels.select("lab").distinct().count())] \
         if return_profile else None
     for t in range(1, rounds + 1):
+        import time as _time
+
+        t0 = _time.time()
         s_t = seed + WL_SEED_STRIDE * (t - 1)
         hashed = labels.select(
             "id", _hash32_col(F.col("lab"), s_t).alias("h"))
@@ -136,6 +140,9 @@ def wl_refine(
         new_labels.count()
         labels.unpersist()
         labels = new_labels
+        if metrics is not None:
+            metrics.record(kind="wl_round", iter=t,
+                           wall_s=_time.time() - t0, mode="wl_hashagg_join")
         if return_profile:
             profile.append((t, labels.select("lab").distinct().count()))
     und.unpersist()
