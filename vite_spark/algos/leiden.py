@@ -307,6 +307,15 @@ def leiden_levels(
         d0 = pdf["dst"].to_numpy(np.int64)
         w0 = pdf["weight"].to_numpy(np.float64)
         uniq = np.unique(s0)
+        # symmetrization contract: every dst must appear as a src, or
+        # searchsorted would silently mismap dst ids absent from uniq
+        # (the distributed tier would instead drop such endpoints at its
+        # dst join — make contract-violating input fail loudly and
+        # identically on both tiers)
+        assert np.isin(d0, uniq).all(), (
+            "leiden_levels: input not symmetrized (dst ids absent from "
+            "src set)"
+        )
         s = np.searchsorted(uniq, s0)
         d = np.searchsorted(uniq, d0)
         lab = leiden_levels_numpy(s, d, w0, levels=levels,
@@ -315,7 +324,6 @@ def leiden_levels(
         out = pd.DataFrame({"id": uniq, "comm": uniq[lab]})
         return spark.createDataFrame(out, schema="id long, comm long")
     cur = edges.select("src", "dst", "weight").persist()
-    verts0 = cur.select(F.col("src").alias("id")).distinct().persist()
     vmap = None          # orig id → current coarse id (None = identity)
     init = None          # level init; None = singletons
     final_m = None
@@ -371,7 +379,6 @@ def leiden_levels(
     out = fin.join(reps, "comm").select(
         "id", F.col("rep").alias("comm")).localCheckpoint(eager=True)
     cur.unpersist()
-    verts0.unpersist()
     return out
 
 

@@ -190,11 +190,17 @@ def _prepare_core_pack(spark, edges_simple, cfg, nparts):
     <pack_cache_dir>/core_pack (the tri_pack convention), so repeated
     runs — the scaling probe's interleaved reps — skip the
     simplify+pack, the fileConvert-once analog. Same caller contract as
-    every pack cache: one cache dir ↔ one edge table + nparts."""
+    every pack cache: one cache dir ↔ one edge table + nparts; the
+    nparts half of that contract is validated against the manifest (a
+    stale cache left by a killed run with a different layout is wiped
+    and repacked, not silently reused — counting ``edges_simple`` to
+    validate the table half would re-run its whole simplify shuffle, so
+    the table half stays the documented dir-naming convention)."""
     routing = None
     info = None
     pack_dir = None
     cleanup = True
+    requested_nparts = nparts
     if cfg.pack_cache_dir:
         pack_dir = os.path.join(cfg.pack_cache_dir, "core_pack")
         cleanup = False
@@ -202,18 +208,21 @@ def _prepare_core_pack(spark, edges_simple, cfg, nparts):
         if os.path.exists(mf):
             with open(mf) as fh:
                 man = json.load(fh)
-            info = man["info"]
-            nparts = man["nparts"]
-            routing = (
-                {int(k): v for k, v in man["owners_of"].items()},
-                {int(k): v for k, v in man["rdrs_of"].items()},
-            )
-            for f in os.listdir(pack_dir):
-                if f.startswith(CORE_TRANSIENT_PREFIXES):
-                    try:
-                        os.remove(os.path.join(pack_dir, f))
-                    except OSError:
-                        pass
+            if man.get("requested_nparts") != nparts:
+                shutil.rmtree(pack_dir, ignore_errors=True)
+            else:
+                info = man["info"]
+                nparts = man["nparts"]
+                routing = (
+                    {int(k): v for k, v in man["owners_of"].items()},
+                    {int(k): v for k, v in man["rdrs_of"].items()},
+                )
+                for f in os.listdir(pack_dir):
+                    if f.startswith(CORE_TRANSIENT_PREFIXES):
+                        try:
+                            os.remove(os.path.join(pack_dir, f))
+                        except OSError:
+                            pass
     if info is None:
         e = edges_simple.repartitionByRange(nparts, "src")
         nparts = e.rdd.getNumPartitions()
@@ -234,6 +243,7 @@ def _prepare_core_pack(spark, edges_simple, cfg, nparts):
             with open(tmp, "w") as fh:
                 json.dump({
                     "info": info, "nparts": nparts,
+                    "requested_nparts": requested_nparts,
                     "owners_of": routing[0], "rdrs_of": routing[1],
                 }, fh)
             os.replace(tmp, os.path.join(pack_dir, "manifest.json"))

@@ -167,6 +167,14 @@ def pack_csr_partitions_sharded(edges, pack_dir: str, nparts: int) -> dict:
             src = np.empty(0, np.int64)
             dst = np.empty(0, np.int64)
             w = np.empty(0, np.float64)
+        # every consumer of this pack (srcl here, the rank arithmetic
+        # in csr_core.py, the int32 dstl indices) indexes partition rows
+        # as int32 — fail loudly instead of wrapping if a partition ever
+        # exceeds 2^31 rows (raise nparts / repartition finer)
+        assert len(src) < 2**31, (
+            f"partition {pid}: {len(src)} edge rows >= 2^31 breaks the "
+            "int32 row-index invariant; increase nparts"
+        )
         order = np.lexsort((dst, src))
         src, dst, w = src[order], dst[order], w[order]
         if len(src):
