@@ -3139,7 +3139,61 @@ FROM events GROUP BY 1, 2"""
 
 def q_streaming_cooccur_edges(spark, sf_dir):
     """Streaming link-graph construction (users co-occurring in the same
-    (event_type, 10-minute window) bucket), drained deterministically."""
+    (event_type, 10-minute window) bucket), drained deterministically
+    through the state-BOUNDED operator (applyInPandasWithState,
+    smallest-K state per open bucket — O(K) even under hot buckets; the
+    r4 VERDICT wrong#4 default). Append-mode semantics: a bucket emits
+    when the event-time watermark passes its window end, so buckets
+    still open at end-of-drain are withheld — the oracle mirrors that
+    close rule exactly."""
+    from vite_spark.streaming import (
+        cooccur_edge_stream_bounded,
+        run_available_now,
+        stream_events,
+    )
+
+    st = cooccur_edge_stream_bounded(stream_events(spark, f"{sf_dir}/events.*"))
+    return run_available_now(st, output_mode="append").select(
+        F.col("window_start").cast("long").alias("window_start"),
+        "event_type", "src", "dst",
+    )
+
+
+# per-bucket user cap mirrored from streaming.DEFAULT_MAX_BUCKET_USERS
+# (keep the K smallest user_ids per bucket — exactly the engine's
+# smallest-K streamed state / slice(array_sort(collect_set), 1, K);
+# never binds on testdata). The wm CTE mirrors Spark's event-time
+# watermark close rule for the bounded (append-mode) default: watermark
+# = floor(max event time in ms) - 30 min; a bucket fires only when the
+# watermark advances strictly beyond its window end.
+SQL_STREAMING_COOCCUR_EDGES = f"""
+WITH wm AS (
+  SELECT MAX(epoch_ms(ts)) - 30 * 60 * 1000 AS wm_ms FROM events
+),
+b AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+         event_type, user_id
+  FROM events
+),
+kept AS (
+  SELECT window_start, event_type, user_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start, event_type
+                                 ORDER BY user_id) AS rn
+    FROM b
+  ) WHERE rn <= {DEFAULT_MAX_BUCKET_USERS}
+)
+SELECT a.window_start, a.event_type,
+       a.user_id AS src, c.user_id AS dst
+FROM kept a JOIN kept c USING (window_start, event_type), wm
+WHERE a.user_id < c.user_id
+  AND (a.window_start + 600) * 1000 < wm.wm_ms"""
+
+
+def q_streaming_cooccur_edges_complete(spark, sf_dir):
+    """The collect_set (pure built-ins) co-occurrence form, drained in
+    complete mode — every bucket emits regardless of the watermark.
+    Kept as its own driver row so both execution shapes stay
+    oracle-checked; the bounded operator above is the default."""
     from vite_spark.streaming import (
         cooccur_edge_stream,
         run_available_now,
@@ -3153,10 +3207,7 @@ def q_streaming_cooccur_edges(spark, sf_dir):
     )
 
 
-# per-bucket user cap mirrored from streaming.DEFAULT_MAX_BUCKET_USERS
-# (keep the K smallest user_ids per bucket — exactly the engine's
-# slice(array_sort(collect_set), 1, K); never binds on testdata)
-SQL_STREAMING_COOCCUR_EDGES = f"""
+SQL_STREAMING_COOCCUR_EDGES_COMPLETE = f"""
 WITH b AS (
   SELECT DISTINCT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
          event_type, user_id
@@ -4509,5 +4560,9 @@ def _registry_base() -> dict[str, tuple]:
         ),
         "multimodal_mkv_frames": (
             q_multimodal_mkv_frames, SQL_MULTIMODAL_MKV,
+        ),
+        "streaming_cooccur_edges_complete": (
+            q_streaming_cooccur_edges_complete,
+            SQL_STREAMING_COOCCUR_EDGES_COMPLETE,
         ),
     }
