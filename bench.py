@@ -278,6 +278,32 @@ def msf_throughput(spark, edges, reps: int = 2, metrics=None) -> float:
     return ne / wall
 
 
+def truss_throughput(spark, edges, k: int | None = None, reps: int = 2,
+                     variant: str = "frontier", metrics=None) -> float:
+    """edges/sec for a FULL k-truss peel to fixpoint. Whole-job number
+    like msf_throughput: the round count is data-determined and
+    identical at every parallelism level. variant="frontier" runs the
+    maintained-support peel (decrements enumerated from deleted edges —
+    per-round cost ∝ the deleted frontier); "recompute" runs the
+    full-wedge-join-per-round reference shape. SPARK_GRAFT_TRUSS_K
+    overrides k (default 4 — k=3 deletes nothing on triangle-bearing
+    graphs until supports hit 0, k=4 actually peels)."""
+    from vite_spark.algos.truss import ktruss, ktruss_recompute
+    from vite_spark.runtime.metrics import MetricsCollector
+
+    m = metrics if metrics is not None else MetricsCollector()
+    ne = edges.count()
+    k = k if k is not None else int(os.environ.get("SPARK_GRAFT_TRUSS_K", "4"))
+    fn = ktruss if variant == "frontier" else ktruss_recompute
+    wall = None
+    for _ in range(max(2, reps)):
+        t0 = time.time()
+        fn(spark, edges, k, metrics=m).count()
+        wall = time.time() - t0
+        m.record(kind="ktruss_job", wall_s=wall, edges=ne)
+    return ne / wall
+
+
 def cc_superstep_throughput(spark, edges, iters: int = 5, warmup: int = 1,
                             packed: bool = True, metrics=None) -> float:
     """edges/sec per connected-components superstep — the production-path
@@ -466,21 +492,33 @@ def core_throughput(spark, edges, warmup: int = 1, iters: int | None = None,
 
 
 def wl_throughput(spark, edges, iters: int = 5, warmup: int = 1,
-                  metrics=None) -> float:
-    """edges/sec per WL color-refinement round — the DataFrame-NATIVE
-    tier's measured reference point (no packed kernel: each round is one
-    edges ⋈ labels join + two hash aggregations with the Jenkins chain
-    fully inside whole-stage codegen, algos/wl.py). Every round touches
-    all edges exactly once, so per-round walls compare cleanly across
-    parallelism levels; the labels argument of round t is data-dependent
-    but identically so at both levels (deterministic hash ladder)."""
+                  packed: bool = True, metrics=None) -> float:
+    """edges/sec per WL color-refinement round. packed=True runs the
+    sharded-CSR kernel (kernels/csr_wl.py — one job per round over the
+    pack shared with k-core, asserted via the metrics mode); False runs
+    the DataFrame-native join shape (one edges ⋈ labels join + two hash
+    aggregations per round, Jenkins chain fully inside whole-stage
+    codegen, algos/wl.py). Every round touches all edges exactly once,
+    so per-round walls compare cleanly across parallelism levels; the
+    labels argument of round t is data-dependent but identically so at
+    both levels (deterministic hash ladder)."""
     from vite_spark.algos.wl import wl_refine
+    from vite_spark.config import EngineConfig
     from vite_spark.runtime.metrics import MetricsCollector
 
     m = metrics if metrics is not None else MetricsCollector()
     ne = edges.count()
-    wl_refine(spark, edges, rounds=iters, metrics=m).count()
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    cfg = EngineConfig(
+        use_csr_kernel=packed,
+        scratch_dir=scratch,
+        pack_cache_dir=os.environ.get("SPARK_GRAFT_PACK_CACHE") or None,
+    )
+    wl_refine(spark, edges, rounds=iters, metrics=m, cfg=cfg).count()
     sup = [r for r in m.rows if r.get("kind") == "wl_round"][warmup:]
+    if packed:
+        assert all(r.get("mode") == "wl_csr_sharded" for r in sup), \
+            "packed WL kernel did not run (fallback?)"
     assert len(sup) >= 2
     wall = sum(r["wall_s"] for r in sup)
     return ne * len(sup) / wall
@@ -708,10 +746,22 @@ def scaling_worker(cores: int, nparts: int):
             mode = ("+".join(packed_modes) if packed_modes
                     else "triangles_wedge_join")
         elif algo == "msf":
-            # whole-job Borůvka MSF (join path; no packed kernel)
+            # whole-job Borůvka MSF (edge-label rounds + adaptive
+            # driver-local/broadcast contraction tier)
             eps = msf_throughput(spark, edges, metrics=m)
             kind = "msf_job"
-            mode = "msf_boruvka_join"
+            mode = "msf_" + "+".join(sorted(
+                {str(r.get("mode", "boruvka")) for r in m.rows
+                 if r.get("kind") == "msf_round"}))
+        elif algo.startswith("ktruss"):
+            # "ktruss" = frontier peel (maintained supports);
+            # "ktruss_recompute" = full wedge join per round
+            variant = "recompute" if algo == "ktruss_recompute" \
+                else "frontier"
+            eps = truss_throughput(spark, edges, variant=variant,
+                                   metrics=m)
+            kind = "ktruss_round"
+            mode = "truss_" + variant
         elif algo.startswith("core"):
             # "core" = packed H-index kernel; "core_join" = the window
             # join+agg H-index shape
@@ -732,12 +782,13 @@ def scaling_worker(cores: int, nparts: int):
             mode = ("bfs_" + "+".join(sorted(
                 {str(r.get("mode", "join")) for r in m.rows
                  if r.get("kind") == kind})))
-        elif algo == "wl":
-            # DataFrame-native reference shape (no packed kernel)
+        elif algo.startswith("wl"):
+            # "wl" = packed-CSR kernel; "wl_join" = codegen join shape
+            packed = algo != "wl_join"
             eps = wl_throughput(spark, edges, iters=iters, warmup=1,
-                                metrics=m)
+                                packed=packed, metrics=m)
             kind = "wl_round"
-            mode = "wl_hashagg_join"
+            mode = "wl_csr_sharded" if packed else "wl_hashagg_join"
         elif algo.startswith("lpa"):
             # "lpa" = packed-CSR kernel; "lpa_join" = join+agg vote shape
             packed = algo != "lpa_join"

@@ -87,3 +87,34 @@ def test_msf_oracle_unroll_slack(spark):
     minimum_spanning_forest(spark, e, metrics=m).count()
     rounds = max(r["iter"] for r in m.rows if r["kind"] == "msf_round")
     assert rounds + 1 <= MSF_ORACLE_ROUNDS, rounds
+
+
+def test_msf_contraction_tiers_agree(spark):
+    """The driver-local broadcast contraction tier (default) and the
+    distributed two-phase-CC tier (forced via a zero threshold) return
+    the identical forest, and the metrics name which tier ran."""
+    from vite_spark.algos.msf import minimum_spanning_forest
+    from vite_spark.config import EngineConfig
+    from vite_spark.runtime.metrics import MetricsCollector
+
+    rng = random.Random(9)
+    g = nx.gnm_random_graph(80, 240, seed=9)
+    ed = [(min(u, v), max(u, v), float(rng.randint(1, 4)))
+          for u, v in g.edges()]
+    rows = ed + [(v, u, w) for u, v, w in ed]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+
+    ml = MetricsCollector()
+    local = {(r["src"], r["dst"], r["weight"]) for r in
+             minimum_spanning_forest(spark, df, metrics=ml).collect()}
+    assert {r["mode"] for r in ml.rows if r["kind"] == "msf_round"} \
+        == {"boruvka_local_contract"}
+
+    md = MetricsCollector()
+    dist = {(r["src"], r["dst"], r["weight"]) for r in
+            minimum_spanning_forest(
+                spark, df, metrics=md,
+                cfg=EngineConfig(msf_local_contract_max_rows=0)).collect()}
+    assert {r["mode"] for r in md.rows if r["kind"] == "msf_round"} \
+        == {"boruvka_cc_contract"}
+    assert local == dist

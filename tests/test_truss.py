@@ -66,3 +66,24 @@ def test_ktruss_oracle_slack(spark):
     rounds = len([r for r in m.rows if r.get("kind") == "ktruss_round"])
     assert rounds <= KTRUSS_ORACLE_ROUNDS // 2, \
         f"ktruss used {rounds} rounds; oracle unrolls {KTRUSS_ORACLE_ROUNDS}"
+
+
+def test_ktruss_frontier_equals_recompute(spark):
+    """The frontier peel (maintained supports, decrements enumerated
+    from deleted edges) and the full-recompute Jacobi peel return the
+    identical (edge, support) sets — including on graphs engineered so
+    a deleted round contains triangles with TWO deleted edges (the
+    inclusion–exclusion case the naive pair count overcounts)."""
+    from vite_spark.algos.truss import ktruss_recompute
+
+    rng = np.random.default_rng(23)
+    for seed, n, p in ((1, 40, 0.3), (2, 60, 0.15), (3, 30, 0.5)):
+        rng = np.random.default_rng(seed)
+        m = np.triu(rng.random((n, n)) < p, k=1)
+        a, b = np.nonzero(m)
+        for k in (3, 4, 6):
+            got = {(r["u"], r["v"]): r["support"] for r in ktruss(
+                spark, _edges_df(spark, a, b), k).collect()}
+            want = {(r["u"], r["v"]): r["support"] for r in ktruss_recompute(
+                spark, _edges_df(spark, a, b), k).collect()}
+            assert got == want, f"seed={seed} k={k}"

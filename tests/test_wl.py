@@ -134,3 +134,32 @@ def test_small_rounds(spark, rounds):
     got = {int(r["id"]): int(r["lab"]) for r in labels.collect()}
     ids, labs = wl_refine_numpy(src, dst, rounds=rounds)
     assert got == {int(i): int(l) for i, l in zip(ids, labs)}
+
+
+def test_packed_equals_join_path(spark):
+    """The packed kernel (csr_wl) and the codegen join path produce
+    bit-identical labels and profiles; metrics name which path ran."""
+    from vite_spark.config import EngineConfig
+    from vite_spark.runtime.metrics import MetricsCollector
+
+    src, dst = _rand_sym_edges(100, 500, seed=7)
+    df = _spark_df(spark, src, dst)
+
+    mp = MetricsCollector()
+    lab_p, prof_p = wl_refine(
+        spark, df, rounds=3, return_profile=True, metrics=mp,
+        cfg=EngineConfig(use_csr_kernel=True))
+    assert {r["mode"] for r in mp.rows if r.get("kind") == "wl_round"} \
+        == {"wl_csr_sharded"}
+
+    mj = MetricsCollector()
+    lab_j, prof_j = wl_refine(
+        spark, df, rounds=3, return_profile=True, metrics=mj,
+        cfg=EngineConfig(use_csr_kernel=False))
+    assert {r["mode"] for r in mj.rows if r.get("kind") == "wl_round"} \
+        == {"wl_hashagg_join"}
+
+    as_dict = lambda labels: {int(r["id"]): int(r["lab"])
+                              for r in labels.collect()}
+    assert as_dict(lab_p) == as_dict(lab_j)
+    assert prof_p == prof_j

@@ -51,6 +51,7 @@ from vite_spark.algos.louvain import (
     _argmax_moves,
     _counter_tables,
     _maybe_broadcast,
+    modularity_of,
     self_loop_weights,
     weighted_degrees,
 )
@@ -112,7 +113,8 @@ def leiden_refine_sweeps(
     ef = parent_filtered_edges(edges, parent, nv, cfg).persist()
 
     curr = vstate.select("id", F.col("id").alias("comm"))
-    for _ in range(k):
+    q_prev = modularity_of(edges, curr) if k is None else None
+    for _ in range(k if k is not None else MAX_CONVERGE_SWEEPS):
         comm_info = (
             curr.join(_maybe_broadcast(vstate.select("id", "vdeg"), nv, cfg),
                       "id")
@@ -134,12 +136,27 @@ def leiden_refine_sweeps(
         )
         # LEFT-join application keeps no-candidate vertices (isolated
         # within their parent) on their current label
-        curr = (
+        upd = (
             curr.withColumnRenamed("comm", "old_comm")
             .join(moved.withColumnRenamed("comm", "new_comm"), "id", "left")
-            .select("id", F.coalesce("new_comm", "old_comm").alias("comm"))
+            .select("id", "old_comm",
+                    F.coalesce("new_comm", "old_comm").alias("comm"))
             .localCheckpoint(eager=True)
         )
+        nxt = upd.select("id", "comm")
+        if k is None:
+            # converged protocol: monotone-Q sweeps with revert (Jacobi
+            # label dynamics can enter period-2 cycles — see
+            # _jacobi_numpy); upd is checkpointed, so the count is a
+            # cache read and Q is one agg over it
+            if upd.filter(F.col("comm") != F.col("old_comm")).count() == 0:
+                curr = nxt
+                break
+            q_new = modularity_of(edges, nxt)
+            if not (q_new > q_prev):
+                break                  # revert: keep pre-sweep labels
+            q_prev = q_new
+        curr = nxt
     out = parent.join(curr, "id").select("id", "pcomm", "comm")
     out = out.localCheckpoint(eager=True)
     edges.unpersist()
@@ -169,7 +186,8 @@ def leiden_refine_numpy(
     keep = parent[src] == parent[dst]
     fs, fd, fw = src[keep], dst[keep], w[keep]
     comm = np.arange(nv, dtype=np.int64)
-    for _ in range(k):
+    q_prev = _modularity_numpy(src, dst, w, comm) if k is None else None
+    for _ in range(k if k is not None else MAX_CONVERGE_SWEEPS):
         cd = np.zeros(nv)
         np.add.at(cd, comm, vdeg)
         cs = np.zeros(nv, np.int64)
@@ -196,6 +214,15 @@ def leiden_refine_numpy(
             if best_c is not None:
                 if not (cs[best_c] == 1 and cs[cc] == 1 and best_c > cc):
                     new[v] = best_c
+        if k is None:
+            # monotone-Q converged refinement (full-graph Q; see
+            # _jacobi_numpy) — revert the first non-improving sweep
+            if np.array_equal(new, comm):
+                break
+            q_new = _modularity_numpy(src, dst, w, new)
+            if not (q_new > q_prev):
+                break
+            q_prev = q_new
         comm = new
     return comm
 
@@ -235,7 +262,8 @@ def _jacobi_sweeps(
     const = 1.0 / two_m
 
     curr = init.select("id", "comm")
-    for _ in range(k):
+    q_prev = modularity_of(edges, curr) if k is None else None
+    for _ in range(k if k is not None else MAX_CONVERGE_SWEEPS):
         comm_info = (
             curr.join(_maybe_broadcast(vstate.select("id", "vdeg"), nv, cfg),
                       "id")
@@ -252,12 +280,27 @@ def _jacobi_sweeps(
             F.col("src").alias("id"),
             F.coalesce(F.col("move_comm"), F.col("cc")).alias("comm"),
         )
-        curr = (
+        upd = (
             curr.withColumnRenamed("comm", "old_comm")
             .join(moved.withColumnRenamed("comm", "new_comm"), "id", "left")
-            .select("id", F.coalesce("new_comm", "old_comm").alias("comm"))
+            .select("id", "old_comm",
+                    F.coalesce("new_comm", "old_comm").alias("comm"))
             .localCheckpoint(eager=True)
         )
+        nxt = upd.select("id", "comm")
+        if k is None:
+            # converged protocol: monotone-Q sweeps with revert (Jacobi
+            # label dynamics can enter period-2 cycles — see
+            # _jacobi_numpy); upd is checkpointed, so the count is a
+            # cache read and Q is one agg over it
+            if upd.filter(F.col("comm") != F.col("old_comm")).count() == 0:
+                curr = nxt
+                break
+            q_new = modularity_of(edges, nxt)
+            if not (q_new > q_prev):
+                break                  # revert: keep pre-sweep labels
+            q_prev = q_new
+        curr = nxt
     edges.unpersist()
     vstate.unpersist()
     return curr
@@ -266,13 +309,15 @@ def _jacobi_sweeps(
 def leiden_levels(
     spark: SparkSession,
     edges: DataFrame,
-    levels: int = 2,
-    move_sweeps: int = 2,
-    refine_sweeps: int = 2,
+    levels: int | None = 2,
+    move_sweeps: int | None = 2,
+    refine_sweeps: int | None = 2,
     cfg: EngineConfig | None = None,
 ) -> DataFrame:
-    """The full fixed-protocol Leiden loop (Traag et al. 2019, fig. 3),
-    deterministic end-to-end — per level: ``move_sweeps`` plain Jacobi
+    """The full multi-level Leiden loop (Traag et al. 2019, fig. 3),
+    deterministic end-to-end; each count may also be None = run that
+    phase to convergence (see ``leiden``). Per level: ``move_sweeps``
+    plain Jacobi
     sweeps (level 0 from singletons, later levels from the PARENT
     partition), then Leiden's distinguishing steps: ``refine_sweeps``
     constrained refinement sweeps from singletons within the moving
@@ -327,11 +372,12 @@ def leiden_levels(
     vmap = None          # orig id → current coarse id (None = identity)
     init = None          # level init; None = singletons
     final_m = None
-    for lvl in range(levels):
+    n_levels = levels if levels is not None else MAX_CONVERGE_LEVELS
+    for lvl in range(n_levels):
         ids = cur.select(F.col("src").alias("id")).distinct()
         lab0 = ids.withColumn("comm", F.col("id")) if init is None else init
         m_lab = _jacobi_sweeps(spark, cur, lab0, move_sweeps, cfg)
-        if lvl == levels - 1:
+        if lvl == n_levels - 1:
             final_m = m_lab
             break
         refined = leiden_refine_sweeps(
@@ -339,6 +385,14 @@ def leiden_levels(
             refine_sweeps, cfg,
         ).persist()
         ren = dense_ids(refined.select("comm"), "comm").persist()
+        if levels is None and ren.count() == ids.count():
+            # converged protocol: coarsening stopped shrinking — more
+            # levels would rerun the identical moves (exact-integer
+            # stop, mirrored in leiden_levels_numpy)
+            refined.unpersist()
+            ren.unpersist()
+            final_m = m_lab
+            break
         vm = refined.join(ren, "comm").select("id", "new_id")
         vmap = (vm if vmap is None else
                 vmap.withColumnRenamed("new_id", "mid")
@@ -382,10 +436,36 @@ def leiden_levels(
     return out
 
 
+# sweep cap for the converged (k=None) protocol: Jacobi sweeps can in
+# principle oscillate (synchronous two-vertex swaps), so convergence is
+# "labels unchanged OR cap reached" — an exact-integer criterion with no
+# floating-point threshold, identical on the Spark and NumPy paths.
+MAX_CONVERGE_SWEEPS = 64
+# level cap for the converged protocol (levels=None): levels stop when
+# coarsening stops shrinking the graph; the cap is a safety bound only
+# (real graphs coarsen out in a handful of levels).
+MAX_CONVERGE_LEVELS = 10
+
+
+def _modularity_numpy(src, dst, w, comm):
+    """Q of a partition over the symmetrized table — the NumPy twin of
+    louvain.modularity_of (same formula: e_in/2m − Σ cdeg²/(2m)²)."""
+    two_m = float(w.sum())
+    const = 1.0 / two_m
+    e_in = float(w[comm[src] == comm[dst]].sum())
+    deg = np.zeros(len(comm))
+    np.add.at(deg, src, w)
+    cdeg = np.zeros(int(comm.max()) + 1)
+    np.add.at(cdeg, comm, deg)
+    return e_in * const - float((cdeg * cdeg).sum()) * const * const
+
+
 def _jacobi_numpy(src, dst, w, comm0, k, parent=None):
-    """Unified NumPy sweep mirror: ``k`` Jacobi sweeps from ``comm0``;
-    with ``parent`` the candidate set is restricted within parents (the
-    refinement constraint). Shared by the leiden_levels mirror."""
+    """Unified NumPy sweep mirror: ``k`` Jacobi sweeps from ``comm0``
+    (k=None = sweep to the label fixpoint, capped at
+    MAX_CONVERGE_SWEEPS); with ``parent`` the candidate set is
+    restricted within parents (the refinement constraint). Shared by
+    the leiden_levels mirror."""
     nv = len(comm0)
     vdeg = np.zeros(nv)
     np.add.at(vdeg, src, w)
@@ -399,7 +479,8 @@ def _jacobi_numpy(src, dst, w, comm0, k, parent=None):
     else:
         fs, fd, fw = src, dst, w
     comm = np.asarray(comm0, dtype=np.int64).copy()
-    for _ in range(k):
+    q_prev = _modularity_numpy(src, dst, w, comm) if k is None else None
+    for _ in range(k if k is not None else MAX_CONVERGE_SWEEPS):
         cd = np.zeros(int(comm.max()) + 1 if len(comm) else 1)
         np.add.at(cd, comm, vdeg)
         cs = np.zeros(len(cd), np.int64)
@@ -426,6 +507,19 @@ def _jacobi_numpy(src, dst, w, comm0, k, parent=None):
             if best_c is not None:
                 if not (cs[best_c] == 1 and cs[cc] == 1 and best_c > cc):
                     new[v] = best_c
+        if k is None:
+            # converged protocol: monotone-Q sweeps. Jacobi label
+            # dynamics can enter period-2 cycles (measured on karate:
+            # sweeps 6↔8, Q 0.148/0.117), so a label fixpoint is the
+            # wrong stop; instead keep sweeping while FULL-graph Q
+            # strictly improves and REVERT the first non-improving
+            # sweep — the reference's ΔQ-threshold break analog.
+            if np.array_equal(new, comm):
+                break
+            q_new = _modularity_numpy(src, dst, w, new)
+            if not (q_new > q_prev):
+                break
+            q_prev = q_new
         comm = new
     return comm
 
@@ -441,16 +535,22 @@ def leiden_levels_numpy(src, dst, w, levels=2, move_sweeps=2,
     nv0 = int(src.max()) + 1
     orig2cur = np.arange(nv0, dtype=np.int64)
     init = None
-    for lvl in range(levels):
+    n_levels = levels if levels is not None else MAX_CONVERGE_LEVELS
+    for lvl in range(n_levels):
         nv = int(src.max()) + 1
         comm0 = np.arange(nv, dtype=np.int64) if init is None else init
         m_lab = _jacobi_numpy(src, dst, w, comm0, move_sweeps)
-        if lvl == levels - 1:
+        if lvl == n_levels - 1:
             final_m = m_lab
             break
         refined = _jacobi_numpy(src, dst, w, np.arange(nv, dtype=np.int64),
                                 refine_sweeps, parent=m_lab)
         uniq, newid = np.unique(refined, return_inverse=True)
+        if levels is None and len(uniq) == nv:
+            # converged protocol: coarsening stopped shrinking (the
+            # distributed tier's identical exact-integer stop)
+            final_m = m_lab
+            break
         # parent of each refined community (nesting invariant)
         parent_of = np.full(len(uniq), -1, np.int64)
         parent_of[newid] = m_lab
@@ -482,3 +582,24 @@ def leiden_levels_numpy(src, dst, w, levels=2, move_sweeps=2,
         if c not in reps or v < reps[c]:
             reps[c] = v
     return np.array([reps[int(fin[v])] for v in range(nv0)], np.int64)
+
+
+def leiden(
+    spark: SparkSession,
+    edges: DataFrame,
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """Leiden to CONVERGENCE (r4 VERDICT next#6) — the same deterministic
+    protocol as leiden_levels with every count data-determined instead
+    of fixed: each level's move and refinement phases sweep to their
+    label FIXPOINT (exact-integer test, capped at MAX_CONVERGE_SWEEPS),
+    and levels continue until coarsening stops shrinking the graph
+    (capped at MAX_CONVERGE_LEVELS). Not SQL-expressible (the stopping
+    decisions are data-dependent), so the driver row is rows-only; the
+    exact-parity gate is tests/test_leiden.py vs leiden_levels_numpy
+    with the same None parameters — the Louvain L13 pattern.
+
+    Returns (id, comm) over original vertex ids, canonicalized to the
+    minimum original vertex id of the final community."""
+    return leiden_levels(spark, edges, levels=None, move_sweeps=None,
+                         refine_sweeps=None, cfg=cfg)

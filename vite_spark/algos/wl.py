@@ -100,12 +100,36 @@ def wl_refine(
     seed: int = WL_SEED,
     return_profile: bool = False,
     metrics=None,
+    cfg=None,
 ):
     """(id, lab) after ``rounds`` WL refinement rounds over the
     symmetrized simple graph of ``edges``; with ``return_profile`` also
     the (round, n_classes) refinement profile (round 0 = degree classes).
-    Deterministic: fixed seed ladder, order-insensitive sums."""
+    Deterministic: fixed seed ladder, order-insensitive sums.
+
+    Two paths, bit-identical labels (pytest parity):
+
+    - **Packed kernel** (kernels/csr_wl.py): one job per round over the
+      sharded CSR pack of the simple graph (shared with k-core's pack
+      cache) — the csr_cc shape; single-box production path.
+    - **Join path** (below): one edges ⋈ labels join + two hash
+      aggregations per round, Jenkins chain fully in whole-stage
+      codegen — the multi-cluster / open-input fallback."""
+    from vite_spark.config import EngineConfig
+
+    cfg = cfg or EngineConfig()
     und = _simple_undirected(edges)
+    if cfg.use_csr_kernel and rounds >= 1:
+        from vite_spark.kernels.csr_wl import csr_wl
+
+        packed = csr_wl(
+            spark, und.withColumn("weight", F.lit(1.0)), rounds,
+            seed, WL_SEED_STRIDE, WL_COMBINE_OFFSET, cfg, metrics,
+            want_profile=return_profile,
+        )
+        if packed is not None:
+            labels, profile = packed
+            return (labels, profile) if return_profile else labels
     und = und.repartition(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "src"
     ).persist()

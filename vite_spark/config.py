@@ -132,5 +132,14 @@ class EngineConfig:
     # — including the sf0.1 benchmark graph — runs the DISTRIBUTED path;
     # set to 0 to force the distributed path everywhere (scaling bench does).
     local_phase_max_edges: int = 100_000
+    # Borůvka MSF adaptive contraction tier (algos/msf.py): when a
+    # round's picked pseudo-forest (one edge per active component) has
+    # at most this many rows, the contraction map is computed
+    # driver-local (NumPy min-label + pointer doubling) and broadcast —
+    # the relabel join becomes map-side. Above it, the distributed
+    # two-phase CC contraction runs. 4M rows ≈ 100 MB driver-side;
+    # active components at least halve per round, so any run reaches
+    # this tier within O(log) rounds.
+    msf_local_contract_max_rows: int = 4_000_000
 
     extra: dict = field(default_factory=dict)

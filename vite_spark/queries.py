@@ -1519,6 +1519,30 @@ def q_leiden2_assignment(spark, sf_dir):
                          refine_sweeps=LEIDEN_REFINE_K)
 
 
+def q_leiden_assignment(spark, sf_dir):
+    """Leiden to CONVERGENCE (algos/leiden.leiden): every phase sweeps
+    to its label fixpoint and levels continue until coarsening stops
+    shrinking — the data-determined protocol the fixed-sweep rows
+    cannot run. Rows-only driver row (the stopping decisions are not
+    SQL-expressible); the exact-parity gate is tests/test_leiden.py vs
+    leiden_levels_numpy with the same converged parameters — the
+    louvain_assignment (L13) pattern.
+
+    Runs on a DETERMINISTIC vertex-induced subsample (xxhash64 mod 3 on
+    both endpoints — induced subgraphs of the symmetric table stay
+    symmetric) so the data-determined sweep/level counts keep the
+    driver row's wall bounded; the full-size distributed converged path
+    is exercised by the pytest parity suite instead."""
+    from vite_spark.algos.leiden import leiden
+
+    e = lineitem_part_edges(spark, sf_dir)
+    e = e.filter(
+        (F.pmod(F.xxhash64(F.col("src")), F.lit(3)) == 0)
+        & (F.pmod(F.xxhash64(F.col("dst")), F.lit(3)) == 0)
+    )
+    return leiden(spark, e)
+
+
 def q_leiden2_q(spark, sf_dir):
     """Modularity (rounded 6) of the 2-level Leiden partition on the
     original graph."""
@@ -4565,4 +4589,7 @@ def _registry_base() -> dict[str, tuple]:
             q_streaming_cooccur_edges_complete,
             SQL_STREAMING_COOCCUR_EDGES_COMPLETE,
         ),
+        # rows-only (data-determined stopping decisions; exact-parity
+        # gate is tests/test_leiden.py vs the NumPy mirror)
+        "leiden_assignment": (q_leiden_assignment, None),
     }
