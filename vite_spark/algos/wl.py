@@ -14,7 +14,13 @@ baseline for GNNs.
 Vite has no WL; this extends the §2.8 analytics set alongside the other
 fingerprint-flavored operators (SimHash, HyperANF's register sketches).
 
-Spark-first design — every round is two shuffles of built-ins, no
+Two execution paths, bit-identical labels (pytest parity): the PACKED
+kernel (kernels/csr_wl.py — one job per round over the sharded CSR pack
+shared with k-core; certified 0.874 scaling efficiency 4→16 at 256M
+rows, BENCH.md) is the single-box production path; the join path below
+is the multi-cluster / open-input fallback.
+
+Join-path design — every round is two shuffles of built-ins, no
 Python in the hot path:
 
 - labels live as one (id, lab) int64 DataFrame; the multiset signature

@@ -137,9 +137,15 @@ class EngineConfig:
     # at most this many rows, the contraction map is computed
     # driver-local (NumPy min-label + pointer doubling) and broadcast —
     # the relabel join becomes map-side. Above it, the distributed
-    # two-phase CC contraction runs. 4M rows ≈ 100 MB driver-side;
-    # active components at least halve per round, so any run reaches
-    # this tier within O(log) rounds.
+    # two-phase CC contraction runs. The threshold is the crossover
+    # between the local tier's SERIAL cost (toPandas + pointer-doubling
+    # union-find + createDataFrame: measured ~5 s/M rows, independent
+    # of cores) and the distributed tier's wall (measured ~25 s on a
+    # 746k-pair round-1 pseudo-forest at 16 cores — two-phase CC is
+    # O(log)-rounds of small jobs, floor-bound at this size regardless
+    # of cores). Local wins until the map is several million rows;
+    # beyond that (a 10⁹-vertex round 1) the distributed tier both
+    # fits memory and finally has enough per-round work to scale.
     msf_local_contract_max_rows: int = 4_000_000
 
     extra: dict = field(default_factory=dict)

@@ -1520,10 +1520,10 @@ def q_leiden2_assignment(spark, sf_dir):
 
 
 def q_leiden_assignment(spark, sf_dir):
-    """Leiden to CONVERGENCE (algos/leiden.leiden): every phase sweeps
-    to its label fixpoint and levels continue until coarsening stops
-    shrinking — the data-determined protocol the fixed-sweep rows
-    cannot run. Rows-only driver row (the stopping decisions are not
+    """Leiden to CONVERGENCE (algos/leiden.leiden): every phase runs
+    monotone-Q sweeps (revert the first non-improving sweep) and levels
+    continue until coarsening stops shrinking — the data-determined
+    protocol the fixed-sweep rows cannot run. Rows-only driver row (the stopping decisions are not
     SQL-expressible); the exact-parity gate is tests/test_leiden.py vs
     leiden_levels_numpy with the same converged parameters — the
     louvain_assignment (L13) pattern.
