@@ -3349,6 +3349,12 @@ def q_scc(spark, sf_dir):
 
 # SCC oracle: full reachability closure (finite pair set, recursion
 # terminates by UNION dedup), mutually-reachable pairs, min per vertex.
+# Cost profile measured at sf0.01 (r4 VERDICT next#7): the driver row's
+# ~2 min wall is 99 s DuckDB + 21 s Spark — the oracle's semi-naive
+# closure is O(V·E) ≈ 425M pair extensions on this DENSE precedence
+# graph (212k edges / 2k vertices, zero trimmable vertices — every
+# vertex has in+out, so no cheap pruning CTE exists), an inherent cost
+# of exact SCC oracling in one SQL statement, not a Spark-side issue.
 SQL_SCC = f"""WITH RECURSIVE {PEDGES_CTE},
 sverts AS (SELECT DISTINCT id FROM (
   SELECT src AS id FROM pedges UNION ALL SELECT dst FROM pedges)),
