@@ -118,3 +118,54 @@ def test_force_iters_is_fixpoint_noop(spark):
         its = _iters(m)
         assert len(its) == 9
         assert its[-1] == 0
+
+
+def test_shared_core_pack_cache_across_kernels(spark, tmp_path):
+    """k-core and packed WL share <pack_cache_dir>/core_pack (both pack
+    the same simplified graph): the second kernel must REUSE the cached
+    pack (manifest survives, adjacency files not rewritten), results
+    stay correct, and a different requested nparts wipes and repacks
+    rather than silently reusing a mismatched layout."""
+    import os
+
+    from vite_spark.algos.wl import wl_refine, wl_refine_numpy
+
+    s, d, w, nv = fx.karate()
+    df = spark.createDataFrame(
+        pd.DataFrame({"src": np.r_[s], "dst": np.r_[d],
+                      "weight": np.r_[w].astype(float)}))
+    cache = str(tmp_path / "cache")
+    cfg = EngineConfig(use_csr_kernel=True, pack_cache_dir=cache,
+                       shuffle_partitions=4)
+
+    got_core = _cores(coreness(spark, df, cfg=cfg))
+    truth = _nx_truth(s, d)
+    assert got_core == {int(k): int(v) for k, v in truth.items()}
+
+    pack = os.path.join(cache, "core_pack")
+    mf = os.path.join(pack, "manifest.json")
+    assert os.path.exists(mf)
+    mtime_before = {f: os.path.getmtime(os.path.join(pack, f))
+                    for f in os.listdir(pack) if f.startswith("own_")}
+
+    labels = wl_refine(spark, df, rounds=2, cfg=cfg)
+    got = {int(r["id"]): int(r["lab"]) for r in labels.collect()}
+    sym_s, sym_d = np.r_[s, d], np.r_[d, s]
+    ids, labs = wl_refine_numpy(sym_s, sym_d, rounds=2)
+    # karate fixture is already symmetrized; dedupe the doubled rows
+    ids2, labs2 = wl_refine_numpy(s, d, rounds=2)
+    assert got == {int(i): int(l) for i, l in zip(ids2, labs2)}
+
+    mtime_after = {f: os.path.getmtime(os.path.join(pack, f))
+                   for f in os.listdir(pack) if f.startswith("own_")}
+    assert mtime_after == mtime_before, "pack was rebuilt, not reused"
+
+    # nparts mismatch: stale layout must be wiped and repacked, loudly
+    cfg8 = EngineConfig(use_csr_kernel=True, pack_cache_dir=cache,
+                        shuffle_partitions=8)
+    got8 = _cores(coreness(spark, df, cfg=cfg8))
+    assert got8 == got_core
+    import json
+
+    with open(mf) as fh:
+        assert json.load(fh)["requested_nparts"] == 8

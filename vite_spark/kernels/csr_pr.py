@@ -61,11 +61,13 @@ from pyspark.sql import functions as F
 
 from vite_spark.kernels.csr import _atomic_save, _pid_frame
 from vite_spark.kernels.csr_sharded import (
+    _check_pack_generation,
     _load_bounds,
     _req_of,
     _ux_owner_span,
     build_routes,
     pack_csr_partitions_sharded,
+    register_pack_cache,
 )
 
 # Per-run scratch the pack-cache purge must clear (statics like coefu_/
@@ -138,10 +140,11 @@ def _prepare_pack(spark, edges, cfg, nparts):
 # sequential accumulate runs ~10x faster than add.at's scatter, and the
 # merge was a measured term of the per-iteration wall at 256M rows.
 # Deterministic: fixed concatenation order = fixed summation order.
-_MERGE_CACHE: dict = {}
+_MERGE_CACHE: dict = register_pack_cache({})
 
 
 def _merge_layout(pack_dir: str, pid: int, writers):
+    _check_pack_generation(pack_dir)
     key = (pack_dir, pid)
     hit = _MERGE_CACHE.get(key)
     if hit is None:

@@ -114,12 +114,42 @@ def _positions(sorted_keys: np.ndarray, queries: np.ndarray):
     return pos_c, sorted_keys[pos_c] == queries
 
 
+# Pack GENERATION guard for every per-worker path-keyed cache below (and
+# csr_pr's merge-layout cache, registered on import): the caches are
+# keyed by pack_dir, but a pack_dir can be WIPED AND REPACKED with
+# different content under the same path (the cache-manifest mismatch
+# path, or two edge tables packed into one scratch dir sequentially) —
+# a worker that served the old pack would then silently mix stale
+# ownership/req/own tables with new data. bounds.npz is written exactly
+# once per pack, so its (mtime_ns, size) is the pack's identity; every
+# cache read validates it (one cheap stat) and a change clears ALL
+# registered caches.
+_PACK_CACHES: list = []
+_PACK_GEN: dict = {}
+
+
+def register_pack_cache(d: dict) -> dict:
+    _PACK_CACHES.append(d)
+    return d
+
+
+def _check_pack_generation(pack_dir: str) -> None:
+    st = os.stat(os.path.join(pack_dir, "bounds.npz"))
+    gen = (st.st_mtime_ns, st.st_size)
+    if _PACK_GEN.get(pack_dir) != gen:
+        for d in _PACK_CACHES:
+            d.clear()
+        _PACK_GEN.clear()
+        _PACK_GEN[pack_dir] = gen
+
+
 # Per-worker cache of the tiny (starts, pids) ownership table (getOwner's
 # `parts` array, distgraph.hpp:260-271).
-_BOUNDS_CACHE: dict = {}
+_BOUNDS_CACHE: dict = register_pack_cache({})
 
 
 def _load_bounds(pack_dir: str):
+    _check_pack_generation(pack_dir)
     b = _BOUNDS_CACHE.get(pack_dir)
     if b is None:
         with np.load(os.path.join(pack_dir, "bounds.npz")) as z:
@@ -441,7 +471,7 @@ def pack_colors_sharded(colors_df, pack_dir: str, nparts: int) -> bool:
 # of a file chain. Entry cap bounds worker memory on huge fan-out
 # graphs (beyond it, oldest-step entries go first and readers fall back
 # to file loads — the Ω(Σ|referenced|) floor the module docstring names).
-_OST_CACHE: dict = {}
+_OST_CACHE: dict = register_pack_cache({})
 _OST_CACHE_MAX = 256
 
 # Per-worker cache of the static sorted owned-id arrays (pack_dir, o) →
@@ -449,10 +479,11 @@ _OST_CACHE_MAX = 256
 # referenced set spans, each superstep — the arrays are immutable per
 # phase, so loading them once per worker (not once per task per step)
 # removes O(nparts · nv/p) bytes per task. Evicted on pack_dir change.
-_OWN_CACHE: dict = {}
+_OWN_CACHE: dict = register_pack_cache({})
 
 
 def _own_of(pack_dir: str, o: int) -> np.ndarray:
+    _check_pack_generation(pack_dir)
     key = (pack_dir, o)
     arr = _OWN_CACHE.get(key)
     if arr is None:
@@ -466,10 +497,11 @@ def _own_of(pack_dir: str, o: int) -> np.ndarray:
 
 # Per-worker cache of the static req_{q}_{r} interest sets (immutable per
 # phase): the dense-advance apply gathers through them every superstep.
-_REQ_CACHE: dict = {}
+_REQ_CACHE: dict = register_pack_cache({})
 
 
 def _req_of(pack_dir: str, q: int, r: int) -> np.ndarray:
+    _check_pack_generation(pack_dir)
     key = (pack_dir, q, r)
     arr = _REQ_CACHE.get(key)
     if arr is None:
