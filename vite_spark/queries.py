@@ -4401,6 +4401,10 @@ _CHECK_WINDOW_FIRST: tuple[str, ...] = (
     "cosine_near_pairs", "ann_lsh_topk", "ann_ivf_topk",
     "kmeans_clusters", "streaming_event_counts",
     "streaming_cooccur_edges", "streaming_sessions",
+    # r5's two new rows lead the multimodal block: they have no prior
+    # correctness record from anyone (the 59 above were all green in the
+    # r4 judge's independent rehearsal), so they take window priority
+    "streaming_cooccur_edges_complete", "leiden_assignment",
     "multimodal_features", "multimodal_resize", "multimodal_frames",
     "multimodal_png_features", "multimodal_gif_features",
     "multimodal_jpeg_features", "multimodal_jpeg_progressive",
