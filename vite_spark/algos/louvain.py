@@ -367,14 +367,26 @@ def _csr_phase(
     nparts = cfg.shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    # cheap precheck before paying the pack scan
-    row = edges.agg(F.max("src").alias("ms"), F.max("dst").alias("md")).collect()[0]
+    # cheap precheck before paying the pack scan (the count rides the
+    # same agg for free and feeds the scale-adaptive partition cap)
+    row = edges.agg(F.max("src").alias("ms"), F.max("dst").alias("md"),
+                    F.count(F.lit(1)).alias("ne")).collect()[0]
     if row["ms"] is None:
         return PhaseResult(
             assignment=spark.createDataFrame([], "id long, comm long"),
             q=float(lower), iters=0, nv=0,
         )
     nv_dense = int(max(row["ms"], row["md"])) + 1
+    if cfg.shuffle_partitions is None:
+        from vite_spark.config import adaptive_pack_nparts
+
+        # the Louvain sweep is the heaviest per-edge packed kernel
+        # (radix grouping + segment argmax ≈ 1M edge-rows/s/task on
+        # early sweeps, vs >10M/s for the PR/CC gathers), so its
+        # per-partition target is correspondingly smaller — capping
+        # only binds on graphs too small to fill the session's tasks
+        nparts = adaptive_pack_nparts(nparts, int(row["ne"]),
+                                      target=128_000)
     sharded = cfg.csr_force_sharded or nv_dense > cfg.csr_mirror_max_ids
     if not sharded and nv_dense * nv_dense >= 2**63:
         sharded = True   # mirror's conservative key bound; sharded re-checks
@@ -430,8 +442,10 @@ def _csr_phase(
         else:
             edges = edges.repartition(nparts, "src")
         if pack_dir is None:
+            from vite_spark.config import resolve_scratch
+
             pack_dir = tempfile.mkdtemp(prefix="vite_csr_",
-                                        dir=cfg.scratch_dir)
+                                        dir=resolve_scratch(cfg.scratch_dir))
         else:
             os.makedirs(pack_dir, exist_ok=True)
     try:

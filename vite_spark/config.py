@@ -9,6 +9,8 @@ Vite's -b edge-balanced partitioning and MPI tuning flags.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, field
 
 
@@ -36,6 +38,53 @@ def threshold_for_phase(phase: int) -> float:
     if p <= 9:
         return 1.0e-5
     return 1.0e-6
+
+
+# Per-partition edge-row target for the packed kernels' scale-adaptive
+# partitioning (guide §2: derive parallelism from input size, not a
+# constant tuned to one mode). Each pack partition should carry enough
+# rows that its per-superstep NumPy sweep dominates the fixed per-task
+# dispatch cost (measured ~7 ms/task + ~190 ms/job on this host); 2M rows
+# ≈ 30-60 ms of sweep per task. Overridable for clusters whose task
+# dispatch or memory profile differs.
+PACK_EDGES_PER_PART = int(
+    os.environ.get("SPARK_GRAFT_PACK_EDGES_PER_PART", "2000000"))
+
+
+def adaptive_pack_nparts(requested: int, ne: int | None,
+                         target: int | None = None) -> int:
+    """Cap the packed-kernel partition count so each partition holds
+    ~``target`` units of per-superstep work (edge rows for the linear
+    gather kernels; callers with superlinear per-partition work — the
+    triangle wedge probe, the Louvain argmax sweep — pass their own work
+    estimate/target). Only CAPS (never raises): large inputs keep the
+    session's full parallelism, while small inputs stop paying nparts
+    task dispatches + nparts² exchange files per superstep for
+    microseconds of per-task work. Callers apply this only when
+    cfg.shuffle_partitions is None — an explicit config pin (parity
+    tests, resume-across-nparts tests, scaling probes) is honored as-is.
+    """
+    if not ne or ne <= 0 or requested <= 1:
+        return requested
+    t = target or PACK_EDGES_PER_PART
+    return max(1, min(int(requested), -(-int(ne) // t)))
+
+
+def resolve_scratch(scratch_dir: str | None) -> str | None:
+    """Effective scratch dir for the packed kernels' pack/state/delta
+    files. Explicit cfg value wins; $SPARK_GRAFT_SCRATCH next; else
+    /dev/shm when present (single-node tmpfs: no disk writeback in the
+    superstep path — measured ~2x on per-iteration walls at sf0.1 and
+    2-3x step-wall variance on /tmp at 24M vertices); else None (system
+    tempdir). On a multi-node cluster pass the shared scratch explicitly
+    (cfg.scratch_dir), and set SPARK_GRAFT_SCRATCH=/tmp when the tmpfs
+    is too small for the pack (~16 B/edge + per-run state)."""
+    if scratch_dir is not None:
+        return scratch_dir
+    env = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env:
+        return env or None
+    return "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 
 @dataclass

@@ -68,7 +68,10 @@ from vite_spark.kernels.csr_sharded import (
     pack_csr_partitions_sharded,
 )
 
-CORE_TRANSIENT_PREFIXES = ("hco_",)
+# also purge csr_wl's wlo_ transients: both kernels share the core_pack
+# cache dir, and a hard-killed WL run (finally-block skipped) must not
+# leave stale wlo_* accumulating in the persistent cache (r5 ADVICE)
+CORE_TRANSIENT_PREFIXES = ("hco_", "wlo_")
 
 
 def _degree_job(spark, pack_dir, nparts):
@@ -224,11 +227,19 @@ def _prepare_core_pack(spark, edges_simple, cfg, nparts):
                         except OSError:
                             pass
     if info is None:
+        if cfg.shuffle_partitions is None:
+            # scale-adaptive partition count (guide §2); the count's
+            # simplify shuffle is reused by the range exchange below
+            from vite_spark.config import adaptive_pack_nparts
+
+            nparts = adaptive_pack_nparts(nparts, edges_simple.count())
         e = edges_simple.repartitionByRange(nparts, "src")
         nparts = e.rdd.getNumPartitions()
         if pack_dir is None:
+            from vite_spark.config import resolve_scratch
+
             pack_dir = tempfile.mkdtemp(prefix="vite_csr_core_",
-                                        dir=cfg.scratch_dir)
+                                        dir=resolve_scratch(cfg.scratch_dir))
         else:
             os.makedirs(pack_dir, exist_ok=True)
         info = pack_csr_partitions_sharded(e, pack_dir, nparts)

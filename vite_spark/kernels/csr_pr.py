@@ -108,11 +108,21 @@ def _prepare_pack(spark, edges, cfg, nparts):
                     except OSError:
                         pass
     if info is None:
+        if cfg.shuffle_partitions is None:
+            # scale-adaptive partition count (guide §2): one extra count
+            # job (its shuffle work is reused by the range exchange
+            # below) buys every downstream superstep job a task count
+            # matched to the input size instead of the session constant
+            from vite_spark.config import adaptive_pack_nparts
+
+            nparts = adaptive_pack_nparts(nparts, edges.count())
         edges = edges.repartitionByRange(nparts, "src")
         nparts = edges.rdd.getNumPartitions()
         if pack_dir is None:
+            from vite_spark.config import resolve_scratch
+
             pack_dir = tempfile.mkdtemp(prefix="vite_csr_pr_",
-                                        dir=cfg.scratch_dir)
+                                        dir=resolve_scratch(cfg.scratch_dir))
         else:
             os.makedirs(pack_dir, exist_ok=True)
         info = pack_csr_partitions_sharded(edges, pack_dir, nparts)
@@ -148,8 +158,9 @@ def _merge_layout(pack_dir: str, pid: int, writers):
     key = (pack_dir, pid)
     hit = _MERGE_CACHE.get(key)
     if hit is None:
-        if _MERGE_CACHE and next(iter(_MERGE_CACHE))[0] != pack_dir:
-            _MERGE_CACHE.clear()
+        from vite_spark.kernels.csr_sharded import _evict_other_dirs
+
+        _evict_other_dirs(_MERGE_CACHE, pack_dir)
         parts = [np.asarray(_req_of(pack_dir, pid, q)) for q in writers]
         idx = (np.concatenate(parts) if parts
                else np.empty(0, np.int32))

@@ -133,13 +133,48 @@ def register_pack_cache(d: dict) -> dict:
     return d
 
 
+# How many distinct live pack dirs a worker cache may hold at once: 2
+# covers the real interleaving (an algorithm pack + the shared
+# core/tri pack within one session) without unbounded growth across a
+# long-lived worker serving many temp packs.
+_MAX_LIVE_DIRS = 2
+
+
+def _evict_other_dirs(cache: dict, pack_dir: str) -> None:
+    """Bound ``cache`` to _MAX_LIVE_DIRS distinct pack dirs: before
+    inserting an entry for ``pack_dir``, evict entries of the oldest
+    other dirs (insertion order approximates recency)."""
+    dirs: list = []
+    for k in cache:
+        d = k if isinstance(k, str) else k[0]
+        if d not in dirs:
+            dirs.append(d)
+    if pack_dir in dirs:
+        dirs.remove(pack_dir)
+    for d in dirs[:max(0, len(dirs) - (_MAX_LIVE_DIRS - 1))]:
+        for k in [k for k in cache
+                  if k == d or (isinstance(k, tuple) and k and k[0] == d)]:
+            del cache[k]
+
+
 def _check_pack_generation(pack_dir: str) -> None:
     st = os.stat(os.path.join(pack_dir, "bounds.npz"))
     gen = (st.st_mtime_ns, st.st_size)
     if _PACK_GEN.get(pack_dir) != gen:
-        for d in _PACK_CACHES:
-            d.clear()
-        _PACK_GEN.clear()
+        # generations are tracked PER DIR, and a genuine change evicts
+        # only entries keyed by that dir: a worker alternating between
+        # two live packs (csr_pr's pack + the shared core_pack in one
+        # session, or an interleaved bench) must not wipe the other
+        # pack's caches on every switch — that defeated the very caches
+        # this guard protects (r5 ADVICE).
+        known = pack_dir in _PACK_GEN
+        if known:
+            for d in _PACK_CACHES:
+                for k in [k for k in d
+                          if k == pack_dir
+                          or (isinstance(k, tuple) and k
+                              and k[0] == pack_dir)]:
+                    del d[k]
         _PACK_GEN[pack_dir] = gen
 
 
@@ -154,7 +189,7 @@ def _load_bounds(pack_dir: str):
     if b is None:
         with np.load(os.path.join(pack_dir, "bounds.npz")) as z:
             b = (z["starts"].copy(), z["bpids"].copy())
-        _BOUNDS_CACHE.clear()
+        _evict_other_dirs(_BOUNDS_CACHE, pack_dir)
         _BOUNDS_CACHE[pack_dir] = b
     return b
 
@@ -487,8 +522,7 @@ def _own_of(pack_dir: str, o: int) -> np.ndarray:
     key = (pack_dir, o)
     arr = _OWN_CACHE.get(key)
     if arr is None:
-        if _OWN_CACHE and next(iter(_OWN_CACHE))[0] != pack_dir:
-            _OWN_CACHE.clear()
+        _evict_other_dirs(_OWN_CACHE, pack_dir)
         # read-only mmap: one page-cache copy shared by every worker
         arr = np.load(os.path.join(pack_dir, f"own_{o}.npy"), mmap_mode="r")
         _OWN_CACHE[key] = arr
@@ -505,8 +539,7 @@ def _req_of(pack_dir: str, q: int, r: int) -> np.ndarray:
     key = (pack_dir, q, r)
     arr = _REQ_CACHE.get(key)
     if arr is None:
-        if _REQ_CACHE and next(iter(_REQ_CACHE))[0] != pack_dir:
-            _REQ_CACHE.clear()
+        _evict_other_dirs(_REQ_CACHE, pack_dir)
         arr = np.load(os.path.join(pack_dir, f"req_{q}_{r}.npy"),
                       mmap_mode="r")
         _REQ_CACHE[key] = arr

@@ -195,8 +195,10 @@ def _prepare_tri_pack(spark, edges, cfg, nparts):
                 _build_probe_keys(spark, pack_dir, man["nparts"])
             return pack_dir, man["nparts"], man["info"], False
     if pack_dir is None:
+        from vite_spark.config import resolve_scratch
+
         pack_dir = tempfile.mkdtemp(prefix="vite_csr_tri_",
-                                    dir=cfg.scratch_dir)
+                                    dir=resolve_scratch(cfg.scratch_dir))
     else:
         os.makedirs(pack_dir, exist_ok=True)
 
@@ -204,6 +206,20 @@ def _prepare_tri_pack(spark, edges, cfg, nparts):
          .filter(F.col("src") != F.col("dst")).distinct())
     d2, ranks = _rank_by_degree(spark, e, nparts)
     ranks = ranks.persist()
+    if cfg.shuffle_partitions is None:
+        # scale-adaptive pack partition count (guide §2). The count
+        # job's work is the WEDGE probe, not an edge gather, so the cap
+        # is driven by the wedge-volume upper bound Σ C(deg, 2) (one
+        # tiny agg off the persisted degree table) alongside |oriented|
+        # = Σdeg/2 — a small-edge graph with heavy wedges keeps its
+        # parallelism
+        from vite_spark.config import adaptive_pack_nparts
+
+        r = d2.agg(F.sum("deg").alias("sd"),
+                   F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+                   .alias("wedges")).collect()[0]
+        work = max(int(r["sd"] or 0) // 2, int(r["wedges"] or 0))
+        nparts = adaptive_pack_nparts(nparts, work)
     oriented = (
         e.join(ranks.select(F.col("id").alias("src"),
                             F.col("rk").alias("rs")), "src")
