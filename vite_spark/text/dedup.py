@@ -118,20 +118,40 @@ def minhash_lsh_pairs(
     docs sharing any full band signature become candidates (standard
     Broder/LSH; candidate volume is Σ_bucket |bucket|², never corpus²).
     """
-    mh = minhash_signatures(docs, text_col)
-    banded = (
-        mh.withColumn("band", (F.col("i") / ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                "-",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-            ).alias("sig")
-        )
-    )
+    # ONE shingle pass shared by the signature and verification stages
+    # (the two stages formerly each recomputed the tokenize+shingle
+    # scan), and ONE grouped aggregation computing all NUM_PERM mins as
+    # separate aggregate expressions — the former (doc, sid) × NUM_PERM
+    # cross-join row blowup and its groupBy(doc_id, i) shuffle never
+    # materialize. Band signatures concatenate the per-band min columns
+    # in i order — byte-identical strings to the former
+    # array_sort(collect_list) form. Exact same candidates and scores;
+    # pytest + oracle checked.
+    sh = shingles(docs, text_col).persist()
+    ids = dense_ids(sh.select("shingle"), "shingle", out_col="sid")
+    sid = sh.join(ids, "shingle").select("doc_id", "sid")
+    mins = sid.groupBy("doc_id").agg(*[
+        F.min(
+            (F.lit(MINHASH_A[i]) * F.col("sid") + F.lit(MINHASH_B[i]))
+            % MINHASH_PRIME
+        ).alias(f"m{i}")
+        for i in range(NUM_PERM)
+    ])
+    n_bands = NUM_PERM // ROWS_PER_BAND
+    banded = mins.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("-", *[
+                    F.col(f"m{i}").cast("string")
+                    for i in range(b * ROWS_PER_BAND,
+                                   (b + 1) * ROWS_PER_BAND)
+                ]).alias("sig"),
+            )
+            for b in range(n_bands)
+        ])).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "sig"])
@@ -141,8 +161,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # exact-Jaccard verification of candidates only
-    sh = shingles(docs, text_col).persist()
+    # exact-Jaccard verification of candidates only (shared shingle pass)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
@@ -209,28 +228,25 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     tk = tokens(docs, text_col)
     vocab = dense_ids(tk.select("tok"), "tok", out_col="tid")
     tid = tk.join(vocab, "tok").select("doc_id", "tid")
-    params = tid.sparkSession.createDataFrame(
-        [(b, SIMHASH_C[b], SIMHASH_D[b]) for b in range(SIMHASH_BITS)],
-        "b int, c long, d long",
-    )
-    bit_sum = (
-        tid.crossJoin(F.broadcast(params))
-        .groupBy("doc_id", "b")
-        .agg(
-            F.sum(
-                2 * (((F.col("c") * F.col("tid") + F.col("d")) % MINHASH_PRIME) % 2) - 1
-            ).alias("s")
-        )
-    )
-    return (
-        bit_sum.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
-                .otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
-    )
+    # ONE grouped aggregation computing all SIMHASH_BITS signed bit sums
+    # as separate aggregate expressions — the former token × bits
+    # cross-join blowup and its groupBy(doc_id, b) shuffle never
+    # materialize; the bit assembly is a plain column expression over
+    # the 32 sums. Bit-identical integers (same Σ per (doc, b), same
+    # shiftleft combine); pytest + oracle checked.
+    sums = tid.groupBy("doc_id").agg(*[
+        F.sum(
+            2 * (((F.lit(SIMHASH_C[b]) * F.col("tid") + F.lit(SIMHASH_D[b]))
+                  % MINHASH_PRIME) % 2) - 1
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ])
+    bits = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        bits = term if bits is None else bits + term
+    return sums.select("doc_id", bits.alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
