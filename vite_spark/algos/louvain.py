@@ -58,6 +58,13 @@ class PhaseResult:
     iters: int
     nv: int = 0
     converged: bool = True
+    # Fused end-of-phase outputs from the mirror kernel (see
+    # kernels/csr.csr_labels_coarse_packed): the densely-renumbered
+    # (id, label) table and the coarse super-edge table for the next
+    # level. None when the phase ran a path without the fusion (sharded,
+    # colored, join, local) — the caller then uses the generic coarsen.
+    renum_labels: DataFrame | None = None
+    coarse_edges: DataFrame | None = None
 
 
 @dataclass
@@ -298,6 +305,7 @@ def _csr_phase(
     metrics: MetricsCollector,
     level: int,
     colors: DataFrame | None = None,
+    coarsen_gain_over: float | None = None,
 ) -> PhaseResult | None:
     """Distributed packed-CSR phase (BASELINE.json core-iteration design).
 
@@ -665,6 +673,33 @@ def _csr_phase(
                 spark, pack_dir, nparts, labels_at
             ).localCheckpoint(eager=True)
         else:
+            if (
+                coarsen_gain_over is not None
+                and (float(q_final) - coarsen_gain_over) > threshold
+            ):
+                # caller will coarsen (same gain test it applies):
+                # fused labels + dense renumber + coarse partials in one
+                # kernel job — see csr_labels_coarse_packed
+                from vite_spark.kernels.csr import csr_labels_coarse_packed
+
+                mixed = csr_labels_coarse_packed(
+                    spark, pack_dir, nparts, nv_dense, labels_at
+                ).localCheckpoint(eager=True)
+                lab = mixed.filter(F.col("kind") == 0).select(
+                    F.col("a").alias("id"), F.col("b").alias("comm")
+                )
+                renum = mixed.filter(F.col("kind") == 2).select(
+                    F.col("a").alias("id"), F.col("b").alias("label")
+                )
+                coarse = (
+                    mixed.filter(F.col("kind") == 1)
+                    .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+                    .agg(F.sum("w").alias("weight"))
+                )
+                return PhaseResult(
+                    assignment=lab, q=float(q_final), iters=iters_final,
+                    nv=nv, renum_labels=renum, coarse_edges=coarse,
+                )
             lab = csr_labels_packed(
                 spark, pack_dir, nparts, nv_dense, labels_at
             ).localCheckpoint(eager=True)
@@ -686,6 +721,7 @@ def louvain_phase(
     level: int = 0,
     resume_from: tuple | None = None,
     colors: DataFrame | None = None,
+    coarsen_gain_over: float | None = None,
 ) -> PhaseResult:
     """One Louvain phase (reference distLouvainMethod, louvain.cpp:427-592).
 
@@ -730,7 +766,7 @@ def louvain_phase(
         # provides identical semantics.
         res = _csr_phase(
             spark, edges, threshold, lower, cfg, metrics, level,
-            colors=colors,
+            colors=colors, coarsen_gain_over=coarsen_gain_over,
         )
         if res is not None:
             return res
@@ -1232,15 +1268,22 @@ def louvain(
             pres = louvain_phase(
                 spark, cur_edges, threshold=th, lower=-1.0, cfg=cfg, metrics=metrics,
                 level=phase, colors=phase_colors,
+                coarsen_gain_over=prev_phase_mod,
             )
         tot_iters += pres.iters
 
         if (pres.q - prev_phase_mod) > th:
-            # compose labels through this level (main.cpp:381-425)
-            coarse, ren = coarsen(cur_edges, pres.assignment, cfg, nv=pres.nv)
-            level_labels = pres.assignment.join(ren, "comm").select(
-                "id", F.col("new_id").alias("label")
-            )
+            # compose labels through this level (main.cpp:381-425) —
+            # off the fused mirror-kernel outputs when the phase
+            # produced them, else the generic renumber+coarsen
+            if pres.coarse_edges is not None:
+                coarse = pres.coarse_edges
+                level_labels = pres.renum_labels
+            else:
+                coarse, ren = coarsen(cur_edges, pres.assignment, cfg, nv=pres.nv)
+                level_labels = pres.assignment.join(ren, "comm").select(
+                    "id", F.col("new_id").alias("label")
+                )
             if comm_all is None:
                 comm_all = level_labels.select("id", F.col("label"))
             else:

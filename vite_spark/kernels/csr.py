@@ -480,6 +480,7 @@ def _replayed_state(pack_dir: str, nparts: int, nv_dense: int, n_deltas: int,
             "cs": present.astype(np.int64),
             "vdeg": vdeg,
             "self_w": self_w,
+            "present": present,
         }
         if cache:
             _WORKER_STATE.clear()   # at most one phase's mirror per worker
@@ -918,6 +919,81 @@ def csr_labels_colored(
 
     return _pid_frame(spark, nparts).mapInPandas(
         run, schema="id long, comm long"
+    )
+
+
+def csr_labels_coarse_packed(
+    spark, pack_dir: str, nparts: int, nv_dense: int, n_deltas: int
+) -> DataFrame:
+    """Fused end-of-phase job for the MIRROR kernel: every task already
+    replays the FULL label array (csr_labels_packed's shape), so the
+    dense community renumber (np.unique of the present vertices' labels
+    — identical to kernels/ids.dense_ids' order-by-value contract) and
+    this partition's coarse super-edge partials (renumbered src/dst
+    comms, per-partition pre-aggregated) come for free in the same job.
+    Replaces the former labels job + distributed dense_ids (distinct +
+    range exchange + two jobs) + two renumber joins + the coarse
+    groupBy's full edge-row shuffle with ONE kernel job; the only
+    remaining shuffle is the grouped merge of the (much smaller)
+    per-partition coarse partials.
+
+    Emits a tagged union (kind, a, b, w):
+      kind 0 — raw assignment row   (a=id, b=comm)         [pastComm]
+      kind 2 — renumbered label row (a=id, b=new dense id)
+      kind 1 — coarse partial       (a=new src, b=new dst, w=Σweight)
+    Caller filters by kind off one localCheckpoint. Coarse weights are
+    per-partition partial sums merged by groupBy — same values as the
+    former join+groupBy coarsen (integer-valued weights sum exactly;
+    float inputs differ only in accumulation order, as any grouped
+    shuffle already does)."""
+
+    def run(pdf_iter):
+        import os
+
+        import pandas as pd
+
+        st = None
+        uniq = None
+        for pdf in pdf_iter:
+            for pid in pdf["pid"]:
+                pid = int(pid)
+                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"))
+                if len(own) == 0:
+                    continue
+                if st is None:
+                    st = _replayed_state(pack_dir, nparts, nv_dense,
+                                         n_deltas, cache=False)
+                    uniq = np.unique(st["curr"][st["present"]])
+                lab = st["curr"][own]
+                new = np.searchsorted(uniq, lab)
+                yield pd.DataFrame({
+                    "kind": np.zeros(len(own), np.int32), "a": own,
+                    "b": lab, "w": np.zeros(len(own)),
+                })
+                yield pd.DataFrame({
+                    "kind": np.full(len(own), 2, np.int32), "a": own,
+                    "b": new.astype(np.int64), "w": np.zeros(len(own)),
+                })
+                src = np.load(os.path.join(pack_dir, f"src_{pid}.npy"),
+                              mmap_mode="r")
+                dst = np.load(os.path.join(pack_dir, f"dst_{pid}.npy"),
+                              mmap_mode="r")
+                w = np.load(os.path.join(pack_dir, f"w_{pid}.npy"),
+                            mmap_mode="r")
+                rs = np.searchsorted(uniq, st["curr"][src])
+                rd = np.searchsorted(uniq, st["curr"][dst])
+                key = rs.astype(np.int64) * len(uniq) + rd
+                uk, inv = np.unique(key, return_inverse=True)
+                ws = np.bincount(inv, weights=w)
+                yield pd.DataFrame({
+                    "kind": np.ones(len(uk), np.int32),
+                    "a": (uk // len(uniq)).astype(np.int64),
+                    "b": (uk % len(uniq)).astype(np.int64),
+                    "w": ws,
+                })
+
+    return _pid_frame(spark, nparts).mapInPandas(
+        run, schema="kind int, a long, b long, w double"
     )
 
 
