@@ -168,9 +168,13 @@ def connected_components_twophase(
             sym.join(mn_l, "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("u"), F.col("m").alias("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
         )
+        # No mid-round distinct/materialization: small-star's per-u MIN
+        # is duplicate-insensitive and its end-of-round distinct
+        # restores the canonical edge SET, so the large-star output can
+        # flow through as a multiset — one exchange and one
+        # localCheckpoint fewer per round, identical round trajectory
+        # (checksums are computed on the post-distinct set).
         # small-star: center u over canonical smaller nbrs; m = min(Γ⁻(u));
         # emit (u, m) and (v, m) for v ∈ Γ⁻(u), v ≠ m
         mn_s = e.groupBy("u").agg(F.min("v").alias("m"))

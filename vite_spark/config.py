@@ -48,7 +48,7 @@ def threshold_for_phase(phase: int) -> float:
 # ≈ 30-60 ms of sweep per task. Overridable for clusters whose task
 # dispatch or memory profile differs.
 PACK_EDGES_PER_PART = int(
-    os.environ.get("SPARK_GRAFT_PACK_EDGES_PER_PART", "2000000"))
+    os.environ.get("SPARK_GRAFT_PACK_EDGES_PER_PART", "4000000"))
 
 
 def adaptive_pack_nparts(requested: int, ne: int | None,

@@ -144,6 +144,80 @@ def _cc_job(spark, pack_dir, nparts, t, routing, ckpt_dir=None):
     )
 
 
+def _csr_cc_packless(spark, edges, max_iter, metrics, ne):
+    """Packless single-task tier (caller gates on PACK_EDGES_PER_PART):
+    ONE job maps the edge rows straight into the Jacobi min-label
+    fixpoint — no range exchange, pack/route files, or per-iteration
+    jobs. Integer min is order-free, so per-iteration labels and changed
+    counts are identical to the packed job loop; same oracle rows cover
+    it. Returns None when the input is not vertex-closed (sentinel) —
+    the caller's join path handles open graphs."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    def run(pdf_iter):
+        import pandas as pd
+
+        parts = [p for p in pdf_iter if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        first = np.r_[True, src[1:] != src[:-1]]
+        own = src[np.flatnonzero(first)]
+        pos = np.searchsorted(own, dst)
+        closed = bool((pos < len(own)).all()) and \
+            bool((own[np.minimum(pos, len(own) - 1)] == dst).all())
+        if not closed:
+            yield pd.DataFrame({"kind": [np.int32(3)], "id": [0],
+                                "component": [0]})
+            return
+        dstl = pos
+        starts_seg = np.flatnonzero(first)
+        lab = own.astype(np.int64, copy=True)
+        chg = []
+        for _t in range(1, max_iter + 1):
+            nbr_min = np.minimum.reduceat(lab[dstl], starts_seg)
+            new = np.minimum(lab, nbr_min)
+            changed = int((new != lab).sum())
+            chg.append(changed)
+            lab = new
+            if changed == 0:
+                break
+        yield pd.DataFrame({
+            "kind": np.ones(len(chg), np.int32),
+            "id": np.arange(1, len(chg) + 1, dtype=np.int64),
+            "component": np.asarray(chg, dtype=np.int64),
+        })
+        yield pd.DataFrame({
+            "kind": np.zeros(len(own), np.int32), "id": own,
+            "component": lab,
+        })
+
+    t0 = _time.time()
+    # no self-loop filter: the packed path packs edges as-is, and a
+    # vertex with only self-loops must still receive its identity label
+    mixed = edges.select("src", "dst").repartition(1).mapInPandas(
+        run, schema="kind int, id long, component long"
+    ).localCheckpoint(eager=True)
+    wall = _time.time() - t0
+    if mixed.filter(F.col("kind") == 3).count() > 0:
+        return None
+    crows = sorted(
+        (int(r["id"]), int(r["component"]))
+        for r in mixed.filter(F.col("kind") == 1).collect()
+    )
+    for t, c in crows:
+        metrics.record(kind="cc_superstep", iter=t, changed=c,
+                       wall_s=wall / max(len(crows), 1),
+                       edges_processed=int(ne), mode="csr_sharded_min")
+    return mixed.filter(F.col("kind") == 0).select("id", "component")
+
+
 def csr_cc(spark, edges, max_iter, cfg, metrics):
     """Packed-CSR connected-components driver. Returns the
     (id, component) DataFrame, or None when a precondition fails (caller
@@ -155,7 +229,18 @@ def csr_cc(spark, edges, max_iter, cfg, metrics):
     nparts = cfg.shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    prep = _prepare_pack(spark, edges, cfg, nparts)
+    ne_pre = None
+    if (cfg.shuffle_partitions is None and not cfg.checkpoint_dir
+            and not cfg.pack_cache_dir):
+        from vite_spark.config import PACK_EDGES_PER_PART
+
+        ne_pre = edges.count()
+        if ne_pre == 0:
+            return None
+        if ne_pre <= PACK_EDGES_PER_PART:
+            res = _csr_cc_packless(spark, edges, max_iter, metrics, ne_pre)
+            return res        # None → caller's join path (open graph)
+    prep = _prepare_pack(spark, edges, cfg, nparts, ne_precounted=ne_pre)
     if prep is None:
         return None
     pack_dir, nparts, info, routing, cleanup = prep
@@ -167,6 +252,81 @@ def csr_cc(spark, edges, max_iter, cfg, metrics):
     from vite_spark.runtime import iter_checkpoint as ic
 
     ckroot = cfg.checkpoint_dir
+    if nparts == 1 and not ckroot:
+        # single-partition graphs: the partition owns every vertex
+        # (ux == own under the vertex-closed precondition), so the whole
+        # Jacobi min-label fixpoint runs inside ONE task of ONE job
+        # instead of one driver-scheduled job per iteration. Integer
+        # min is order-free — per-iteration labels and changed counts
+        # are identical to the job loop; same oracle rows cover it.
+        def run(pdf_iter):
+            import pandas as pd
+
+            for pdf in pdf_iter:
+                for pid in pdf["pid"]:
+                    pid = int(pid)
+                    own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"),
+                                  mmap_mode="r")
+                    if len(own) == 0:
+                        continue
+                    srcl = np.load(os.path.join(
+                        pack_dir, f"srcl_{pid}.npy"), mmap_mode="r")
+                    dstl = np.load(os.path.join(
+                        pack_dir, f"dstl_{pid}.npy"), mmap_mode="r")
+                    starts_seg = np.flatnonzero(
+                        np.r_[True, srcl[1:] != srcl[:-1]])
+                    lab = np.asarray(own, dtype=np.int64).copy()
+                    chg = []
+                    for _t in range(1, max_iter + 1):
+                        nbr_min = np.minimum.reduceat(lab[dstl], starts_seg)
+                        new = np.minimum(lab, nbr_min)
+                        changed = int((new != lab).sum())
+                        chg.append(changed)
+                        lab = new
+                        if changed == 0:
+                            break
+                    yield pd.DataFrame({
+                        "kind": np.ones(len(chg), np.int32),
+                        "id": np.arange(1, len(chg) + 1, dtype=np.int64),
+                        "component": np.asarray(chg, dtype=np.int64),
+                    })
+                    yield pd.DataFrame({
+                        "kind": np.zeros(len(own), np.int32),
+                        "id": np.asarray(own, dtype=np.int64),
+                        "component": lab,
+                    })
+
+        try:
+            import time as _time
+
+            from pyspark.sql import functions as F
+
+            t0 = _time.time()
+            mixed = _pid_frame(spark, 1).mapInPandas(
+                run, schema="kind int, id long, component long"
+            ).localCheckpoint(eager=True)
+            wall = _time.time() - t0
+            crows = sorted(
+                (int(r["id"]), int(r["component"]))
+                for r in mixed.filter(F.col("kind") == 1).collect()
+            )
+            for t, c in crows:
+                metrics.record(kind="cc_superstep", iter=t, changed=c,
+                               wall_s=wall / max(len(crows), 1),
+                               edges_processed=int(info["ne"]),
+                               mode="csr_sharded_min")
+            out = mixed.filter(F.col("kind") == 0).select("id", "component")
+        finally:
+            if cleanup:
+                shutil.rmtree(pack_dir, ignore_errors=True)
+            else:
+                for f in os.listdir(pack_dir):
+                    if f.startswith(CC_TRANSIENT_PREFIXES):
+                        try:
+                            os.remove(os.path.join(pack_dir, f))
+                        except OSError:
+                            pass
+        return out
     start_t = 0
     if ckroot:
         ck = ic.latest_complete(ckroot, "cc")

@@ -79,7 +79,7 @@ PR_TRANSIENT_PREFIXES = ("prc_", "rnk_", "lown_", "cown_", "bfd_",
                          "hac_", "aown_", "hown_")
 
 
-def _prepare_pack(spark, edges, cfg, nparts):
+def _prepare_pack(spark, edges, cfg, nparts, ne_precounted=None):
     """(pack_dir, nparts, info, routing, cleanup) — the sharded pack +
     routes, reusing the persistent pack cache exactly like the Louvain
     phase (same manifest.json, so a cached pack serves both algorithms).
@@ -115,7 +115,10 @@ def _prepare_pack(spark, edges, cfg, nparts):
             # matched to the input size instead of the session constant
             from vite_spark.config import adaptive_pack_nparts
 
-            nparts = adaptive_pack_nparts(nparts, edges.count())
+            nparts = adaptive_pack_nparts(
+                nparts,
+                edges.count() if ne_precounted is None else ne_precounted,
+            )
         edges = edges.repartitionByRange(nparts, "src")
         nparts = edges.rdd.getNumPartitions()
         if pack_dir is None:
@@ -330,6 +333,212 @@ def _pr_job(spark, pack_dir, nparts, n, damping, t, routing, weighted,
     )
 
 
+def csr_pagerank_packless(spark, edges, damping, tol, max_iter, weighted,
+                          metrics, mode="pagerank", seeds=None,
+                          katz_beta=1.0):
+    """Packless single-task tier for graphs whose edge table fits one
+    pack partition (caller gates on PACK_EDGES_PER_PART): ONE job maps
+    the edge rows straight into the iteration loop — no range exchange,
+    no pack/route files, no per-iteration job scheduling. The task
+    lexsorts rows to pack order and evaluates the identical
+    bincount/base/damping recurrence the sharded kernel runs at
+    nparts == 1 (identity merge), so ranks and per-iteration L1 deltas
+    equal the packed path's; parity rides the same pytest + oracle rows.
+    Returns None via the caller when the input is not vertex-closed
+    (sentinel row kind=3) — the join path then provides the dangling-
+    mass semantics, exactly like the packed path's routes fallback."""
+    import time as _time
+
+    algo = (mode if mode in ("eigen", "katz") else
+            "ppr" if seeds is not None else "pagerank")
+    mode_str = ("csr_sharded_" + mode if mode in ("eigen", "katz")
+                else "csr_sharded_pr")
+    adj = mode in ("eigen", "katz")
+    base = (0.0 if mode == "eigen" else katz_beta) if adj \
+        else None                      # pagerank base needs n (computed in-task)
+    init = (1.0 if mode == "eigen" else katz_beta) if adj else None
+    seeds_arr = (np.asarray(sorted(set(int(x) for x in seeds)), np.int64)
+                 if seeds is not None else None)
+
+    def run(pdf_iter):
+        import pandas as pd
+
+        parts = [p for p in pdf_iter if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        w = pdf["weight"].to_numpy(np.float64)
+        order = np.lexsort((dst, src))          # pack row order
+        src, dst, w = src[order], dst[order], w[order]
+        first = np.r_[True, src[1:] != src[:-1]]
+        own = src[np.flatnonzero(first)]
+        srcl = (np.cumsum(first) - 1).astype(np.int64)
+        pos = np.searchsorted(own, dst)
+        closed = bool((pos < len(own)).all()) and \
+            bool((own[np.minimum(pos, len(own) - 1)] == dst).all())
+        if not closed:
+            yield pd.DataFrame({"kind": [np.int32(3)], "id": [0],
+                                "val": [0.0]})
+            return
+        dstl = pos                               # ux == own when closed
+        n = len(own)
+        if adj:
+            coef = w if weighted else None
+            bvec = base
+            r = np.full(n, init)
+        else:
+            if weighted:
+                vdeg = np.add.reduceat(w, np.flatnonzero(first))
+                coef = w / vdeg[srcl]
+            else:
+                outdeg = np.bincount(srcl, minlength=n)
+                coef = 1.0 / outdeg[srcl]
+            if seeds_arr is not None:
+                svec = np.isin(own, seeds_arr).astype(np.float64)
+                svec /= len(seeds_arr)
+                bvec = (1.0 - damping) * svec
+                r = svec.copy()
+            else:
+                bvec = (1.0 - damping) / n
+                r = np.full(n, 1.0 / n)
+        deltas = []
+        for _t in range(1, max_iter + 1):
+            gathered = r[srcl] if coef is None else coef * r[srcl]
+            acc = np.bincount(dstl, weights=gathered, minlength=n)
+            r_new = bvec + damping * acc
+            delta = float(np.abs(r_new - r).sum())
+            deltas.append(delta)
+            r = r_new
+            if delta < tol:
+                break
+        norm = float(r.sum()) if mode == "eigen" else 1.0
+        yield pd.DataFrame({
+            "kind": np.ones(len(deltas), np.int32),
+            "id": np.arange(1, len(deltas) + 1, dtype=np.int64),
+            "val": np.asarray(deltas),
+        })
+        yield pd.DataFrame({
+            "kind": np.zeros(n, np.int32), "id": own, "val": r / norm,
+        })
+
+    t0 = _time.time()
+    mixed = edges.select("src", "dst", "weight").repartition(1).mapInPandas(
+        run, schema="kind int, id long, val double"
+    ).localCheckpoint(eager=True)
+    wall = _time.time() - t0
+    if mixed.filter(F.col("kind") == 3).count() > 0:
+        return None
+    deltas = dict(sorted(
+        (int(r["id"]), float(r["val"]))
+        for r in mixed.filter(F.col("kind") == 1).collect()
+    ))
+    K = len(deltas)
+    w_ = wall / max(min(K + 1, max_iter + 1), 1)
+    for t in range(1, min(K + 1, max_iter) + 1):
+        extra = ({"l1_delta": deltas[t - 1]} if t >= 2 else {})
+        metrics.record(kind=f"{algo}_superstep", iter=t, wall_s=w_,
+                       mode=mode_str, **extra)
+    if K == max_iter:
+        metrics.record(kind=f"{algo}_finalize", iter=max_iter + 1,
+                       l1_delta=deltas[K], wall_s=w_)
+    return mixed.filter(F.col("kind") == 0).select(
+        "id", F.col("val").alias("rank")
+    )
+
+
+def _pr_fused_single(spark, pack_dir, n, damping, tol, max_iter, weighted,
+                     mode, seeds, katz_beta):
+    """nparts == 1 degenerate case of the job loop: the single partition
+    owns every vertex (ux == own under the vertex-closed precondition),
+    the merge's req index is the identity, and there is no exchange — so
+    the whole iteration sequence runs inside ONE task of ONE job instead
+    of max_iter+1 driver-scheduled jobs. Arithmetic is the identical
+    bincount/base/damping recurrence the per-job path evaluates at
+    nparts == 1 (identity merge), so ranks and per-iteration L1 deltas
+    are bit-equal; parity is covered by the same oracle rows. Emits a
+    tagged union: kind 0 = (id, rank) rows, kind 1 = (iter, l1_delta)
+    rows for the driver's metrics."""
+    adj = mode in ("eigen", "katz")
+    base = (0.0 if mode == "eigen" else katz_beta) if adj \
+        else (1.0 - damping) / n
+    init = (1.0 if mode == "eigen" else katz_beta) if adj else 1.0 / n
+    if seeds is not None:
+        seeds = np.asarray(seeds, dtype=np.int64)
+    if adj:
+        cname = "w" if weighted else None
+    else:
+        cname = "coefw" if weighted else "coefu"
+
+    def run(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            for pid in pdf["pid"]:
+                pid = int(pid)
+                own = np.load(os.path.join(pack_dir, f"own_{pid}.npy"),
+                              mmap_mode="r")
+                if len(own) == 0:
+                    continue
+                srcl = np.load(os.path.join(pack_dir, f"srcl_{pid}.npy"),
+                               mmap_mode="r")
+                dstl = np.load(os.path.join(pack_dir, f"dstl_{pid}.npy"),
+                               mmap_mode="r")
+                ux = np.load(os.path.join(pack_dir, f"ux_{pid}.npy"),
+                             mmap_mode="r")
+                if cname is None:
+                    coef = None
+                elif cname == "w":
+                    coef = np.load(os.path.join(pack_dir, f"w_{pid}.npy"),
+                                   mmap_mode="r")
+                elif weighted:
+                    w = np.load(os.path.join(pack_dir, f"w_{pid}.npy"),
+                                mmap_mode="r")
+                    vdeg = np.load(os.path.join(pack_dir, f"vdeg_{pid}.npy"),
+                                   mmap_mode="r")
+                    coef = w / vdeg[srcl]
+                else:
+                    outdeg = np.bincount(srcl, minlength=len(own))
+                    coef = 1.0 / outdeg[srcl]
+                if seeds is not None:
+                    svec = np.isin(own, seeds).astype(np.float64)
+                    svec /= len(seeds)
+                    bvec = (1.0 - damping) * svec
+                    r = svec.copy()
+                else:
+                    bvec = base
+                    r = np.full(len(own), init)
+                deltas = []
+                k_final = max_iter
+                for t in range(1, max_iter + 1):
+                    gathered = r[srcl] if coef is None else coef * r[srcl]
+                    acc = np.bincount(dstl, weights=gathered,
+                                      minlength=len(ux))
+                    r_new = bvec + damping * acc
+                    delta = float(np.abs(r_new - r).sum())
+                    deltas.append(delta)
+                    r = r_new
+                    if delta < tol:
+                        k_final = t
+                        break
+                norm = float(r.sum()) if mode == "eigen" else 1.0
+                yield pd.DataFrame({
+                    "kind": np.ones(len(deltas), np.int32),
+                    "id": np.arange(1, len(deltas) + 1, dtype=np.int64),
+                    "val": np.asarray(deltas),
+                })
+                yield pd.DataFrame({
+                    "kind": np.zeros(len(own), np.int32),
+                    "id": np.asarray(own, dtype=np.int64),
+                    "val": r / norm,
+                })
+
+    return _pid_frame(spark, 1).mapInPandas(
+        run, schema="kind int, id long, val double"
+    )
+
+
 def csr_pagerank(spark, edges, damping, tol, max_iter, weighted, cfg,
                  metrics, mode="pagerank", seeds=None, katz_beta=1.0):
     """Packed-CSR PageRank driver. Returns the (id, rank) DataFrame, or
@@ -349,7 +558,25 @@ def csr_pagerank(spark, edges, damping, tol, max_iter, weighted, cfg,
     nparts = cfg.shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    prep = _prepare_pack(spark, edges, cfg, nparts)
+    ne_pre = None
+    if (cfg.shuffle_partitions is None and not cfg.checkpoint_dir
+            and not cfg.pack_cache_dir):
+        from vite_spark.config import PACK_EDGES_PER_PART
+
+        ne_pre = edges.count()
+        if ne_pre == 0:
+            return None
+        if ne_pre <= PACK_EDGES_PER_PART:
+            # single-pack-partition scale: run the packless one-job tier
+            # (csr_pagerank_packless); falls through to the pack path
+            # only on its not-vertex-closed sentinel, where the join
+            # path's dangling handling is required anyway
+            res = csr_pagerank_packless(
+                spark, edges, damping, tol, max_iter, weighted, metrics,
+                mode=mode, seeds=seeds, katz_beta=katz_beta,
+            )
+            return res        # None → caller's join path (open graph)
+    prep = _prepare_pack(spark, edges, cfg, nparts, ne_precounted=ne_pre)
     if prep is None:
         return None
     pack_dir, nparts, info, routing, cleanup = prep
@@ -365,6 +592,49 @@ def csr_pagerank(spark, edges, damping, tol, max_iter, weighted, cfg,
     from vite_spark.runtime import iter_checkpoint as ic
 
     ckroot = cfg.checkpoint_dir
+    if nparts == 1 and not ckroot:
+        # single-partition graphs: run the whole iteration sequence in
+        # one job (see _pr_fused_single) instead of max_iter+1 jobs
+        try:
+            t0 = time.time()
+            mixed = _pr_fused_single(
+                spark, pack_dir, n, damping, tol, max_iter, weighted,
+                mode, seeds, katz_beta,
+            ).localCheckpoint(eager=True)
+            wall = time.time() - t0
+            deltas = dict(sorted(
+                (int(r["id"]), float(r["val"]))
+                for r in mixed.filter(F.col("kind") == 1).collect()
+            ))
+            # metrics rows mirror the job loop's one-job-late delta
+            # protocol exactly: row t (a scatter job there) carries
+            # Δ_{t-1}; convergence at Δ_K stops the rows at t = K+1; a
+            # finalize row appears only when the loop ran to max_iter
+            K = len(deltas)
+            w = wall / max(min(K + 1, max_iter + 1), 1)
+            for t in range(1, min(K + 1, max_iter) + 1):
+                extra = ({"l1_delta": deltas[t - 1]} if t >= 2 else {})
+                metrics.record(
+                    kind=f"{algo}_superstep", iter=t, wall_s=w,
+                    edges_processed=ne, mode=mode_str, **extra,
+                )
+            if K == max_iter:
+                metrics.record(kind=f"{algo}_finalize", iter=max_iter + 1,
+                               l1_delta=deltas[K], wall_s=w)
+            out = mixed.filter(F.col("kind") == 0).select(
+                "id", F.col("val").alias("rank")
+            )
+        finally:
+            if cleanup:
+                shutil.rmtree(pack_dir, ignore_errors=True)
+            else:
+                for f in os.listdir(pack_dir):
+                    if f.startswith(PR_TRANSIENT_PREFIXES):
+                        try:
+                            os.remove(os.path.join(pack_dir, f))
+                        except OSError:
+                            pass
+        return out
     resume_t = None
     start_t = 0
     if ckroot:
