@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from vite_spark.config import EngineConfig
 from vite_spark.runtime.metrics import MetricsCollector
@@ -155,34 +155,33 @@ def connected_components_twophase(
     for rnd in range(1, max_rounds + 1):
         t0 = time.time()
         # large-star: center a over symmetric nbrs b; m = min(Γ(a) ∪ {a});
-        # emit (b, m) for b > a
+        # emit (b, m) for b > a. The per-center minimum is a WINDOW over
+        # the same shuffle the former groupBy+self-join paid — one
+        # exchange, no join (optimization guide §2.4: two operations
+        # keyed the same way share one exchange).
         sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
             e.select(F.col("v").alias("a"), F.col("u").alias("b"))
         )
-        mn_l = (
-            sym.groupBy("a")
-            .agg(F.min("b").alias("mb"))
-            .select("a", F.least("a", "mb").alias("m"))
+        wl = sym.withColumn(
+            "m", F.least(F.col("a"), F.min("b").over(Window.partitionBy("a")))
         )
-        e = (
-            sym.join(mn_l, "a")
-            .filter(F.col("b") > F.col("a"))
-            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        e = wl.filter(F.col("b") > F.col("a")).select(
+            F.col("b").alias("u"), F.col("m").alias("v")
         )
         # No mid-round distinct/materialization: small-star's per-u MIN
         # is duplicate-insensitive and its end-of-round distinct
         # restores the canonical edge SET, so the large-star output can
-        # flow through as a multiset — one exchange and one
-        # localCheckpoint fewer per round, identical round trajectory
+        # flow through as a multiset — identical round trajectory
         # (checksums are computed on the post-distinct set).
         # small-star: center u over canonical smaller nbrs; m = min(Γ⁻(u));
-        # emit (u, m) and (v, m) for v ∈ Γ⁻(u), v ≠ m
-        mn_s = e.groupBy("u").agg(F.min("v").alias("m"))
+        # emit (u, m) and (v, m) for v ∈ Γ⁻(u), v ≠ m — again one window
+        # instead of groupBy+join; the (u, m) rows are emitted per input
+        # row and collapsed by the end-of-round distinct
+        ws = e.withColumn("m", F.min("v").over(Window.partitionBy("u")))
         e = (
-            e.join(mn_s, "u")
-            .filter(F.col("v") != F.col("m"))
+            ws.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(mn_s.select("u", F.col("m").alias("v")))
+            .union(ws.select("u", F.col("m").alias("v")))
             .distinct()
             .localCheckpoint(eager=True)
         )
