@@ -201,7 +201,12 @@ def near_dup_clusters(
     """
     from vite_spark.algos.components import connected_components
 
-    pairs = minhash_lsh_pairs(docs, threshold, text_col)
+    # materialize the (small) verified pair set once: the CC operator's
+    # count probe, pack/packless job and label join would otherwise each
+    # recompute the whole shingle→minhash→verify pipeline above it
+    pairs = minhash_lsh_pairs(docs, threshold, text_col).localCheckpoint(
+        eager=True
+    )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(
