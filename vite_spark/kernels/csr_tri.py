@@ -142,16 +142,30 @@ def _rank_by_degree(spark, e, nparts):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        n = sum(len(p) for p in pdf_iter)
-        yield pd.DataFrame({"pid": [pid], "n": [np.int64(n)]})
+        n = 0
+        sd = np.int64(0)
+        wd = np.int64(0)
+        for p in pdf_iter:
+            n += len(p)
+            d = p["deg"].to_numpy(np.int64)
+            sd += d.sum()
+            wd += (d * (d - 1) // 2).sum()
+        yield pd.DataFrame({"pid": [pid], "n": [np.int64(n)],
+                            "sd": [sd], "wd": [wd]})
 
-    rows = d2.mapInPandas(cnt, schema="pid int, n long").collect()
+    rows = d2.mapInPandas(cnt, schema="pid int, n long, sd long, wd long"
+                          ).collect()
     offs = {}
     acc = 0
     for r in sorted(rows, key=lambda r: r["pid"]):
         offs[int(r["pid"])] = acc
         acc += int(r["n"])
     boffs = spark.sparkContext.broadcast(offs)
+    # degree stats ride the same job (Σdeg, Σ C(deg,2)) — the caller's
+    # scale-adaptive partition cap needs them and formerly paid an
+    # extra agg job
+    stats = {"sum_deg": int(sum(int(r["sd"]) for r in rows)),
+             "wedges_est": int(sum(int(r["wd"]) for r in rows))}
 
     def rk(pdf_iter):
         import pandas as pd
@@ -169,7 +183,7 @@ def _rank_by_degree(spark, e, nparts):
             "rk": base + np.arange(len(pdf), dtype=np.int64),
         })
 
-    return d2, d2.mapInPandas(rk, schema="id long, rk long")
+    return d2, d2.mapInPandas(rk, schema="id long, rk long"), stats
 
 
 def _prepare_tri_pack(spark, edges, cfg, nparts):
@@ -204,21 +218,18 @@ def _prepare_tri_pack(spark, edges, cfg, nparts):
 
     e = (edges.select("src", "dst")
          .filter(F.col("src") != F.col("dst")).distinct())
-    d2, ranks = _rank_by_degree(spark, e, nparts)
+    d2, ranks, dstats = _rank_by_degree(spark, e, nparts)
     ranks = ranks.persist()
     if cfg.shuffle_partitions is None:
         # scale-adaptive pack partition count (guide §2). The count
         # job's work is the WEDGE probe, not an edge gather, so the cap
-        # is driven by the wedge-volume upper bound Σ C(deg, 2) (one
-        # tiny agg off the persisted degree table) alongside |oriented|
-        # = Σdeg/2 — a small-edge graph with heavy wedges keeps its
-        # parallelism
+        # is driven by the wedge-volume upper bound Σ C(deg, 2)
+        # (computed inside the rank job's count pass — no extra job)
+        # alongside |oriented| = Σdeg/2 — a small-edge graph with heavy
+        # wedges keeps its parallelism
         from vite_spark.config import adaptive_pack_nparts
 
-        r = d2.agg(F.sum("deg").alias("sd"),
-                   F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
-                   .alias("wedges")).collect()[0]
-        work = max(int(r["sd"] or 0) // 2, int(r["wedges"] or 0))
+        work = max(dstats["sum_deg"] // 2, dstats["wedges_est"])
         nparts = adaptive_pack_nparts(nparts, work)
     oriented = (
         e.join(ranks.select(F.col("id").alias("src"),

@@ -63,7 +63,7 @@ def _ensure_rank_map(spark, edges, pack_dir, nparts):
         return path
     e = (edges.select("src", "dst")
          .filter(F.col("src") != F.col("dst")).distinct())
-    d2, ranks = _rank_by_degree(spark, e, nparts)
+    d2, ranks, _dstats = _rank_by_degree(spark, e, nparts)
     ranks.select("rk", "id").write.mode("overwrite").parquet(path)
     d2.unpersist()
     return path
