@@ -306,6 +306,7 @@ def _csr_phase(
     level: int,
     colors: DataFrame | None = None,
     coarsen_gain_over: float | None = None,
+    probe=None,
 ) -> PhaseResult | None:
     """Distributed packed-CSR phase (BASELINE.json core-iteration design).
 
@@ -376,9 +377,11 @@ def _csr_phase(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     # cheap precheck before paying the pack scan (the count rides the
-    # same agg for free and feeds the scale-adaptive partition cap)
-    row = edges.agg(F.max("src").alias("ms"), F.max("dst").alias("md"),
-                    F.count(F.lit(1)).alias("ne")).collect()[0]
+    # same agg for free and feeds the scale-adaptive partition cap);
+    # reuses the caller's probe row when it already ran one
+    row = probe if probe is not None else edges.agg(
+        F.max("src").alias("ms"), F.max("dst").alias("md"),
+        F.count(F.lit(1)).alias("ne")).collect()[0]
     if row["ms"] is None:
         return PhaseResult(
             assignment=spark.createDataFrame([], "id long, comm long"),
@@ -740,17 +743,28 @@ def louvain_phase(
     cfg = cfg or EngineConfig()
     metrics = metrics or MetricsCollector()
 
+    probe = None
     if (
-        cfg.local_phase_max_edges > 0
+        (cfg.local_phase_max_edges > 0 or cfg.use_csr_kernel)
         and cfg.checkpoint_dir is None
         and resume_from is None
     ):
-        ne_probe = edges.count()
-        if ne_probe <= cfg.local_phase_max_edges:
-            return _local_phase(
-                spark, edges, threshold, lower, metrics, level,
-                early_term=cfg.early_term, colors=colors,
-            )
+        # one probe job serves BOTH the local-tier gate and _csr_phase's
+        # dense-id precheck / scale-adaptive partition cap (formerly a
+        # count job here plus an agg job there)
+        probe = edges.agg(
+            F.max("src").alias("ms"), F.max("dst").alias("md"),
+            F.count(F.lit(1)).alias("ne"),
+        ).collect()[0]
+    if (
+        cfg.local_phase_max_edges > 0
+        and probe is not None
+        and int(probe["ne"] or 0) <= cfg.local_phase_max_edges
+    ):
+        return _local_phase(
+            spark, edges, threshold, lower, metrics, level,
+            early_term=cfg.early_term, colors=colors,
+        )
 
     if (
         cfg.use_csr_kernel
@@ -767,6 +781,7 @@ def louvain_phase(
         res = _csr_phase(
             spark, edges, threshold, lower, cfg, metrics, level,
             colors=colors, coarsen_gain_over=coarsen_gain_over,
+            probe=probe,
         )
         if res is not None:
             return res
