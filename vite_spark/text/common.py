@@ -43,4 +43,3 @@ def params_values_sql(name_a: str, name_b: str, a: list[int], b: list[int]) -> s
     """Inline VALUES table '(i, a, b)' shared by the DuckDB oracle."""
     rows = ", ".join(f"({i}, {ai}, {bi})" for i, (ai, bi) in enumerate(zip(a, b)))
     return f"(VALUES {rows}) AS params(i, {name_a}, {name_b})"
-
