@@ -56,6 +56,33 @@ def test_renumber_contiguous(spark):
     assert rows == {(1, 0), (0, 2)}
 
 
+def test_dense_ids_tiers_identical(spark):
+    """The single-task small-input tier and the distributed range tier of
+    dense_ids must produce the identical value→rank mapping (rank ordered
+    by value is a pure function of the distinct value set)."""
+    from vite_spark.kernels.ids import dense_ids
+
+    df = spark.createDataFrame(
+        [("b",), ("a",), ("c",), ("a",), ("zz",), ("m",), ("aa",)],
+        "v string",
+    )
+    small = {r["v"]: r["id"] for r in dense_ids(df, "v", "id").collect()}
+    forced_dist = {
+        r["v"]: r["id"]
+        for r in dense_ids(df, "v", "id", local_max_rows=0).collect()
+    }
+    assert small == {"a": 0, "aa": 1, "b": 2, "c": 3, "m": 4, "zz": 5}
+    assert forced_dist == small
+
+    ints = spark.createDataFrame([(9,), (3,), (700,), (3,)], "v long")
+    small_i = {r["v"]: r["id"] for r in dense_ids(ints, "v", "id").collect()}
+    dist_i = {
+        r["v"]: r["id"]
+        for r in dense_ids(ints, "v", "id", local_max_rows=0).collect()
+    }
+    assert small_i == {3: 0, 9: 1, 700: 2} and dist_i == small_i
+
+
 def test_graphframe(spark):
     e = edges_from_pairs(spark, [(0, 1), (1, 2)])
     gf = GraphFrame.from_edges(e)
