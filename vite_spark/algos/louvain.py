@@ -395,9 +395,14 @@ def _csr_phase(
         # (radix grouping + segment argmax ≈ 1M edge-rows/s/task on
         # early sweeps, vs >10M/s for the PR/CC gathers), so its
         # per-partition target is correspondingly smaller — capping
-        # only binds on graphs too small to fill the session's tasks
+        # only binds on graphs too small to fill the session's tasks.
+        # 300k/partition measured best on the 2.39M-edge bench graph
+        # (interleaved medians 6.42 s vs 7.76 s at 128k vs 6.98 s at
+        # 600k whole-operator; sf0.01 indifferent): per-task sweep
+        # compute then roughly matches the ~7 ms/task dispatch +
+        # ~190 ms/job floor instead of sitting under it
         nparts = adaptive_pack_nparts(nparts, int(row["ne"]),
-                                      target=128_000)
+                                      target=300_000)
     sharded = cfg.csr_force_sharded or nv_dense > cfg.csr_mirror_max_ids
     if not sharded and nv_dense * nv_dense >= 2**63:
         sharded = True   # mirror's conservative key bound; sharded re-checks
