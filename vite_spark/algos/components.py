@@ -127,6 +127,14 @@ def connected_components_twophase(
     cfg = cfg or EngineConfig()
     metrics = metrics or MetricsCollector()
 
+    # pin the input for the two init consumers (canonical edge checkpoint
+    # + vertex set): without it each re-ran the caller's whole upstream
+    # derivation — the vertex set is materialized below while the cache
+    # is hot, so the pin never outlives init (interleaved A/B at sf0.1:
+    # q_cc_sizes 6.68 s vs 7.21 s medians, every pair wins)
+    pin = None
+    if not edges.is_cached:
+        pin = edges = edges.persist()
     verts = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -142,6 +150,9 @@ def connected_components_twophase(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    verts.count()
+    if pin is not None:
+        pin.unpersist()
 
     def checksum(df: DataFrame) -> tuple:
         r = df.agg(

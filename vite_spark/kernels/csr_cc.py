@@ -230,17 +230,34 @@ def csr_cc(spark, edges, max_iter, cfg, metrics):
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     ne_pre = None
+    pin = None
     if (cfg.shuffle_partitions is None and not cfg.checkpoint_dir
             and not cfg.pack_cache_dir):
         from vite_spark.config import PACK_EDGES_PER_PART
 
+        # one cache serves the gate count AND whichever tier runs next
+        # (packless map or pack build) — see csr_pr's gate: without it
+        # each consumer re-ran the caller's upstream derivation
+        # (interleaved A/B at sf0.1: packed-CC query 4.66 s vs 7.52 s
+        # medians, every pair wins). Skipped when already persisted.
+        if not edges.is_cached:
+            pin = edges = edges.persist()
         ne_pre = edges.count()
         if ne_pre == 0:
+            if pin is not None:
+                pin.unpersist()
             return None
         if ne_pre <= PACK_EDGES_PER_PART:
-            res = _csr_cc_packless(spark, edges, max_iter, metrics, ne_pre)
-            return res        # None → caller's join path (open graph)
+            try:
+                # None → caller's join path (open graph)
+                return _csr_cc_packless(spark, edges, max_iter, metrics,
+                                        ne_pre)
+            finally:
+                if pin is not None:
+                    pin.unpersist()
     prep = _prepare_pack(spark, edges, cfg, nparts, ne_precounted=ne_pre)
+    if pin is not None:
+        pin.unpersist()
     if prep is None:
         return None
     pack_dir, nparts, info, routing, cleanup = prep

@@ -559,24 +559,41 @@ def csr_pagerank(spark, edges, damping, tol, max_iter, weighted, cfg,
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     ne_pre = None
+    pin = None
     if (cfg.shuffle_partitions is None and not cfg.checkpoint_dir
             and not cfg.pack_cache_dir):
         from vite_spark.config import PACK_EDGES_PER_PART
 
+        # one cache serves the gate count AND whichever tier runs next
+        # (packless map or pack build): without it each consumer re-ran
+        # the caller's whole upstream derivation (interleaved A/B at
+        # sf0.1: q_pagerank 4.73 s vs 6.50 s medians, every pair wins).
+        # Skipped when the caller already persisted its edge table.
+        if not edges.is_cached:
+            pin = edges = edges.persist()
         ne_pre = edges.count()
         if ne_pre == 0:
+            if pin is not None:
+                pin.unpersist()
             return None
         if ne_pre <= PACK_EDGES_PER_PART:
             # single-pack-partition scale: run the packless one-job tier
             # (csr_pagerank_packless); falls through to the pack path
             # only on its not-vertex-closed sentinel, where the join
             # path's dangling handling is required anyway
-            res = csr_pagerank_packless(
-                spark, edges, damping, tol, max_iter, weighted, metrics,
-                mode=mode, seeds=seeds, katz_beta=katz_beta,
-            )
-            return res        # None → caller's join path (open graph)
+            try:
+                return csr_pagerank_packless(
+                    spark, edges, damping, tol, max_iter, weighted,
+                    metrics, mode=mode, seeds=seeds, katz_beta=katz_beta,
+                )                 # None → caller's join path (open graph)
+            finally:
+                if pin is not None:
+                    pin.unpersist()
     prep = _prepare_pack(spark, edges, cfg, nparts, ne_precounted=ne_pre)
+    if pin is not None:
+        # pack files are written (or routing failed) — the cache has
+        # served its purpose either way
+        pin.unpersist()
     if prep is None:
         return None
     pack_dir, nparts, info, routing, cleanup = prep
