@@ -210,6 +210,11 @@ def connected_components_twophase(
             "left",
         )
         .select("id", F.coalesce("component", F.col("id")).alias("component"))
+        # materialize the (small) label table while the cached vertex set
+        # is still live: returning it lazy made the caller's first action
+        # recompute verts — and with it the whole upstream derivation —
+        # after the unpersist below had already dropped the cache
+        .localCheckpoint(eager=True)
     )
     verts.unpersist()
     return labels
