@@ -82,6 +82,10 @@ def test_dense_ids_tiers_identical(spark):
     }
     assert small_i == {3: 0, 9: 1, 700: 2} and dist_i == small_i
 
+    empty = spark.createDataFrame([], "v string")
+    out = dense_ids(empty, "v", "id")
+    assert out.collect() == [] and set(out.columns) == {"v", "id"}
+
 
 def test_graphframe(spark):
     e = edges_from_pairs(spark, [(0, 1), (1, 2)])
