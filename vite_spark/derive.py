@@ -39,6 +39,27 @@ DEFAULT_MAX_KEY_FREQ = 10_000
 _UNSET = object()
 
 
+def _spread_narrow(pairs: DataFrame) -> DataFrame:
+    """guide §2.5: an unsplittable source (single-row-group parquet — the
+    driver testdata) plans a near-single-task scan, which SERIALIZES the
+    map-side partial aggregates of every stage fused onto it (the
+    distinct/collect_set/frequency partials of the (entity, key)
+    pipelines below). Spread only such narrow inputs, hashed by the
+    co-occurrence key the pipelines are keyed on — the one exchange is
+    then REUSED by the dedup distinct and every keyed aggregation (key ⊆
+    (entity, key) satisfies their clustering); a splittable scan (any
+    real 100 TB table) is left alone, where the extra full shuffle of
+    the incidence rows would dominate. Interleaved A/B at sf0.1 (noop
+    sink, cooccurrence_edges): 1.27 vs 2.05 s medians, every pair wins;
+    output proven identical (exceptAll both ways)."""
+    spark = pairs.sparkSession
+    if 2 * pairs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        pairs = pairs.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "key"
+        )
+    return pairs
+
+
 def sha256_gate(repos: DataFrame, expected_col: str = "content_sha256") -> DataFrame:
     """Per-row invariant: recompute sha256(content) and keep matching rows.
 
@@ -70,23 +91,9 @@ def cooccurrence_edges(
     """
     if max_key_freq is _UNSET:
         max_key_freq = DEFAULT_MAX_KEY_FREQ
-    pairs = df.select(
+    pairs = _spread_narrow(df.select(
         F.col(entity_col).cast("long").alias("entity"), F.col(key_col).alias("key")
-    )
-    # guide §2.5: an unsplittable source (single-row-group parquet — the
-    # driver testdata) plans a near-single-task scan, which SERIALIZES
-    # the map-side partial aggregates of every stage fused onto it (the
-    # distinct/collect_set partials below). Spread only such narrow
-    # inputs, hashed by the co-occurrence key the whole pipeline is
-    # keyed on; a splittable scan (any real 100 TB table) is left alone —
-    # there the extra full shuffle of the incidence rows would dominate.
-    # Interleaved A/B at sf0.1 (noop sink): 1.27 vs 2.05 s medians,
-    # every pair wins; output proven identical (exceptAll both ways).
-    spark = df.sparkSession
-    if 2 * pairs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        pairs = pairs.repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "key"
-        )
+    ))
     if max_key_freq is not None:
         # no silent caps (PLANS.md discipline): the cutoff is announced;
         # keys above it are dropped entirely rather than sampled, so the
@@ -260,10 +267,10 @@ def key_skew_report(
     bounded by distinct frequencies, never keys."""
     from pyspark.sql import Window
 
-    pairs = df.select(
+    pairs = _spread_narrow(df.select(
         F.col(entity_col).cast("long").alias("entity"),
         F.col(key_col).alias("key"),
-    ).distinct()
+    )).distinct()
     freq = pairs.groupBy("key").agg(F.count(F.lit(1)).alias("kf"))
     tiers = freq.groupBy("kf").agg(F.count(F.lit(1)).alias("n_keys"))
     tot = tiers.agg(
@@ -310,10 +317,10 @@ def butterfly_stats(
     (rounded 6)."""
     if max_key_freq is _UNSET:
         max_key_freq = DEFAULT_MAX_KEY_FREQ
-    pairs = df.select(
+    pairs = _spread_narrow(df.select(
         F.col(entity_col).cast("long").alias("entity"),
         F.col(key_col).alias("key"),
-    ).distinct()
+    )).distinct()
     if max_key_freq is not None:
         log.info(
             "butterfly_stats: key-frequency cap %d in effect on %r",
