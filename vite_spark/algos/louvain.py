@@ -761,10 +761,16 @@ def louvain_phase(
             F.max("src").alias("ms"), F.max("dst").alias("md"),
             F.count(F.lit(1)).alias("ne"),
         ).collect()[0]
+    local_lim = cfg.local_phase_max_edges
+    if local_lim > 0 and level >= 1:
+        # coarse levels: the distributed path's per-level fixed costs
+        # (pack build, one job per superstep) dominate at post-coarsen
+        # sizes — see config.local_phase_coarse_max_edges
+        local_lim = max(local_lim, cfg.local_phase_coarse_max_edges)
     if (
-        cfg.local_phase_max_edges > 0
+        local_lim > 0
         and probe is not None
-        and int(probe["ne"] or 0) <= cfg.local_phase_max_edges
+        and int(probe["ne"] or 0) <= local_lim
     ):
         return _local_phase(
             spark, edges, threshold, lower, metrics, level,

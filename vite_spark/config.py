@@ -181,6 +181,15 @@ class EngineConfig:
     # — including the sf0.1 benchmark graph — runs the DISTRIBUTED path;
     # set to 0 to force the distributed path everywhere (scaling bench does).
     local_phase_max_edges: int = 100_000
+    # COARSE-level (phase ≥ 1) local-tier gate for Louvain only: coarse
+    # graphs already shrank by a level of coarsening, so the distributed
+    # path's per-level fixed costs (pack build + one job per superstep)
+    # dominate NumPy sweep time far beyond the level-0 gate. Measured at
+    # sf0.1 (level-1 ≈ 190k super-edges): 6.02 vs 6.26 s whole-operator
+    # medians, labels/Q/supersteps identical. Applied only when
+    # local_phase_max_edges > 0 (= 0 forces the distributed path
+    # everywhere — the scaling bench contract — and disables this too).
+    local_phase_coarse_max_edges: int = 1_000_000
     # Borůvka MSF adaptive contraction tier (algos/msf.py): when a
     # round's picked pseudo-forest (one edge per active component) has
     # at most this many rows, the contraction map is computed
