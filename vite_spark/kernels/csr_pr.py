@@ -108,27 +108,42 @@ def _prepare_pack(spark, edges, cfg, nparts, ne_precounted=None):
                     except OSError:
                         pass
     if info is None:
-        if cfg.shuffle_partitions is None:
-            # scale-adaptive partition count (guide §2): one extra count
-            # job (its shuffle work is reused by the range exchange
-            # below) buys every downstream superstep job a task count
-            # matched to the input size instead of the session constant
-            from vite_spark.config import adaptive_pack_nparts
+        # pin the input across the pack-build consumers (count, range-
+        # boundary sample, pack job): each re-runs the caller's whole
+        # upstream derivation on an unpersisted table — the expensive
+        # case being csr_hits' precedence graph (join + window). Skipped
+        # when the caller already cached it (e.g. the csr_pr/csr_cc
+        # gates' own pin); released once the pack files are written.
+        pin = None
+        if not edges.is_cached:
+            pin = edges = edges.persist()
+        try:
+            if cfg.shuffle_partitions is None:
+                # scale-adaptive partition count (guide §2): one extra
+                # count job (its shuffle work is reused by the range
+                # exchange below) buys every downstream superstep job a
+                # task count matched to the input size instead of the
+                # session constant
+                from vite_spark.config import adaptive_pack_nparts
 
-            nparts = adaptive_pack_nparts(
-                nparts,
-                edges.count() if ne_precounted is None else ne_precounted,
-            )
-        edges = edges.repartitionByRange(nparts, "src")
-        nparts = edges.rdd.getNumPartitions()
-        if pack_dir is None:
-            from vite_spark.config import resolve_scratch
+                nparts = adaptive_pack_nparts(
+                    nparts,
+                    edges.count() if ne_precounted is None else ne_precounted,
+                )
+            edges = edges.repartitionByRange(nparts, "src")
+            nparts = edges.rdd.getNumPartitions()
+            if pack_dir is None:
+                from vite_spark.config import resolve_scratch
 
-            pack_dir = tempfile.mkdtemp(prefix="vite_csr_pr_",
-                                        dir=resolve_scratch(cfg.scratch_dir))
-        else:
-            os.makedirs(pack_dir, exist_ok=True)
-        info = pack_csr_partitions_sharded(edges, pack_dir, nparts)
+                pack_dir = tempfile.mkdtemp(
+                    prefix="vite_csr_pr_",
+                    dir=resolve_scratch(cfg.scratch_dir))
+            else:
+                os.makedirs(pack_dir, exist_ok=True)
+            info = pack_csr_partitions_sharded(edges, pack_dir, nparts)
+        finally:
+            if pin is not None:
+                pin.unpersist()
     if routing is None:
         routing = build_routes(spark, pack_dir, nparts)
         if routing is None:
