@@ -749,11 +749,20 @@ def louvain_phase(
     metrics = metrics or MetricsCollector()
 
     probe = None
+    pin = None
     if (
         (cfg.local_phase_max_edges > 0 or cfg.use_csr_kernel)
         and cfg.checkpoint_dir is None
         and resume_from is None
     ):
+        # pin the level's edge table across the probe and whichever tier
+        # consumes it next (the local tier's toPandas or the packed
+        # path's pack job): each re-ran the caller's upstream derivation
+        # on an unpersisted input (csr_pr._prepare_pack's pattern).
+        # Skipped when the caller already cached it (the bench does);
+        # released as soon as the tier has materialized.
+        if not edges.is_cached:
+            pin = edges = edges.persist()
         # one probe job serves BOTH the local-tier gate and _csr_phase's
         # dense-id precheck / scale-adaptive partition cap (formerly a
         # count job here plus an agg job there)
@@ -772,10 +781,14 @@ def louvain_phase(
         and probe is not None
         and int(probe["ne"] or 0) <= local_lim
     ):
-        return _local_phase(
-            spark, edges, threshold, lower, metrics, level,
-            early_term=cfg.early_term, colors=colors,
-        )
+        try:
+            return _local_phase(
+                spark, edges, threshold, lower, metrics, level,
+                early_term=cfg.early_term, colors=colors,
+            )
+        finally:
+            if pin is not None:
+                pin.unpersist()
 
     if (
         cfg.use_csr_kernel
@@ -789,14 +802,23 @@ def louvain_phase(
         # it does not pack (colored on the sharded kernel, non-local
         # master, key-width overflow) and the join superstep below
         # provides identical semantics.
-        res = _csr_phase(
-            spark, edges, threshold, lower, cfg, metrics, level,
-            colors=colors, coarsen_gain_over=coarsen_gain_over,
-            probe=probe,
-        )
+        try:
+            res = _csr_phase(
+                spark, edges, threshold, lower, cfg, metrics, level,
+                colors=colors, coarsen_gain_over=coarsen_gain_over,
+                probe=probe,
+            )
+        finally:
+            if pin is not None:
+                pin.unpersist()
+                pin = None
         if res is not None:
             return res
 
+    if pin is not None:
+        # csr kernel disabled: the join path below persists its own
+        # repartitioned copy
+        pin.unpersist()
     edges = edges.repartition(
         cfg.shuffle_partitions
         or int(spark.conf.get("spark.sql.shuffle.partitions", "32")),

@@ -227,22 +227,34 @@ def _prepare_core_pack(spark, edges_simple, cfg, nparts):
                         except OSError:
                             pass
     if info is None:
-        if cfg.shuffle_partitions is None:
-            # scale-adaptive partition count (guide §2); the count's
-            # simplify shuffle is reused by the range exchange below
-            from vite_spark.config import adaptive_pack_nparts
+        # pin across the build consumers (count, range sample, pack job):
+        # each re-ran the upstream simplify + derivation on an
+        # unpersisted input — csr_pr._prepare_pack's pattern. Released
+        # once the pack files are written.
+        pin = None
+        if not edges_simple.is_cached:
+            pin = edges_simple = edges_simple.persist()
+        try:
+            if cfg.shuffle_partitions is None:
+                # scale-adaptive partition count (guide §2); the count's
+                # simplify shuffle is reused by the range exchange below
+                from vite_spark.config import adaptive_pack_nparts
 
-            nparts = adaptive_pack_nparts(nparts, edges_simple.count())
-        e = edges_simple.repartitionByRange(nparts, "src")
-        nparts = e.rdd.getNumPartitions()
-        if pack_dir is None:
-            from vite_spark.config import resolve_scratch
+                nparts = adaptive_pack_nparts(nparts, edges_simple.count())
+            e = edges_simple.repartitionByRange(nparts, "src")
+            nparts = e.rdd.getNumPartitions()
+            if pack_dir is None:
+                from vite_spark.config import resolve_scratch
 
-            pack_dir = tempfile.mkdtemp(prefix="vite_csr_core_",
-                                        dir=resolve_scratch(cfg.scratch_dir))
-        else:
-            os.makedirs(pack_dir, exist_ok=True)
-        info = pack_csr_partitions_sharded(e, pack_dir, nparts)
+                pack_dir = tempfile.mkdtemp(
+                    prefix="vite_csr_core_",
+                    dir=resolve_scratch(cfg.scratch_dir))
+            else:
+                os.makedirs(pack_dir, exist_ok=True)
+            info = pack_csr_partitions_sharded(e, pack_dir, nparts)
+        finally:
+            if pin is not None:
+                pin.unpersist()
     if routing is None:
         routing = build_routes(spark, pack_dir, nparts)
         if routing is None:
